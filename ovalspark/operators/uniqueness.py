@@ -1,0 +1,55 @@
+"""Uniqueness check on doc_id via salted two-phase aggregation.
+
+The reference guarantees key uniqueness structurally (dense disjoint id
+ranges per worker, ``internal/object/object.go:57-69``) and checks LIST
+membership against the existence map (``internal/runner/worker.go:170-177``).
+At 10^12-doc scale a plain ``groupBy(doc_id).count()`` is fine for uniform
+keys but collapses under a hot key range, so the engine uses the classic
+salted two-phase plan (north_rule):
+
+  phase 1: groupBy(doc_id, salt) with salt = hash(whole row) % n_salts —
+           partial counts spread a hot doc_id over n_salts reducers;
+  phase 2: groupBy(doc_id) summing the partials — each doc_id now carries
+           at most n_salts rows into the final shuffle, regardless of how
+           many duplicates it has.
+
+Phase-2 re-aggregates UNSALTED, so exact duplicate doc_ids and exact
+counts are still reported (SURVEY §7 hard part (c)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def duplicate_doc_ids(docs: DataFrame, key: str = "doc_id", n_salts: int = 32) -> DataFrame:
+    """(doc_id, cnt) for every key appearing more than once."""
+    salted = docs.select(key).withColumn(
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
+    )
+    partial = salted.groupBy(key, "_salt").agg(F.count("*").alias("c"))
+    return (
+        partial.groupBy(key)
+        .agg(F.sum("c").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+def check_uniqueness(docs: DataFrame, n_salts: int = 32) -> DataFrame:
+    """Violation rows (one per duplicated doc_id) in the common schema."""
+    dups = duplicate_doc_ids(docs, n_salts=n_salts)
+    # re-attach one representative partition_id for forensics (min is
+    # deterministic regardless of task order)
+    part = docs.groupBy("doc_id").agg(F.min("partition_id").alias("partition_id"))
+    return dups.join(part, "doc_id").select(
+        "partition_id",
+        "doc_id",
+        F.lit(None).cast("int").alias("span_idx"),
+        F.lit("doc_id").alias("field"),
+        F.lit("1").alias("expected"),
+        F.col("cnt").cast("string").alias("actual"),
+        F.lit("DUP_DOC_ID").alias("violation_class"),
+        F.lit(None).cast("int").alias("writer_id"),
+        F.lit(None).cast("timestamp").alias("written_at"),
+    )

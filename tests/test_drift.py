@@ -1,0 +1,64 @@
+"""Distribution-drift tests: clean partitions pass, a resampled-uniform
+partition is flagged (FIXTURES.md §4 DIST_DRIFT; null hypothesis CDF
+F(x)=2(1-2^-x), /root/reference/internal/pattern/pattern.go:50)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from ovalspark.datagen import GenSpec, generate_catalog, generate_documents
+from ovalspark.functions import spans as sp
+from ovalspark.operators.drift import chi_square_drift, ks_drift
+
+
+def _world(spark):
+    spec = GenSpec(n_runners=1, n_writers=4, docs_per_writer=2000, min_spans=1, max_spans=10)
+    cat = generate_catalog(spark, spec)
+    return spec, generate_documents(cat, spec)
+
+
+def test_ks_clean_partitions_pass(spark):
+    spec, docs = _world(spark)
+    res = ks_drift(docs, spec.min_spans, spec.max_spans)
+    assert res.filter(F.col("drifted")).count() == 0
+    assert res.count() == spec.n_shards
+
+
+def test_ks_flags_uniform_resample(spark):
+    """Rebuild partition 0's span counts from a UNIFORM law → KS flags
+    exactly that partition."""
+    spec, docs = _world(spark)
+    uniform_n = (1 + F.pmod(F.xxhash64("doc_id", F.lit(9)), F.lit(spec.max_spans))).cast("int")
+    drifted = docs.withColumn(
+        "spans",
+        F.when(
+            F.col("partition_id") == 0,
+            sp.expected_spans(F.col("doc_id"), F.col("generation"), F.col("writer_id"), uniform_n),
+        ).otherwise(F.col("spans")),
+    )
+    res = ks_drift(drifted, spec.min_spans, spec.max_spans)
+    flagged = [r.partition_id for r in res.filter(F.col("drifted")).collect()]
+    assert flagged == [0]
+
+
+def test_chi_square_clean_passes_and_skew_flagged(spark):
+    spec, docs = _world(spark)
+    clean = chi_square_drift(docs, threshold=30.0)
+    assert clean.filter(F.col("drifted")).count() == 0
+    # force all kinds in partition 1 to 'video' (5% expected → huge chi2)
+    skewed = docs.withColumn(
+        "spans",
+        F.when(
+            F.col("partition_id") == 1,
+            F.transform(
+                "spans",
+                lambda s: F.struct(
+                    F.lit("video").alias("kind"), s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"), s["offset"].alias("offset"),
+                ),
+            ),
+        ).otherwise(F.col("spans")),
+    )
+    res = chi_square_drift(skewed, threshold=30.0)
+    flagged = [r.partition_id for r in res.filter(F.col("drifted")).collect()]
+    assert flagged == [1]
