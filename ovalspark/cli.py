@@ -1,0 +1,133 @@
+"""Command-line entry point — the ``spark-submit --py-files`` surface.
+
+Mirrors oval's CLI lifecycle (/root/reference/internal/cmd/root.go):
+argument parsing with the same constraint checks (U6: n_writers < 256,
+docs ≤ 2^24 — root.go:170-183), a span-range parser in the spirit of the
+size parser (U1, argparser/size.go: "1-16" → bounds), fault-mix parsing in
+the spirit of the ope-ratio parser (U2), and the run lifecycle: generate
+(init buckets, S6) → validate (Run) → resume (--load, O3).
+
+Usage:
+    spark-submit --py-files ovalspark.zip -m ovalspark.cli generate --root /data/world --docs-per-writer 1000
+    spark-submit --py-files ovalspark.zip -m ovalspark.cli validate --root /data/world --out /data/run1 [--resume] [--fail-fast]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import re
+import sys
+
+
+def parse_span_range(s: str) -> tuple[int, int]:
+    """"1-16" → (1, 16). The analog of oval's size parser (U1)."""
+    m = re.fullmatch(r"([1-9][0-9]*)-([1-9][0-9]*)", s)
+    if not m:
+        raise argparse.ArgumentTypeError(f"invalid span range {s!r}; want e.g. 1-16")
+    lo, hi = int(m.group(1)), int(m.group(2))
+    if lo > hi:
+        raise argparse.ArgumentTypeError(f"min {lo} > max {hi}")
+    return lo, hi
+
+
+def parse_fault_mix(s: str) -> dict[str, float]:
+    """"WRONG_KIND=0.02,LOST_DOC=0.01" → dict (the ope-ratio analog, U2)."""
+    out: dict[str, float] = {}
+    if not s:
+        return out
+    for part in s.split(","):
+        k, _, v = part.partition("=")
+        try:
+            out[k.strip()] = float(v)
+        except ValueError as e:
+            raise argparse.ArgumentTypeError(f"bad fault entry {part!r}") from e
+    return out
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="ovalspark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    g = sub.add_parser("generate", help="materialize a synthetic world (catalog+documents+assets)")
+    g.add_argument("--root", required=True)
+    g.add_argument("--runners", type=int, default=1)
+    g.add_argument("--writers", type=int, default=4)
+    g.add_argument("--docs-per-writer", type=int, default=1000)
+    g.add_argument("--spans", type=parse_span_range, default=(1, 16), metavar="MIN-MAX")
+    g.add_argument("--hot-shard-factor", type=int, default=1)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--faults", type=parse_fault_mix, default={}, metavar="CLASS=FRAC,...")
+    g.add_argument("--phantom-fraction", type=float, default=0.0)
+
+    v = sub.add_parser("validate", help="run the validation plan")
+    v.add_argument("--root", required=True)
+    v.add_argument("--out", required=True)
+    v.add_argument("--manifest", default=None, help="default: <out>/manifest.json")
+    v.add_argument("--resume", action="store_true", help="reuse an existing manifest (O3); without it a fresh run refuses to overwrite")
+    v.add_argument("--fail-fast", action="store_true", help="abort on first dirty constraint (V12)")
+    v.add_argument("--broadcast-catalog", action="store_true")
+    v.add_argument("--run-id", default="run-0")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from ovalspark.session import get_spark
+
+    spark = get_spark(app_name=f"ovalspark-{args.cmd}")
+    if args.cmd == "generate":
+        from ovalspark.datagen import GenSpec, generate_assets, generate_catalog, generate_documents, inject_faults
+        from ovalspark.sources import TableSet
+
+        mn, mx = args.spans
+        spec = GenSpec(
+            n_runners=args.runners,
+            n_writers=args.writers,
+            docs_per_writer=args.docs_per_writer,
+            min_spans=mn,
+            max_spans=mx,
+            hot_shard_factor=args.hot_shard_factor,
+            seed=args.seed,
+        )
+        cat = generate_catalog(spark, spec)
+        docs = generate_documents(cat, spec)
+        if args.faults or args.phantom_fraction:
+            docs, _ = inject_faults(docs, cat, spec, args.faults, args.phantom_fraction)
+        TableSet(docs=docs, catalog=cat, assets=generate_assets(spark, spec)).save(args.root)
+        print(json.dumps({"generated": args.root, "shards": spec.n_shards}))
+        return 0
+
+    if args.cmd == "validate":
+        import os
+
+        from ovalspark.plans import default_plan, run_plan
+        from ovalspark.plans.runner import ValidationFailure
+        from ovalspark.sources import TableSet
+
+        manifest = args.manifest or f"{args.out}/manifest.json"
+        if os.path.exists(manifest) and not args.resume:
+            print(f"manifest {manifest} exists; pass --resume to continue it", file=sys.stderr)
+            return 2
+        ts = TableSet.load(spark, args.root)
+        plan = default_plan(broadcast_catalog=args.broadcast_catalog)
+        try:
+            res = run_plan(
+                plan, ts.docs, ts.catalog, ts.assets, args.out, manifest,
+                run_id=args.run_id, fail_fast=args.fail_fast,
+            )
+        except ValidationFailure as e:
+            print(json.dumps({"passed": False, "aborted": str(e)}))
+            return 1
+        report = {
+            "passed": res.passed,
+            "verdicts": {str(k): v for k, v in sorted(res.verdicts.items())},
+            "totals": res.totals,
+        }
+        print(json.dumps(report, sort_keys=True))
+        return 0 if res.passed else 1
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -20,7 +20,13 @@ from pyspark.sql import functions as F
 
 
 def dangling_media_refs(docs: DataFrame, assets: DataFrame, broadcast_assets: bool = False) -> DataFrame:
-    """(media_ref, n_docs, example_doc_id, partition_id) per dangling ref."""
+    """(partition_id, media_ref, n_spans, example_doc_id) per dangling ref.
+
+    Grouped per (partition_id, media_ref) — NOT globally per ref — so each
+    partition's output is a pure function of that partition's rows. That
+    keeps the constraint partition-local, which checkpoint resume depends
+    on (re-validating a subset of partitions must reproduce exactly the
+    rows an uninterrupted run attributed to them)."""
     refs = (
         docs.select(
             "partition_id",
@@ -29,10 +35,9 @@ def dangling_media_refs(docs: DataFrame, assets: DataFrame, broadcast_assets: bo
         )
         .select("partition_id", "doc_id", F.col("s.media_ref").alias("media_ref"))
     )
-    per_ref = refs.groupBy("media_ref").agg(
+    per_ref = refs.groupBy("partition_id", "media_ref").agg(
         F.count("*").alias("n_spans"),
         F.min("doc_id").alias("example_doc_id"),
-        F.min("partition_id").alias("partition_id"),
     )
     right = assets.select(F.col("asset_id").alias("media_ref"))
     if broadcast_assets:

@@ -1,0 +1,146 @@
+"""Resumable plan runner — executes a ValidationPlan partition-aware.
+
+The engine analog of oval's runner (``internal/runner/runner.go:176-225``
+in /root/reference): where oval runs one goroutine per worker over a
+disjoint key range and folds per-worker verdicts (A2/A3), this runner lets
+Spark schedule tasks over partition_id shards and folds per-partition
+verdicts from the manifest. Resume (O2/O3) works at (constraint, partition)
+granularity: partitions already recorded under the same constraint version
+are filtered OUT of the input before the constraint runs — re-running a
+completed partition is a no-op (oval's idempotent follower /start, O8).
+
+Determinism: violation output is written one JSON-lines file per
+partition, fully sorted by every column; because every operator upstream
+is a deterministic function of the input tables, an interrupted-then-
+resumed run emits byte-identical files to an uninterrupted one
+(north_rule; proven by tests/test_resume.py).
+
+Scale shape: the per-partition filter is a pushdown-friendly predicate on
+``partition_id`` (partition pruning under an Iceberg/parquet layout
+partitioned by it); counts per partition are one small groupBy; the only
+driver-side data is one record per (constraint, partition).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ovalspark.plans.manifest import Manifest
+from ovalspark.plans.plan import ValidationPlan
+
+VCOLS = [
+    "partition_id",
+    "doc_id",
+    "span_idx",
+    "field",
+    "expected",
+    "actual",
+    "violation_class",
+    "writer_id",
+    "written_at",
+]
+
+
+class ValidationFailure(Exception):
+    """Raised in fail_fast mode when a constraint finds violations
+    (oval's first-error cancellation, runner.go:209-212)."""
+
+
+@dataclass
+class RunResult:
+    manifest: Manifest
+    totals: dict[str, dict[str, int]] = field(default_factory=dict)
+    verdicts: dict[int, bool] = field(default_factory=dict)  # partition -> pass
+
+    @property
+    def passed(self) -> bool:
+        return all(self.verdicts.values())
+
+
+def _write_canonical(viol: DataFrame, out_dir: str) -> None:
+    """One sorted JSON-lines file per partition_id dir. repartition by
+    partition_id puts each shard in exactly one task; partitionBy then
+    emits exactly one file per shard; the full-column sort fixes row
+    order — byte-identical output regardless of task scheduling."""
+    spark = viol.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            viol.select(*VCOLS)
+            .repartition("partition_id")
+            .sortWithinPartitions(*VCOLS)
+            .write.mode("overwrite")
+            .partitionBy("partition_id")
+            .json(out_dir)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def run_plan(
+    plan: ValidationPlan,
+    docs: DataFrame,
+    catalog: DataFrame,
+    assets: DataFrame | None,
+    out_dir: str,
+    manifest_path: str,
+    run_id: str = "run-0",
+    fail_fast: bool = False,
+) -> RunResult:
+    manifest = Manifest.load_or_create(manifest_path, run_id=run_id)
+    all_parts = sorted(r.partition_id for r in catalog.select("partition_id").distinct().collect())
+
+    # per-partition input row counts (lineage), computed once
+    row_counts = {
+        r.partition_id: r.n for r in docs.groupBy("partition_id").agg(F.count("*").alias("n")).collect()
+    }
+
+    for c in plan.constraints:
+        done = manifest.done_partitions(c.name, c.version)
+        todo = [p for p in all_parts if p not in done]
+        if not todo:
+            continue
+        if c.partition_local and done:
+            d_in = docs.filter(F.col("partition_id").isin(todo))
+            c_in = catalog.filter(F.col("partition_id").isin(todo))
+        else:
+            # global constraint (or fresh run): must see the whole table
+            d_in, c_in = docs, catalog
+            todo = all_parts if not c.partition_local else todo
+
+        viol = c.fn(d_in, c_in, assets)
+        cdir = f"{out_dir}/{c.name}"
+        _write_canonical(viol, cdir)
+        vcounts = {
+            r.partition_id: r.n
+            for r in viol.groupBy("partition_id").agg(F.count("*").alias("n")).collect()
+        }
+        records = {
+            int(p): {
+                "row_count": int(row_counts.get(p, 0)),
+                "violation_count": int(vcounts.get(p, 0)),
+                "output": f"{cdir}/partition_id={p}",
+            }
+            for p in todo
+            if p is not None
+        }
+        # violations with null partition_id (shouldn't happen) still count
+        manifest.mark_done(c.name, c.version, records)
+        manifest.save()
+        if fail_fast and sum(vcounts.values()) > 0:
+            raise ValidationFailure(
+                f"constraint {c.name}@{c.version} found {sum(vcounts.values())} violations"
+            )
+
+    totals = manifest.totals()
+    verdicts: dict[int, bool] = {p: True for p in all_parts}
+    for name, rec in manifest.constraints.items():
+        for pid, r in rec.get("partitions", {}).items():
+            if int(r.get("violation_count", 0)) > 0:
+                verdicts[int(pid)] = False
+    return RunResult(manifest=manifest, totals=totals, verdicts=verdicts)

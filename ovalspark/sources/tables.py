@@ -1,0 +1,76 @@
+"""Table IO — Iceberg-shaped interface with a parquet fallback.
+
+The reference's storage surface is the S3 API (PUT/GET/LIST/DELETE,
+``/root/reference/internal/s3client/s3client.go``); the engine's is a table
+format. The production design is Iceberg (snapshot reads give the
+read-before-overwrite semantics of oval worker.go:43-75; partition specs on
+the doc_id shard give prefix-scoped-LIST-style pruning; metadata tables
+give the file-count reconciliation of V9). The Iceberg Spark runtime jar is
+not in this sandbox, so the interface degrades to parquet with an identical
+partition layout — same reader/writer call sites, swap the format when the
+jar is present (``CREATE TABLE IF NOT EXISTS``-style init is S6's
+idempotent bucket init).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def read_table(spark: SparkSession, path_or_ident: str, fmt: str = "auto") -> DataFrame:
+    if fmt == "iceberg" or (fmt == "auto" and not path_or_ident.startswith("/") and _iceberg_available(spark)):
+        return spark.read.format("iceberg").load(path_or_ident)
+    return spark.read.parquet(path_or_ident)
+
+
+def write_table(
+    df: DataFrame,
+    path_or_ident: str,
+    fmt: str = "auto",
+    partition_by: tuple[str, ...] = ("partition_id",),
+    mode: str = "overwrite",
+) -> None:
+    spark = df.sparkSession
+    if fmt == "iceberg" or (fmt == "auto" and not path_or_ident.startswith("/") and _iceberg_available(spark)):
+        w = df.writeTo(path_or_ident)
+        if partition_by:
+            w = w.partitionedBy(*partition_by)
+        w.createOrReplace() if mode == "overwrite" else w.append()
+        return
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path_or_ident)
+
+
+@dataclass
+class TableSet:
+    """The three tables a validation run consumes."""
+
+    docs: DataFrame
+    catalog: DataFrame
+    assets: DataFrame | None = None
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str, with_assets: bool = True) -> "TableSet":
+        return cls(
+            docs=read_table(spark, f"{root}/documents"),
+            catalog=read_table(spark, f"{root}/catalog"),
+            assets=read_table(spark, f"{root}/assets") if with_assets else None,
+        )
+
+    def save(self, root: str) -> None:
+        write_table(self.docs, f"{root}/documents")
+        write_table(self.catalog, f"{root}/catalog")
+        if self.assets is not None:
+            write_table(self.assets, f"{root}/assets", partition_by=())
