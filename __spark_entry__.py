@@ -1,10 +1,18 @@
-"""Driver contract for the spark-graft builder (PySpark target).
+"""Driver contract for the ovalspark engine.
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: ingest the sf0.001 flat documents table into
+the interleaved (doc_id, spans) model, derive its expected-state catalog,
+inject corruption, and run the span-sequence + existence validators —
+oval's end-to-end story (generate → corrupt → detect,
+/root/reference/README.md:87-127) over real parquet input.
+
+``queries()`` / ``oracle_sql()`` — one entry per operator family from
+SURVEY.md §2 plus the training-data-pipeline operators. Where the SQL is
+engine-portable the SAME string runs in Spark and DuckDB; otherwise the
+Spark side is DataFrame API and the oracle is hand-written DuckDB SQL with
+identical semantics (decimal-exact aggregation, integer-quantized float
+math, md5-based hashing — no engine-specific hash functions in anything
+oracle-checked).
 """
 
 from __future__ import annotations
@@ -12,27 +20,482 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF0001 = "/root/testdata/sf0.001"
+
+_TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+
+def _load(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    for n in names:
+        spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: interleave sf0.001 documents → corrupt → validate."""
+    from ovalspark.datagen import GenSpec, catalog_from_flat, generate_documents, inject_faults
+    from ovalspark.operators import check_existence, validate_spans
+
+    flat = spark.read.parquet(f"{SF0001}/documents.parquet")
+    spec = GenSpec(max_spans=8)
+    cat = catalog_from_flat(flat, spec)
+    docs = generate_documents(cat, spec)
+    bad, _ = inject_faults(
+        docs, cat, spec,
+        {"WRONG_KIND": 0.02, "STALE_GENERATION": 0.02, "SIZE_MISMATCH": 0.02, "LOST_DOC": 0.02},
+    )
+    v = validate_spans(bad, cat, spec.n_assets, broadcast_catalog=True).unionByName(check_existence(bad, cat))
+    return v.orderBy("partition_id", "doc_id", "span_idx", "field")
+
+
+# ---------------------------------------------------------------------------
+# Engine-portable SQL (the same string runs on Spark and DuckDB).
+# Aggregation discipline for cross-engine value-exactness: monetary/double
+# sums go through DECIMAL (exact, order-independent) and are presented as
+# DOUBLE; averages are single divisions of exact integers/decimals.
+# ---------------------------------------------------------------------------
+
+_SHARED_SQL: dict[str, str] = {
+    # TPC-H Q1 shape — groupBy two cols + 8 aggregates (A1 analog scaled up)
+    "q01_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    # TPC-H Q3 shape — 3-way join, top-N by aggregated revenue
+    "q02_top_revenue_orders": """
+        SELECT o.o_orderkey,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+               CAST(CAST(o.o_orderdate AS DATE) AS STRING) AS orderdate
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+                        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+        GROUP BY o.o_orderkey, o.o_orderdate
+        ORDER BY revenue DESC, o.o_orderkey
+        LIMIT 10
+    """,
+    # TPC-H Q5 shape — 5-way join through the region hierarchy
+    "q03_nation_revenue": """
+        SELECT n.n_name,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+        FROM customer c
+          JOIN orders o ON c.c_custkey = o.o_custkey
+          JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC, n.n_name
+    """,
+    # hash-agg distribution: orders per customer, then histogram
+    "q04_order_count_histogram": """
+        SELECT n_orders, COUNT(*) AS n_customers
+        FROM (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey)
+        GROUP BY n_orders ORDER BY n_orders
+    """,
+    # window function: top-3 orders per customer
+    "q05_top3_orders_per_customer": """
+        SELECT o_custkey, o_orderkey, rnk FROM (
+          SELECT o_custkey, o_orderkey,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          FROM orders)
+        WHERE rnk <= 3
+        ORDER BY o_custkey, rnk
+    """,
+    # time-bucketed aggregation over the events stream table
+    "q06_events_daily": """
+        SELECT CAST(CAST(ts AS DATE) AS STRING) AS day, event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY CAST(CAST(ts AS DATE) AS STRING), event_type
+        ORDER BY day, event_type
+    """,
+    # V9/V10 analog: per-group count reconciliation between two tables
+    "q07_count_reconciliation": """
+        SELECT n.n_name,
+               COUNT(DISTINCT c.c_custkey) AS expected_n,
+               COUNT(DISTINCT o.o_custkey) AS actual_n
+        FROM nation n
+          LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+          LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY n.n_name
+        ORDER BY n.n_name
+    """,
+    # V4 analog: lost-reference anti-join (customers with no orders)
+    "q08_customers_without_orders": """
+        SELECT c.c_custkey, c.c_name
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c.c_custkey
+    """,
+    # V5/uniqueness analog: duplicate-key detection
+    "q09_duplicate_event_users": """
+        SELECT user_id, COUNT(*) AS cnt
+        FROM events GROUP BY user_id HAVING COUNT(*) > 1
+        ORDER BY user_id
+    """,
+    # referential check: lineitem -> part foreign keys (dangling refs)
+    "q10_dangling_part_refs": """
+        SELECT COUNT(*) AS n_dangling FROM (
+          SELECT DISTINCT l_partkey FROM lineitem
+          WHERE l_partkey NOT IN (SELECT p_partkey FROM part))
+    """,
+    # set-op reconciliation (exceptAll analog of V4/V5 in pure SQL)
+    "q11_orderkey_set_diff": """
+        SELECT COUNT(*) AS n_only_in_lineitem FROM (
+          SELECT DISTINCT l_orderkey FROM lineitem
+          EXCEPT
+          SELECT o_orderkey FROM orders)
+    """,
+    # stats profiler long-form (A1/north_star), numeric columns of lineitem
+    "q12_column_stats_lineitem": """
+        SELECT 'l_quantity' AS col_name, COUNT(*) AS n_rows,
+               SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+               CAST(MIN(l_quantity) AS DOUBLE) AS min_v, CAST(MAX(l_quantity) AS DOUBLE) AS max_v,
+               COUNT(DISTINCT l_quantity) AS n_distinct
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_extendedprice', COUNT(*),
+               SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+               CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE),
+               COUNT(DISTINCT l_extendedprice)
+        FROM lineitem
+        UNION ALL
+        SELECT 'l_discount', COUNT(*),
+               SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+               CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE),
+               COUNT(DISTINCT l_discount)
+        FROM lineitem
+        ORDER BY col_name
+    """,
+    # join-strategy exercise: small-dim broadcast shape (part ⋈ lineitem)
+    "q13_brand_volume": """
+        SELECT p.p_brand, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand ORDER BY p.p_brand
+    """,
+}
+
+# ---------------------------------------------------------------------------
+# Split implementations: Spark = DataFrame API (the engine's operators),
+# oracle = hand-written DuckDB SQL with identical semantics.
+# ---------------------------------------------------------------------------
+
+
+def _q20_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ovalspark.operators.text import subword_piece_estimate, token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.col("text")
+    return (
+        docs.select("source", token_count(t).alias("nt"), subword_piece_estimate(t).alias("np"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("nt").alias("total_tokens"),
+            F.sum("np").alias("total_pieces"),
+            (F.sum("nt").cast("double") / F.count("*")).alias("avg_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+_Q20_ORACLE = """
+    SELECT source, COUNT(*) AS n_docs,
+           SUM(len(string_split(text, ' '))) AS total_tokens,
+           SUM(CAST(ceil(length(text) / 3.5) AS BIGINT)) AS total_pieces,
+           CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens
+    FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def _q21_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ovalspark.operators.text import quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q_int = F.floor(quality_score(F.col("text")) * 1000000).cast("long")
+    return (
+        docs.select("lang", q_int.alias("qi"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n_docs"), F.sum("qi").alias("quality_sum"))
+        .orderBy("lang")
+    )
+
+
+_Q21_ORACLE = """
+    WITH scored AS (
+      SELECT lang,
+        CAST(floor((
+          0.3 * least(length(text) / 200.0, 1.0)
+        + 0.3 * (1.0 - least((length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) / greatest(length(text), 1)) * 5.0, 1.0))
+        + 0.2 * (1.0 - least(abs((len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','is','to','in','that','it','on'))) / greatest(len(string_split(text, ' ')), 1)) - 0.08) * 4.0, 1.0))
+        + 0.2 * (1.0 - least(abs(((length(text) - (len(string_split(text, ' ')) - 1)) / greatest(len(string_split(text, ' ')), 1)) - 5.0) / 5.0, 1.0))
+        ) * 1000000) AS BIGINT) AS qi
+      FROM documents)
+    SELECT lang, COUNT(*) AS n_docs, SUM(qi) AS quality_sum
+    FROM scored GROUP BY lang ORDER BY lang
+"""
+
+
+def _q22_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ovalspark.operators.text import predict_lang
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.select("lang", predict_lang(F.col("text")).alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+_Q22_ORACLE = """
+    WITH s AS (
+      SELECT lang, string_split(lower(text), ' ') AS toks FROM documents),
+    scores AS (
+      SELECT lang,
+        len(list_filter(toks, t -> t IN ('the','and','of','is'))) AS s_en,
+        len(list_filter(toks, t -> t IN ('el','la','que','los'))) AS s_es,
+        len(list_filter(toks, t -> t IN ('der','die','und','ist'))) AS s_de,
+        len(list_filter(toks, t -> t IN ('le','la','les','est'))) AS s_fr
+      FROM s),
+    pred AS (
+      SELECT lang, greatest(s_en, s_es, s_de, s_fr) AS best, s_en, s_es, s_de, s_fr,
+        CASE WHEN greatest(s_en, s_es, s_de, s_fr) = 0 THEN 'und'
+             WHEN s_de = greatest(s_en, s_es, s_de, s_fr) THEN 'de'
+             WHEN s_en = greatest(s_en, s_es, s_de, s_fr) THEN 'en'
+             WHEN s_es = greatest(s_en, s_es, s_de, s_fr) THEN 'es'
+             ELSE 'fr' END AS pred_lang
+      FROM scores)
+    SELECT lang, pred_lang, COUNT(*) AS n FROM pred GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+"""
+
+
+def _q23_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ovalspark.operators.text import fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+_Q23_ORACLE = """
+    SELECT doc_id, md5(regexp_replace(lower(trim(text)), ' +', ' ', 'g')) AS fp
+    FROM documents ORDER BY doc_id
+"""
+
+
+def _q24_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ovalspark.operators.dedup import exact_duplicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_duplicates(docs, "doc_id", "text").orderBy("fingerprint")
+
+
+_Q24_ORACLE = """
+    SELECT md5(text) AS fingerprint, COUNT(*) AS cnt, MIN(doc_id) AS min_id
+    FROM documents GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY fingerprint
+"""
+
+
+def _q25_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ovalspark.operators.dedup import minhash_signature, word_shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = docs.select("doc_id", word_shingles(F.col("text")).alias("sh")).filter(F.size("sh") > 0)
+    return sh.select("doc_id", *minhash_signature(F.col("sh"), 4)).orderBy("doc_id")
+
+
+_Q25_ORACLE = """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    s AS (SELECT doc_id,
+            list_distinct(list_transform(generate_series(1, len(words) - 1),
+                                         i -> words[i] || ' ' || words[i + 1])) AS sh
+          FROM w)
+    SELECT doc_id,
+      list_min(list_transform(sh, x -> ('0x' || substr(md5('0:' || x), 1, 15))::BIGINT)) AS mh0,
+      list_min(list_transform(sh, x -> ('0x' || substr(md5('1:' || x), 1, 15))::BIGINT)) AS mh1,
+      list_min(list_transform(sh, x -> ('0x' || substr(md5('2:' || x), 1, 15))::BIGINT)) AS mh2,
+      list_min(list_transform(sh, x -> ('0x' || substr(md5('3:' || x), 1, 15))::BIGINT)) AS mh3
+    FROM s WHERE len(sh) > 0 ORDER BY doc_id
+"""
+
+
+def _q26_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ovalspark.operators.text import rolling_hash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", rolling_hash(F.col("text")).alias("rh")).orderBy("doc_id")
+
+
+_Q26_ORACLE = """
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+      list_aggregate(
+        list_transform(generate_series(1, len(toks)),
+          i -> (i * (('0x' || substr(md5(toks[i]), 1, 13))::BIGINT)) % 2305843009213693951),
+        'sum') % 2305843009213693951 AS rh
+    FROM t ORDER BY doc_id
+"""
+
+
+def _q27_knn_int_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    vi = F.transform(F.col("embedding"), lambda x: F.floor(x.cast("double") * 1000000).cast("long"))
+    qi = F.transform(F.col("qv"), lambda x: F.floor(x.cast("double") * 1000000).cast("long"))
+    dot = F.aggregate(F.zip_with(vi, qi, lambda a, b: a * b), F.lit(0).cast("long"), lambda acc, v: acc + v)
+    return (
+        emb.crossJoin(F.broadcast(q))
+        .select("vec_id", dot.alias("dot_q"))
+        .orderBy(F.desc("dot_q"), "vec_id")
+        .limit(10)
+    )
+
+
+_Q27_ORACLE = """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+      CAST(list_sum(list_transform(list_zip(e.embedding, q.qv),
+        x -> CAST(floor(CAST(x[1] AS DOUBLE) * 1000000) AS BIGINT)
+           * CAST(floor(CAST(x[2] AS DOUBLE) * 1000000) AS BIGINT))) AS BIGINT) AS dot_q
+    FROM embeddings e, q
+    ORDER BY dot_q DESC, vec_id LIMIT 10
+"""
+
+
+def _q28_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (
+        emb.select("label", F.element_at("embedding", 1).cast("double").alias("x0"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n"), F.min("x0").alias("min_x0"), F.max("x0").alias("max_x0"))
+        .orderBy("label")
+    )
+
+
+_Q28_ORACLE = """
+    SELECT label, COUNT(*) AS n,
+           MIN(CAST(embedding[1] AS DOUBLE)) AS min_x0,
+           MAX(CAST(embedding[1] AS DOUBLE)) AS max_x0
+    FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+# --- non-SQL-expressible operators (rows-only driver check) ----------------
+
+
+def _q40_span_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship validator over interleaved docs derived from sf_dir's
+    flat documents table (xxhash64-based regeneration — not expressible in
+    DuckDB, covered instead by the corruption-injection pytest suite)."""
+    from ovalspark.datagen import GenSpec, catalog_from_flat, generate_documents, inject_faults
+    from ovalspark.operators import check_existence, validate_spans
+
+    flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spec = GenSpec(max_spans=8)
+    cat = catalog_from_flat(flat, spec)
+    docs = generate_documents(cat, spec)
+    bad, _ = inject_faults(docs, cat, spec, {"WRONG_KIND": 0.02, "STALE_GENERATION": 0.02, "LOST_DOC": 0.02})
+    v = validate_spans(bad, cat, spec.n_assets, broadcast_catalog=True).unionByName(check_existence(bad, cat))
+    return v.orderBy("partition_id", "doc_id", "span_idx", "field")
+
+
+def _q41_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ovalspark.operators.dedup import simhash_near_duplicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=8).orderBy("id_a", "id_b")
+
+
+def _q42_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ovalspark.operators.dedup import minhash_duplicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_duplicates(docs, "doc_id", "text", jaccard_threshold=0.5).orderBy("id_a", "id_b")
+
+
+def _q43_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ovalspark.operators.similarity import ann_lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ann_lsh_topk(emb, list(qv), k=10, max_hamming=4)
+
+
+def _q44_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ovalspark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return cosine_topk(emb, list(qv), k=10)
+
+
+def _q45_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ovalspark.operators.similarity import near_duplicates_cosine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return near_duplicates_cosine(emb, threshold=0.9, n_bits=8).orderBy("id_a", "id_b")
+
+
+def _shared(name: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _load(spark, sf_dir, *_TABLES)
+        return spark.sql(_SHARED_SQL[name])
+
+    return run
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: _shared(name) for name in _SHARED_SQL
+    }
+    out.update(
+        {
+            "q20_token_stats": _q20_token_stats,
+            "q21_quality_by_lang": _q21_quality_by_lang,
+            "q22_lang_id_confusion": _q22_lang_id_confusion,
+            "q23_fingerprints": _q23_fingerprints,
+            "q24_exact_dup_groups": _q24_exact_dup_groups,
+            "q25_minhash_signatures": _q25_minhash_signatures,
+            "q26_rolling_hash": _q26_rolling_hash,
+            "q27_knn_int_dot": _q27_knn_int_dot,
+            "q28_embedding_stats": _q28_embedding_stats,
+            "q40_span_validation": _q40_span_validation,
+            "q41_simhash_near_dups": _q41_simhash_near_dups,
+            "q42_minhash_near_dups": _q42_minhash_near_dups,
+            "q43_ann_lsh": _q43_ann_lsh,
+            "q44_cosine_topk": _q44_cosine_topk,
+            "q45_embedding_near_dups": _q45_embedding_near_dups,
+        }
+    )
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out = dict(_SHARED_SQL)
+    out.update(
+        {
+            "q20_token_stats": _Q20_ORACLE,
+            "q21_quality_by_lang": _Q21_ORACLE,
+            "q22_lang_id_confusion": _Q22_ORACLE,
+            "q23_fingerprints": _Q23_ORACLE,
+            "q24_exact_dup_groups": _Q24_ORACLE,
+            "q25_minhash_signatures": _Q25_ORACLE,
+            "q26_rolling_hash": _Q26_ORACLE,
+            "q27_knn_int_dot": _Q27_ORACLE,
+            "q28_embedding_stats": _Q28_ORACLE,
+            # q40-q45: xxhash64/pandas-UDF based — rows-only checks
+        }
+    )
+    return out

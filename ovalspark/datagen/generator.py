@@ -151,3 +151,23 @@ def generate_assets(spark: SparkSession, spec: GenSpec) -> DataFrame:
             (F.pmod(F.xxhash64(F.col("id"), F.lit(spec.seed)), F.lit(3)) + 1).cast("int"),
         ).alias("media_type"),
     )
+
+
+def catalog_from_flat(flat_docs: DataFrame, spec: GenSpec, n_partitions: int = 8) -> DataFrame:
+    """Derive an expected-state catalog from a flat external corpus
+    (e.g. the driver's ``documents.parquet``: one int64 id + text per row)
+    — the ingest path: every external id becomes a keyspace slot with
+    deterministic generation/span-count/writer, so the span validator can
+    run over real-table ids. All rows exist (the corpus IS the existence
+    set)."""
+    doc_id = sp.doc_key(F.col("doc_id").cast("long"))
+    u_gen = sp.u01(doc_id, seed=spec.seed * 31 + 2)
+    u_size = sp.u01(doc_id, seed=spec.seed * 31 + 3)
+    return flat_docs.select(
+        doc_id.alias("doc_id"),
+        F.lit(True).alias("exists"),
+        (1 + F.floor(u_gen * spec.max_generation)).cast("int").alias("generation"),
+        sp.n_spans_from_u01(u_size, spec.min_spans, spec.max_spans).alias("n_spans"),
+        F.pmod(F.xxhash64(doc_id, F.lit(spec.seed)), F.lit(256)).cast("int").alias("writer_id"),
+        F.pmod(F.col("doc_id").cast("long"), F.lit(n_partitions)).cast("int").alias("partition_id"),
+    )

@@ -1,0 +1,187 @@
+"""Deduplication operators for large-scale text corpora.
+
+Five strategies, all DataFrame-native, ordered by cost:
+
+- exact:       md5-fingerprint hash-groupBy (one shuffle of 16-byte keys)
+- minhash+LSH: word-shingles → n minhashes (array exprs, no explode) →
+               banded signatures → bucket self-join → true Jaccard verify
+- simhash:     64-bit near-dup fingerprint via a vectorized pandas UDF
+               (Arrow-batched; the per-token bit-vote is numpy)
+- n-gram Jaccard: exact verification on candidate pairs (array_intersect)
+- embedding cosine: see ovalspark.operators.similarity (near_duplicates)
+
+Scale notes: candidate generation NEVER does a full cross join — pairs
+come from LSH band buckets (minhash) or identical fingerprints (exact,
+simhash). The band self-join is an equi-join on band hash, salted by
+Spark's AQE if a band is hot. Minhash uses md5-derived hash families so
+results are engine-portable (DuckDB-oracle-checkable), at the cost of a
+little JVM md5 time versus xxhash64.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _h64(col: Column, salt: int) -> Column:
+    """Portable 60-bit hash: first 15 hex chars of md5 (identical in
+    DuckDB: ('0x' || substr(md5(x),1,15))::BIGINT)."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"{salt}:"), col)), 1, 15), 16, 10).cast("long")
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical texts: (fingerprint, cnt, min_id)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count("*").alias("cnt"), F.min(id_col).alias("min_id"))
+        .filter(F.col("cnt") > 1)
+    )
+
+
+def word_shingles(text_col: Column, n: int = 2) -> Column:
+    """Distinct word n-gram shingles as an array column (no explode)."""
+    words = F.split(text_col, " ")
+    k = F.greatest(F.size(words) - (n - 1), F.lit(0))
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(0), k - 1),
+            lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 12) -> list[Column]:
+    """n_hashes minhash components, each an array_min over a transformed
+    shingle array — pure column expressions, evaluated columnar."""
+    return [
+        F.array_min(F.transform(shingles, lambda s: _h64(s, k))).alias(f"mh{k}")
+        for k in range(n_hashes)
+    ]
+
+
+def minhash_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 12,
+    bands: int = 4,
+    jaccard_threshold: float = 0.7,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash-LSH with exact Jaccard verify.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, one row per pair (pairs
+    colliding in several bands are deduplicated).
+    """
+    rows_per_band = n_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), shingle_n).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
+    sig = sig.select("_id", "_sh", *minhash_signature(F.col("_sh"), n_hashes))
+    band_cols = [
+        F.md5(F.concat_ws(",", F.lit(b), *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])).alias(
+            f"band{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("_id", "_sh", *band_cols)
+
+    pairs = None
+    for b in range(bands):
+        left = banded.select(F.col(f"band{b}").alias("_band"), F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+        right = banded.select(F.col(f"band{b}").alias("_band"), F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+        p = left.join(right, "_band").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "sh_a", "sh_b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b"))
+        / F.size(F.array_union("sh_a", "sh_b"))
+    ).alias("jaccard")
+    return pairs.select("id_a", "id_b", jac).filter(F.col("jaccard") >= jaccard_threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidate_pairs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Exact n-gram Jaccard for an arbitrary candidate-pair table
+    (columns id_a, id_b). Join-fetch both shingle sets, compute in arrays.
+    """
+    sh = df.select(F.col(id_col).alias("_id"), word_shingles(F.col(text_col), shingle_n).alias("_sh"))
+    a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    return (
+        candidate_pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))).alias("jaccard"),
+        )
+    )
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document via a vectorized pandas UDF.
+
+    The per-batch computation is numpy: token → stable 64-bit hash
+    (python's hashlib md5, same per-token hash everywhere), bits vote
+    ±1 weighted by term frequency, fingerprint = sign vector. Near-dups
+    are docs whose fingerprints differ in ≤ k bits (Hamming); group by
+    fingerprint prefix bands to find candidates without a cross join.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def simhash(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        shifts = np.arange(64, dtype=np.uint64)
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if not t:
+                continue
+            hs = np.fromiter(
+                (int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big") for tok in t.split(" ")),
+                dtype=np.uint64,
+            )
+            bits = (hs[:, None] >> shifts) & np.uint64(1)  # (n_tokens, 64)
+            votes = np.where(bits == 1, 1, -1).sum(axis=0)
+            fp = int(((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
+            out[i] = fp - (1 << 64) if fp >= (1 << 63) else fp
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs from 16-bit fingerprint bands (4 bands → any pair
+    within Hamming ≤ 3 shares at least one exact band), verified by exact
+    Hamming distance via bit_count(xor)."""
+    fp = simhash_fingerprints(df, id_col, text_col)
+    bands = fp.select(
+        "id",
+        "simhash",
+        *[F.shiftright(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF)).alias(f"b{b}") for b in range(4)],
+    )
+    pairs = None
+    for b in range(4):
+        left = bands.select(F.col(f"b{b}").alias("_band"), F.col("id").alias("id_a"), F.col("simhash").alias("fp_a"))
+        right = bands.select(F.col(f"b{b}").alias("_band"), F.col("id").alias("id_b"), F.col("simhash").alias("fp_b"))
+        p = left.join(right, "_band").filter(F.col("id_a") < F.col("id_b"))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming")
+    return pairs.select("id_a", "id_b", ham).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,135 @@
+"""Text analysis operators for training-data pipelines.
+
+All pure ``pyspark.sql.functions`` column expressions (JVM-side,
+whole-stage codegen) and — deliberately — expressible in portable ANSI-ish
+SQL so every one of them is DuckDB-oracle-checkable. No regex dialects are
+relied on beyond simple character classes.
+
+- token counting: whitespace tokens + a BPE-ish sub-word piece estimate
+- quality scoring: length / punctuation ratio / stopword ratio / mean
+  token length, combined into a [0,1] score
+- language ID: stopword-marker scoring over a tiny per-language lexicon
+  (n-gram-heuristic class of detector)
+- fingerprinting: normalized md5 + a positional rolling hash
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny marker lexicons; ASCII-only so they behave identically everywhere
+LANG_MARKERS = {
+    "en": ("the", "and", "of", "is"),
+    "es": ("el", "la", "que", "los"),
+    "de": ("der", "die", "und", "ist"),
+    "fr": ("le", "la", "les", "est"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "is", "to", "in", "that", "it", "on")
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def subword_piece_estimate(text: Column, chars_per_piece: float = 3.5) -> Column:
+    """BPE-ish token estimate: pieces ≈ ceil(len/3.5) — the standard
+    heuristic when no tokenizer is loadable; deterministic and portable."""
+    return F.ceil(F.length(text) / chars_per_piece).cast("long")
+
+
+def stopword_ratio(text: Column) -> Column:
+    toks = tokens(text)
+    hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Share of non-alphanumeric, non-space characters."""
+    stripped = F.regexp_replace(text, "[a-zA-Z0-9 ]", "")
+    return F.length(stripped) / F.greatest(F.length(text), F.lit(1))
+
+
+def mean_token_len(text: Column) -> Column:
+    toks = tokens(text)
+    return (F.length(text) - (F.size(toks) - 1)) / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """[0,1] heuristic quality: long enough, low punctuation noise, sane
+    stopword density, sane mean token length. Weights are arbitrary but
+    fixed; the value is a *ranking* signal, not a probability."""
+    length_ok = F.least(F.length(text) / F.lit(200.0), F.lit(1.0))
+    punct_ok = F.lit(1.0) - F.least(punct_ratio(text) * 5.0, F.lit(1.0))
+    sw = stopword_ratio(text)
+    sw_ok = F.lit(1.0) - F.least(F.abs(sw - 0.08) * 4.0, F.lit(1.0))
+    mtl = mean_token_len(text)
+    mtl_ok = F.lit(1.0) - F.least(F.abs(mtl - 5.0) / 5.0, F.lit(1.0))
+    return (0.3 * length_ok + 0.3 * punct_ok + 0.2 * sw_ok + 0.2 * mtl_ok).alias("quality")
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    """Marker-hit count per language over the token set."""
+    toks = tokens(F.lower(text))
+    return {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+
+
+def predict_lang(text: Column) -> Column:
+    """argmax over marker scores; 'und' (undetermined) when all zero.
+    Deterministic tie-break: language name order."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        expr = F.when((scores[lang] == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column) -> Column:
+    """Normalized content fingerprint: md5 of lowercased,
+    whitespace-collapsed text."""
+    return F.md5(F.regexp_replace(F.lower(F.trim(text)), " +", " "))
+
+
+def rolling_hash(text: Column, mod: int = (1 << 61) - 1) -> Column:
+    """Positional rolling hash: sum_i (i+1) * h(token_i) mod 2^61-1,
+    with h = 52-bit md5 prefix (13 hex chars — small enough that
+    (i+1)*h never overflows int64 for texts up to ~2000 tokens).
+    Order-sensitive (anagram texts differ), incremental-friendly, and
+    portable SQL."""
+    toks = tokens(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - 1)
+    terms = F.transform(
+        idx,
+        lambda i: F.pmod(
+            (i + 1)
+            * F.conv(F.substring(F.md5(F.element_at(toks, i + 1)), 1, 13), 16, 10).cast("long"),
+            F.lit(mod),
+        ),
+    )
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, t: F.pmod(acc + t, F.lit(mod)))
+
+
+def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document profile with every signal above."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        subword_piece_estimate(t).alias("n_pieces"),
+        F.length(t).alias("n_chars"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(quality_score(t), 6).alias("quality"),
+        predict_lang(t).alias("pred_lang"),
+        fingerprint(t).alias("fingerprint"),
+    )
