@@ -32,6 +32,16 @@ def _load(spark: SparkSession, sf_dir: str, *names: str) -> None:
         spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition up to core count when the source is a single small file
+    (compute-heavy per-row ops would otherwise run on one task). At real
+    scale the scan has natural parallelism and this is a no-op."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: interleave sf0.001 documents → corrupt → validate."""
     from ovalspark.datagen import GenSpec, catalog_from_flat, generate_documents, inject_faults
@@ -196,7 +206,7 @@ _SHARED_SQL: dict[str, str] = {
 def _q20_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ovalspark.operators.text import subword_piece_estimate, token_count
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     t = F.col("text")
     return (
         docs.select("source", token_count(t).alias("nt"), subword_piece_estimate(t).alias("np"))
@@ -223,7 +233,7 @@ _Q20_ORACLE = """
 def _q21_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ovalspark.operators.text import quality_score
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     q_int = F.floor(quality_score(F.col("text")) * 1000000).cast("long")
     return (
         docs.select("lang", q_int.alias("qi"))
@@ -251,7 +261,7 @@ _Q21_ORACLE = """
 def _q22_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ovalspark.operators.text import predict_lang
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return (
         docs.select("lang", predict_lang(F.col("text")).alias("pred_lang"))
         .groupBy("lang", "pred_lang")
@@ -285,7 +295,7 @@ _Q22_ORACLE = """
 def _q23_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ovalspark.operators.text import fingerprint
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
 
 
@@ -298,7 +308,7 @@ _Q23_ORACLE = """
 def _q24_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ovalspark.operators.dedup import exact_duplicates
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return exact_duplicates(docs, "doc_id", "text").orderBy("fingerprint")
 
 
@@ -311,30 +321,40 @@ _Q24_ORACLE = """
 def _q25_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ovalspark.operators.dedup import minhash_signature, word_shingles
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     sh = docs.select("doc_id", word_shingles(F.col("text")).alias("sh")).filter(F.size("sh") > 0)
     return sh.select("doc_id", *minhash_signature(F.col("sh"), 4)).orderBy("doc_id")
 
 
-_Q25_ORACLE = """
+def _q25_oracle() -> str:
+    from ovalspark.operators.dedup import _MH_P, _mh_coeffs
+
+    mins = ",\n      ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {_MH_P})) AS mh{k}"
+        for k, (a, b) in ((k, _mh_coeffs(k)) for k in range(4))
+    )
+    return f"""
     WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
     s AS (SELECT doc_id,
             list_distinct(list_transform(generate_series(1, len(words) - 1),
                                          i -> words[i] || ' ' || words[i + 1])) AS sh
-          FROM w)
+          FROM w),
+    hb AS (SELECT doc_id,
+             list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % {_MH_P}) AS hs
+           FROM s WHERE len(sh) > 0)
     SELECT doc_id,
-      list_min(list_transform(sh, x -> ('0x' || substr(md5('0:' || x), 1, 15))::BIGINT)) AS mh0,
-      list_min(list_transform(sh, x -> ('0x' || substr(md5('1:' || x), 1, 15))::BIGINT)) AS mh1,
-      list_min(list_transform(sh, x -> ('0x' || substr(md5('2:' || x), 1, 15))::BIGINT)) AS mh2,
-      list_min(list_transform(sh, x -> ('0x' || substr(md5('3:' || x), 1, 15))::BIGINT)) AS mh3
-    FROM s WHERE len(sh) > 0 ORDER BY doc_id
+      {mins}
+    FROM hb ORDER BY doc_id
 """
+
+
+_Q25_ORACLE = _q25_oracle()
 
 
 def _q26_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ovalspark.operators.text import rolling_hash
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return docs.select("doc_id", rolling_hash(F.col("text")).alias("rh")).orderBy("doc_id")
 
 
@@ -414,14 +434,14 @@ def _q40_span_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q41_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ovalspark.operators.dedup import simhash_near_duplicates
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=8).orderBy("id_a", "id_b")
 
 
 def _q42_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ovalspark.operators.dedup import minhash_duplicates
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return minhash_duplicates(docs, "doc_id", "text", jaccard_threshold=0.5).orderBy("id_a", "id_b")
 
 

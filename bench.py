@@ -1,0 +1,104 @@
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints exactly ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "docs_per_sec": ...}
+
+Each query is materialized with the noop sink (full computation, no
+collect/IO skew). The flagship validation job additionally reports
+docs/sec — the BASELINE.json headline metric.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+HEADLINE = [
+    # engine-core analytics (joins, aggs, windows)
+    "q01_pricing_summary",
+    "q02_top_revenue_orders",
+    "q03_nation_revenue",
+    "q05_top3_orders_per_customer",
+    "q06_events_daily",
+    "q13_brand_volume",
+    # validation-family
+    "q07_count_reconciliation",
+    "q12_column_stats_lineitem",
+    # training-data ops
+    "q20_token_stats",
+    "q21_quality_by_lang",
+    "q23_fingerprints",
+    "q25_minhash_signatures",
+    "q26_rolling_hash",
+    "q27_knn_int_dot",
+    "q41_simhash_near_dups",
+    "q42_minhash_near_dups",
+    # flagship
+    "q40_span_validation",
+]
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+    from ovalspark.session import get_spark
+
+    spark = get_spark(
+        app_name="ovalspark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    qs = entrymod.queries()
+
+    # warm the JVM/codegen once on a trivial action so q01 isn't charged
+    # for session startup
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    # two passes, keep the min — damps JIT/GC run-to-run variance in the
+    # shared local JVM (the driver compares rounds on these numbers)
+    timings: dict[str, float] = {}
+    n_docs_validated = 0
+    for _pass in range(2):
+        for name in HEADLINE:
+            df = qs[name](spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            dt = round(time.perf_counter() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
+        spark.catalog.clearCache()
+
+    # docs/sec for the flagship validator: docs validated / wall time
+    import pyspark.sql.functions as F
+
+    n_docs_validated = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    total = round(sum(timings.values()), 3)
+    docs_per_sec = round(n_docs_validated / timings["q40_span_validation"], 1) if timings.get("q40_span_validation") else None
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline query suite wall time (sf parquet, noop sink)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "validation_docs_per_sec": docs_per_sec,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -55,13 +55,34 @@ def word_shingles(text_col: Column, n: int = 2) -> Column:
     return F.array_distinct(grams)
 
 
+_MH_P = (1 << 31) - 1  # Mersenne prime for the universal hash family
+
+
+def _mh_coeffs(k: int) -> tuple[int, int]:
+    """Fixed (a_k, b_k) for the k-th universal hash h_k(x) = (a*x+b) mod p.
+    One md5 per shingle feeds ALL n_hashes components — 12× less hashing
+    than one md5 per (shingle, k)."""
+    a = (k * 2654435761 + 1) % _MH_P or 1
+    b = (k * 40503 + 17) % _MH_P
+    return a, b
+
+
 def minhash_signature(shingles: Column, n_hashes: int = 12) -> list[Column]:
-    """n_hashes minhash components, each an array_min over a transformed
-    shingle array — pure column expressions, evaluated columnar."""
-    return [
-        F.array_min(F.transform(shingles, lambda s: _h64(s, k))).alias(f"mh{k}")
-        for k in range(n_hashes)
-    ]
+    """n_hashes minhash components from a single md5 per shingle via a
+    universal hash family — pure column expressions, evaluated columnar.
+    Base hash = 60-bit md5 prefix mod p (portable: identical in DuckDB as
+    ('0x' || substr(md5(x),1,15))::BIGINT % 2147483647)."""
+    base = F.transform(
+        shingles,
+        lambda s: F.pmod(F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"), F.lit(_MH_P)),
+    )
+    out = []
+    for k in range(n_hashes):
+        a, b = _mh_coeffs(k)
+        out.append(
+            F.array_min(F.transform(base, lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(_MH_P)))).alias(f"mh{k}")
+        )
+    return out
 
 
 def minhash_duplicates(
@@ -90,16 +111,23 @@ def minhash_duplicates(
         )
         for b in range(bands)
     ]
-    banded = sig.select("_id", "_sh", *band_cols)
-
-    pairs = None
-    for b in range(bands):
-        left = banded.select(F.col(f"band{b}").alias("_band"), F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
-        right = banded.select(F.col(f"band{b}").alias("_band"), F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
-        p = left.join(right, "_band").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "sh_a", "sh_b")
-        pairs = p if pairs is None else pairs.unionByName(p)
-
-    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    # long-form bands + ONE self-join (not one join per band — that would
+    # recompute the shingle/minhash pipeline 2×bands times). The band join
+    # and pair dedup shuffle ONLY (band, id) — the heavy shingle arrays
+    # are joined back afterwards, so no wide rows cross the big shuffles.
+    banded = sig.select("_id", F.explode(F.array(*band_cols)).alias("_band"))
+    left = banded.select("_band", F.col("_id").alias("id_a"))
+    right = banded.select("_band", F.col("_id").alias("id_b"))
+    pairs = (
+        left.join(right, "_band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = sig.select("_id", "_sh")
+    pairs = pairs.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a").join(
+        sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b"
+    )
     jac = (
         F.size(F.array_intersect("sh_a", "sh_b"))
         / F.size(F.array_union("sh_a", "sh_b"))
@@ -149,16 +177,26 @@ def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = 
         import numpy as np
 
         shifts = np.arange(64, dtype=np.uint64)
+        # memoize token -> pre-expanded ±1 bit row; vocabularies are
+        # Zipf-distributed so the hit rate makes md5 cost ~vocab-sized,
+        # not corpus-sized
+        bitrows: dict[str, "np.ndarray"] = {}
+
+        def row(tok: str):
+            r = bitrows.get(tok)
+            if r is None:
+                h = np.uint64(int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big"))
+                r = np.where(((h >> shifts) & np.uint64(1)) == 1, 1, -1).astype(np.int32)
+                bitrows[tok] = r
+            return r
+
         out = np.zeros(len(texts), dtype=np.int64)
         for i, t in enumerate(texts):
             if not t:
                 continue
-            hs = np.fromiter(
-                (int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big") for tok in t.split(" ")),
-                dtype=np.uint64,
-            )
-            bits = (hs[:, None] >> shifts) & np.uint64(1)  # (n_tokens, 64)
-            votes = np.where(bits == 1, 1, -1).sum(axis=0)
+            votes = np.zeros(64, dtype=np.int64)
+            for tok in t.split(" "):
+                votes += row(tok)
             fp = int(((votes > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64))
             out[i] = fp - (1 << 64) if fp >= (1 << 63) else fp
         return pd.Series(out)
@@ -171,17 +209,22 @@ def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str
     within Hamming ≤ 3 shares at least one exact band), verified by exact
     Hamming distance via bit_count(xor)."""
     fp = simhash_fingerprints(df, id_col, text_col)
+    # band value carries the band index so bands only collide with the
+    # SAME band of other docs; one exploded self-join (not 4)
     bands = fp.select(
         "id",
         "simhash",
-        *[F.shiftright(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF)).alias(f"b{b}") for b in range(4)],
+        F.explode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 16 * b).bitwiseAND(F.lit(0xFFFF)) + F.lit(b * 65536)
+                    for b in range(4)
+                ]
+            )
+        ).alias("_band"),
     )
-    pairs = None
-    for b in range(4):
-        left = bands.select(F.col(f"b{b}").alias("_band"), F.col("id").alias("id_a"), F.col("simhash").alias("fp_a"))
-        right = bands.select(F.col(f"b{b}").alias("_band"), F.col("id").alias("id_b"), F.col("simhash").alias("fp_b"))
-        p = left.join(right, "_band").filter(F.col("id_a") < F.col("id_b"))
-        pairs = p if pairs is None else pairs.unionByName(p)
-    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    left = bands.select("_band", F.col("id").alias("id_a"), F.col("simhash").alias("fp_a"))
+    right = bands.select("_band", F.col("id").alias("id_b"), F.col("simhash").alias("fp_b"))
+    pairs = left.join(right, "_band").filter(F.col("id_a") < F.col("id_b")).dropDuplicates(["id_a", "id_b"])
     ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming")
     return pairs.select("id_a", "id_b", ham).filter(F.col("hamming") <= max_hamming)
