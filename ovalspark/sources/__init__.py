@@ -1,1 +1,9 @@
-from ovalspark.sources.tables import TableSet, read_table, write_table  # noqa: F401
+from ovalspark.sources.tables import (  # noqa: F401
+    CATALOG_DDL,
+    DOCS_DDL,
+    TableSet,
+    read_table,
+    register_bucketed,
+    write_bucketed,
+    write_table,
+)

@@ -74,3 +74,37 @@ class TableSet:
         write_table(self.catalog, f"{root}/catalog")
         if self.assets is not None:
             write_table(self.assets, f"{root}/assets", partition_by=())
+
+
+def write_bucketed(df: DataFrame, name: str, warehouse: str, n_buckets: int = 64, key: str = "doc_id") -> None:
+    """Write a table bucketed+sorted by key. Joins/groupBys on the key
+    then run WITHOUT any shuffle (plan shows no Exchange) — the engine's
+    co-location strategy for docs⋈catalog at scale (oval's disjoint
+    per-worker key ranges, runner.go:117-124; Iceberg SPJ equivalent)."""
+    (
+        df.write.bucketBy(n_buckets, key)
+        .sortBy(key)
+        .format("parquet")
+        .mode("overwrite")
+        .option("path", f"{warehouse}/{name}")
+        .saveAsTable(name)
+    )
+
+
+def register_bucketed(spark: SparkSession, name: str, location: str, schema_ddl: str, n_buckets: int = 64, key: str = "doc_id") -> DataFrame:
+    """Re-attach an existing bucketed table in a fresh session (the
+    default in-memory catalog forgets bucketing metadata between runs)."""
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"""CREATE TABLE {name} ({schema_ddl})
+        USING parquet CLUSTERED BY ({key}) SORTED BY ({key}) INTO {n_buckets} BUCKETS
+        LOCATION '{location}'"""
+    )
+    return spark.table(name)
+
+
+DOCS_DDL = (
+    "doc_id STRING, spans ARRAY<STRUCT<kind:STRING,text:STRING,media_ref:STRING,offset:INT>>, "
+    "generation INT, writer_id INT, written_at TIMESTAMP, partition_id INT"
+)
+CATALOG_DDL = "doc_id STRING, exists BOOLEAN, generation INT, n_spans INT, writer_id INT, partition_id INT"

@@ -1,78 +1,118 @@
-"""Scaling-efficiency evidence: run the SAME validation job on the SAME
-materialized input at two parallelism levels (the sandbox stand-in for
-N vs 4N executors — BASELINE.json north_rule).
+"""Scaling-efficiency evidence: the SAME validation job on the SAME
+materialized input at multiple parallelism levels (the sandbox stand-in
+for N vs 4N executors — BASELINE.json north_rule).
 
-  python tools/bench_validation.py prepare   # materialize bench world once
-  python tools/bench_validation.py run 8     # time full plan at local[8]
-  python tools/bench_validation.py run 32    # time full plan at local[32]
+  python tools/bench_validation.py prepare     # materialize bench world once
+  python tools/bench_validation.py run 8       # time full plan at local[8]
+  python tools/bench_validation.py control 8   # pure-JVM compute control
 
-``run`` prints one JSON line {"cpus": N, "seconds": S, "docs": D,
-"docs_per_sec": R}. Each run is a fresh JVM (invoke as separate
-processes) so the two measurements don't share executor state.
+Storage layout is the scale design: docs and catalog are BUCKETED and
+sorted by doc_id (64 buckets), so the docs⋈catalog join and the doc_id
+aggregations run with ZERO shuffle (the executed plan contains no
+Exchange) — the Iceberg storage-partitioned-join equivalent, mirroring
+oval's disjoint per-worker key ranges (/root/reference/internal/runner/
+runner.go:117-124). Shuffle scratch (for the partition_id count agg)
+goes to tmpfs: this VM's virtio disk throttles concurrent writers so
+badly that 32-thread runs convoy on shuffle-file writes.
+
+``control`` measures the VM's OWN scaling ceiling with an embarrassingly
+parallel zero-IO JVM job (sum of 3B xxhash64) — engine efficiency should
+be judged against that ceiling, since no Spark plan can scale better than
+the hardware it runs on.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
-WORLD = "/tmp/ovalspark_bench_world"
+WAREHOUSE = "/tmp/ovalspark_wh"
+SHUFFLE_DIR = "/dev/shm/spark-local"
+N_BUCKETS = 64
 
-# sized to run ~tens of seconds at local[8]: 32 shards x 24k docs ≈ 768k
-# docs, ~4.3M spans (truncated-exp mean ≈ 5.6 of max 16)
-SPEC_KW = dict(n_runners=4, n_writers=8, docs_per_writer=24000, max_spans=16, hot_shard_factor=2)
+# 64 shards x 40k docs ≈ 2.6M keyspace slots → ~2.1M existing docs,
+# ~12M spans; full plan runs tens of seconds at local[8]
+SPEC_KW = dict(n_runners=8, n_writers=8, docs_per_writer=40000, max_spans=16, hot_shard_factor=2)
 FAULTS = {"WRONG_KIND": 0.01, "STALE_GENERATION": 0.01, "SIZE_MISMATCH": 0.01, "LOST_DOC": 0.01, "DUP_DOC_ID": 0.01}
 
 
-def prepare() -> None:
-    from ovalspark.datagen import GenSpec, generate_assets, generate_catalog, generate_documents, inject_faults
+def _session(cpus: int):
     from ovalspark.session import get_spark
-    from ovalspark.sources import TableSet
 
-    shutil.rmtree(WORLD, ignore_errors=True)
-    spark = get_spark(master="local[32]", shuffle_partitions=32,
-                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    os.makedirs(SHUFFLE_DIR, exist_ok=True)
+    os.environ.setdefault("OVALSPARK_DRIVER_MEM", "48g")
+    return get_spark(
+        app_name=f"ovalspark-scale-{cpus}",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 32),
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.sql.warehouse.dir": WAREHOUSE,
+            "spark.local.dir": SHUFFLE_DIR,
+            "spark.sql.files.maxPartitionBytes": str(8 * 1024 * 1024),
+            "spark.sql.files.openCostInBytes": str(512 * 1024),
+        },
+    )
+
+
+def prepare() -> None:
+    from ovalspark.datagen import GenSpec, generate_catalog, generate_documents, inject_faults
+    from ovalspark.sources import write_bucketed
+
+    shutil.rmtree(WAREHOUSE, ignore_errors=True)
+    spark = _session(32)
     spec = GenSpec(**SPEC_KW)
     cat = generate_catalog(spark, spec)
     docs = generate_documents(cat, spec)
     bad, _ = inject_faults(docs, cat, spec, FAULTS, phantom_fraction=0.02)
-    TableSet(docs=bad, catalog=cat, assets=generate_assets(spark, spec)).save(WORLD)
-    print(json.dumps({"prepared": WORLD, "docs": spark.read.parquet(f"{WORLD}/documents").count()}))
+    write_bucketed(bad, "bench_docs", WAREHOUSE, N_BUCKETS)
+    write_bucketed(cat, "bench_catalog", WAREHOUSE, N_BUCKETS)
+    print(json.dumps({"prepared": WAREHOUSE, "docs": spark.table("bench_docs").count()}))
 
 
 def run(cpus: int) -> None:
     from ovalspark.operators import check_existence, check_partition_counts, check_uniqueness, validate_spans
-    from ovalspark.session import get_spark
+    from ovalspark.sources import CATALOG_DDL, DOCS_DDL, register_bucketed
 
-    spark = get_spark(
-        app_name=f"ovalspark-scale-{cpus}",
-        master=f"local[{cpus}]",
-        shuffle_partitions=max(cpus, 32),
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
-    )
-    docs = spark.read.parquet(f"{WORLD}/documents")
-    cat = spark.read.parquet(f"{WORLD}/catalog")
+    spark = _session(cpus)
+    docs = register_bucketed(spark, "bench_docs", f"{WAREHOUSE}/bench_docs", DOCS_DDL, N_BUCKETS)
+    cat = register_bucketed(spark, "bench_catalog", f"{WAREHOUSE}/bench_catalog", CATALOG_DDL, N_BUCKETS)
     n_docs = docs.count()
     spark.range(1000).selectExpr("sum(id)").collect()  # JVM warm
 
     t0 = time.perf_counter()
     v = (
-        validate_spans(docs, cat, broadcast_catalog=True)
+        validate_spans(docs, cat)
         .unionByName(check_existence(docs, cat))
         .unionByName(check_partition_counts(docs, cat))
-        .unionByName(check_uniqueness(docs))
+        .unionByName(check_uniqueness(docs, salted=False))  # bucketed layout → co-located keys
     )
     v.write.format("noop").mode("overwrite").save()
     dt = time.perf_counter() - t0
     print(json.dumps({"cpus": cpus, "seconds": round(dt, 2), "docs": n_docs, "docs_per_sec": round(n_docs / dt, 1)}))
 
 
+def control(cpus: int) -> None:
+    """Hardware ceiling: zero-IO, embarrassingly parallel JVM compute."""
+    import pyspark.sql.functions as F
+
+    spark = _session(cpus)
+    spark.range(1000).selectExpr("sum(id)").collect()
+    t0 = time.perf_counter()
+    spark.range(0, 3_000_000_000, 1, cpus * 4).select(F.sum(F.pmod(F.xxhash64("id"), F.lit(1000)))).collect()
+    print(json.dumps({"cpus": cpus, "control_seconds": round(time.perf_counter() - t0, 2)}))
+
+
 if __name__ == "__main__":
-    if sys.argv[1] == "prepare":
+    cmd = sys.argv[1]
+    if cmd == "prepare":
         prepare()
+    elif cmd == "control":
+        control(int(sys.argv[2]))
     else:
         run(int(sys.argv[2]))
