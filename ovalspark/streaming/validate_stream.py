@@ -1,0 +1,97 @@
+"""Structured Streaming wrappers — continuous validation of appended data.
+
+The reference has NO stream processing: oval's "continuous" checking is a
+bounded wall-clock loop of randomized ops (/root/reference/internal/
+runner/runner.go:190). These wrappers are the engine's extension of that
+idea to an actually-streaming table: newly appended document files are
+validated micro-batch by micro-batch.
+
+- ``validate_stream``: readStream over the documents location →
+  ``foreachBatch`` running the SAME batch validators (span-sequence +
+  existence-phantom side) → violations appended to a sink. Exactly-once
+  per micro-batch comes from the streaming checkpoint; the validators are
+  deterministic, so replays rewrite identical violations.
+- ``monotonic_generation_stream``: a custom STATEFUL operator via
+  ``applyInPandasWithState``: per doc_id, the generation embedded in
+  arriving rows must never decrease across micro-batches — the streaming
+  form of oval's WriteCount-must-advance invariant
+  (/root/reference/internal/runner/worker.go:84, pattern.go:152-157).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+DOCS_SCHEMA = (
+    "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+    "generation int, writer_id int, written_at timestamp, partition_id int"
+)
+
+
+def validate_stream(
+    spark: SparkSession,
+    docs_path: str,
+    catalog: DataFrame,
+    out_path: str,
+    checkpoint_dir: str,
+    n_assets: int | None = None,
+    trigger_once: bool = True,
+):
+    """Start a streaming query that validates every appended docs file.
+
+    Returns the StreamingQuery; caller drives it (processAllAvailable for
+    tests, awaitTermination in production). Violations are appended as
+    parquet at ``out_path``.
+    """
+    from ovalspark.functions import spans as sp
+    from ovalspark.operators import validate_spans
+
+    na = n_assets if n_assets is not None else sp.DEFAULT_N_ASSETS
+    stream = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", "64")
+        .parquet(docs_path)
+    )
+
+    def run_batch(batch: DataFrame, epoch_id: int) -> None:
+        v = validate_spans(batch, catalog, na)
+        v.withColumn("epoch_id", F.lit(epoch_id)).write.mode("append").parquet(out_path)
+
+    writer = stream.writeStream.foreachBatch(run_batch).option("checkpointLocation", checkpoint_dir)
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+MONO_OUT_SCHEMA = "doc_id string, prev_generation int, generation int, violation_class string"
+MONO_STATE_SCHEMA = "max_generation int"
+
+
+def monotonic_generation_stream(docs_stream: DataFrame):
+    """Stateful stream transform: emit a STALE_GENERATION row whenever a
+    doc arrives with a generation lower than the max previously seen for
+    that doc_id (state = one int per key, no timeout)."""
+
+    def step(key: tuple, pdfs, state: GroupState):
+        max_seen = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdfs:
+            for g in pdf["generation"]:
+                g = int(g)
+                if max_seen is not None and g < max_seen:
+                    out.append((key[0], max_seen, g, "STALE_GENERATION"))
+                max_seen = g if max_seen is None else max(max_seen, g)
+        state.update((int(max_seen),))
+        if out:
+            yield pd.DataFrame(out, columns=["doc_id", "prev_generation", "generation", "violation_class"])
+
+    return (
+        docs_stream.select("doc_id", "generation")
+        .groupBy("doc_id")
+        .applyInPandasWithState(step, MONO_OUT_SCHEMA, MONO_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout)
+    )

@@ -1,0 +1,117 @@
+"""Training-data pipeline operators: dedup, text analysis, similarity —
+semantic tests on small controlled inputs (the DuckDB-oracle gate covers
+cross-engine value equality; these cover behavior)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ovalspark.operators.dedup import (
+    exact_duplicates,
+    minhash_duplicates,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_near_duplicates,
+    word_shingles,
+)
+from ovalspark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+    int_dot_topk,
+    near_duplicates_cosine,
+)
+from ovalspark.operators.text import predict_lang, quality_score, rolling_hash, text_profile
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        ("d1", base),
+        ("d2", base),  # exact dup of d1
+        ("d3", base.replace("lazy", "sleepy")),  # near dup (1 word)
+        ("d4", "completely different text about spark query engines and shuffles here"),
+        ("d5", "der hund und die katze ist der beste freund und das ist gut"),
+        ("d6", "el gato que vive en la casa de los vecinos es muy bonito"),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string").cache()
+
+
+def test_exact_duplicates(corpus):
+    dups = exact_duplicates(corpus).collect()
+    assert len(dups) == 1 and dups[0].cnt == 2 and dups[0].min_id == "d1"
+
+
+def test_minhash_finds_near_dups(corpus):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in minhash_duplicates(corpus, jaccard_threshold=0.5).collect()}
+    assert ("d1", "d2") in pairs and pairs[("d1", "d2")] == 1.0
+    assert ("d1", "d3") in pairs and 0.5 < pairs[("d1", "d3")] < 1.0
+    assert not any("d4" in p for p in pairs)
+
+
+def test_ngram_jaccard_on_candidates(spark, corpus):
+    cand = spark.createDataFrame([("d1", "d3"), ("d1", "d4")], "id_a string, id_b string")
+    j = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard_pairs(corpus, cand).collect()}
+    assert j[("d1", "d3")] > 0.5 and j[("d1", "d4")] < 0.1
+
+
+def test_simhash_near_dups(corpus):
+    fps = {r.id: r.simhash for r in simhash_fingerprints(corpus).collect()}
+    assert fps["d1"] == fps["d2"]
+    pairs = {(r.id_a, r.id_b): r.hamming for r in simhash_near_duplicates(corpus, max_hamming=10).collect()}
+    assert pairs[("d1", "d2")] == 0
+    assert ("d1", "d3") in pairs  # near dup within a few bits
+
+
+def test_word_shingles_edgecases(spark):
+    df = spark.createDataFrame([("one",), ("a b",), ("",)], "text string")
+    got = df.select(word_shingles(F.col("text")).alias("sh")).collect()
+    assert [len(r.sh) for r in got] == [0, 1, 0]
+
+
+def test_cosine_and_int_dot_agree(spark):
+    vecs = [(i, [float(i == j) * 2 + 0.1 * j for j in range(4)]) for i in range(20)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    q = vecs[3][1]
+    exact = [r.vec_id for r in cosine_topk(df, q, k=1).collect()]
+    assert exact == [3]
+    dot = [r.vec_id for r in int_dot_topk(df, q, k=3).collect()]
+    assert dot[0] == 3  # self has max dot with itself here
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, small_world):
+    """ANN top-10 must overlap heavily with exact top-10 on random-ish
+    vectors derived from the generated world."""
+    spec, _, docs, _ = small_world
+    emb = docs.limit(200).select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(0), F.lit(15)), lambda i: (F.pmod(F.xxhash64("doc_id", i), F.lit(1000)) / 500.0 - 1.0).cast("float")).alias("embedding"),
+    ).cache()
+    q = emb.first().embedding
+    exact = [r.vec_id for r in cosine_topk(emb, list(q), k=10, id_col="vec_id").collect()]
+    approx = [r.vec_id for r in ann_lsh_topk(emb, list(q), k=10, id_col="vec_id", n_bits=8, max_hamming=3).collect()]
+    assert exact[0] == approx[0]  # the query vector itself
+    assert len(set(exact) & set(approx)) >= 5
+
+
+def test_near_duplicates_cosine(spark):
+    rows = [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.999, 0.001, 0.0, 0.0]), (3, [0.0, 1.0, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = near_duplicates_cosine(df, threshold=0.95, n_bits=8).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+
+
+def test_text_profile_and_lang(corpus):
+    prof = {r.doc_id: r for r in text_profile(corpus).collect()}
+    assert prof["d1"].n_tokens == 14
+    assert prof["d1"].fingerprint == prof["d2"].fingerprint
+    assert prof["d5"].pred_lang == "de" and prof["d6"].pred_lang == "es"
+    assert prof["d1"].pred_lang == "en"
+    assert all(0.0 <= r.quality <= 1.0 for r in prof.values())
+
+
+def test_rolling_hash_order_sensitive(spark):
+    df = spark.createDataFrame([("a b c",), ("c b a",), ("a b c",)], "text string")
+    h = [r.rh for r in df.select(rolling_hash(F.col("text")).alias("rh")).collect()]
+    assert h[0] == h[2] and h[0] != h[1]

@@ -1,0 +1,95 @@
+"""Physical-plan regression tests — the shapes that matter at 100 TB.
+
+These pin the executed plan, not just results: a revert to a shuffling
+join or an interpreted validator would pass every semantic test and still
+be 10-100× slower at scale (both happened during development — see
+BASELINE.md's diagnosis trail)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ovalspark.datagen import GenSpec, generate_catalog, generate_documents
+from ovalspark.operators import validate_spans
+from ovalspark.sources import CATALOG_DDL, DOCS_DDL, register_bucketed, write_bucketed
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """docs⋈catalog on co-bucketed tables must not shuffle (the Iceberg
+    SPJ equivalent; disjoint key ranges, oval runner.go:117-124)."""
+    spec = GenSpec(n_runners=1, n_writers=2, docs_per_writer=200, max_spans=6)
+    cat = generate_catalog(spark, spec)
+    docs = generate_documents(cat, spec)
+    wh = str(tmp_path / "wh")
+    write_bucketed(docs, "t_docs", wh, n_buckets=8)
+    write_bucketed(cat, "t_cat", wh, n_buckets=8)
+    bdocs = register_bucketed(spark, "t_docs", f"{wh}/t_docs", DOCS_DDL, 8)
+    bcat = register_bucketed(spark, "t_cat", f"{wh}/t_cat", CATALOG_DDL, 8)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(validate_spans(bdocs, bcat))
+        # no shuffle anywhere: the join consumes co-located buckets
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "ShuffleExchange" not in plan, plan
+        assert validate_spans(bdocs, bcat).count() == 0  # and it's still correct
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_validator_is_codegen_not_interpreted(spark, small_world):
+    """The span validator's scan→join→explode→filter pipeline must be in
+    WholeStageCodegen spans; array-HOF lambdas (interpreted eval) were a
+    measured ~10× regression."""
+    spec, cat, docs, _ = small_world
+    plan = _plan(validate_spans(docs, cat, spec.n_assets))
+    assert "Generate posexplode" in plan
+    # the old shape — per-span transform(sequence(...)) lambdas — ran in
+    # interpreted mode; its reappearance would be the regression
+    assert "transform(sequence(" not in plan
+    # the clean-span fast path is a Filter directly over the explode
+    assert "Filter" in plan
+
+
+def test_column_pruning_reaches_scan(spark, tmp_path):
+    """A 2-column projection over a wide table must read 2 columns."""
+    spec = GenSpec(n_runners=1, n_writers=2, docs_per_writer=50)
+    docs = generate_documents(generate_catalog(spark, spec), spec)
+    p = str(tmp_path / "docs.parquet")
+    docs.write.parquet(p)
+    plan = _plan(spark.read.parquet(p).select("doc_id", "generation"))
+    assert "ReadSchema: struct<doc_id:string,generation:int>" in plan, plan
+
+
+def test_filter_pushdown_reaches_scan(spark, tmp_path):
+    spec = GenSpec(n_runners=1, n_writers=2, docs_per_writer=50)
+    docs = generate_documents(generate_catalog(spark, spec), spec)
+    p = str(tmp_path / "docs.parquet")
+    docs.write.partitionBy("partition_id").parquet(p)
+    df = spark.read.parquet(p).filter(F.col("partition_id") == 1).filter(F.col("generation") > 2)
+    plan = _plan(df.select("doc_id"))
+    assert "PushedFilters: [IsNotNull(generation), GreaterThan(generation,2)]" in plan, plan
+    # partition pruning: only one partition dir scanned
+    assert "partition_id=1" not in plan or True  # pruning shown via PartitionFilters
+    assert "PartitionFilters: [isnotnull(partition_id" in plan, plan
+
+
+def test_broadcast_join_when_requested(spark, small_world):
+    spec, cat, docs, _ = small_world
+    plan = _plan(validate_spans(docs, cat, spec.n_assets, broadcast_catalog=True))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_salted_uniqueness_two_phase(spark, small_world):
+    """Salted path must contain the two-phase aggregate (partial on
+    (key, salt), final on key)."""
+    from ovalspark.operators.uniqueness import duplicate_doc_ids
+
+    _, _, docs, _ = small_world
+    plan = _plan(duplicate_doc_ids(docs, n_salts=8))
+    assert plan.count("HashAggregate") >= 4  # partial+final × 2 phases

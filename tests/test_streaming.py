@@ -1,0 +1,83 @@
+"""Streaming validation: appended corrupt files are caught micro-batch by
+micro-batch; the stateful generation-monotonicity operator flags
+regressions across batches."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from ovalspark.datagen import GenSpec, generate_catalog, generate_documents, inject_faults
+from ovalspark.streaming import monotonic_generation_stream, validate_stream
+
+
+@pytest.fixture()
+def world(spark):
+    spec = GenSpec(n_runners=1, n_writers=2, docs_per_writer=100, max_spans=6)
+    cat = generate_catalog(spark, spec).cache()
+    docs = generate_documents(cat, spec).cache()
+    return spec, cat, docs
+
+
+def test_stream_validates_appended_batches(spark, world, tmp_path):
+    spec, cat, docs = world
+    docs_dir, out_dir, ckpt = str(tmp_path / "docs"), str(tmp_path / "viol"), str(tmp_path / "ckpt")
+
+    # batch 1: clean
+    docs.write.mode("append").parquet(docs_dir)
+    q = validate_stream(spark, docs_dir, cat, out_dir, ckpt, spec.n_assets)
+    q.awaitTermination()
+    clean = spark.read.parquet(out_dir)
+    assert clean.filter(F.col("violation_class") != "__none__").count() == 0
+
+    # batch 2: corrupt half the docs, append as new files
+    bad, expected = inject_faults(docs, cat, spec, {"WRONG_KIND": 0.1, "STALE_GENERATION": 0.1})
+    bad.write.mode("append").parquet(docs_dir)
+    q2 = validate_stream(spark, docs_dir, cat, out_dir, ckpt, spec.n_assets)
+    q2.awaitTermination()
+    got = spark.read.parquet(out_dir)
+    n_expected = expected.filter(F.col("violation_class").isin("WRONG_KIND", "STALE_GENERATION")).count()
+    assert n_expected > 0
+    assert got.count() == n_expected  # only the NEW files were validated
+
+
+def test_stream_checkpoint_no_reprocess(spark, world, tmp_path):
+    """Restarting the stream with the same checkpoint revalidates nothing."""
+    spec, cat, docs = world
+    docs_dir, out_dir, ckpt = str(tmp_path / "docs"), str(tmp_path / "viol"), str(tmp_path / "ckpt")
+    bad, _ = inject_faults(docs, cat, spec, {"WRONG_KIND": 0.2})
+    bad.write.mode("append").parquet(docs_dir)
+    validate_stream(spark, docs_dir, cat, out_dir, ckpt, spec.n_assets).awaitTermination()
+    n1 = spark.read.parquet(out_dir).count()
+    validate_stream(spark, docs_dir, cat, out_dir, ckpt, spec.n_assets).awaitTermination()
+    assert spark.read.parquet(out_dir).count() == n1
+
+
+def test_monotonic_generation_state(spark, tmp_path):
+    src, out, ckpt = str(tmp_path / "gen_src"), str(tmp_path / "mono_out"), str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema("doc_id string, generation int").parquet(src)
+        q = (
+            monotonic_generation_stream(stream)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: doc a @ gen 3, doc b @ gen 1 — no regressions yet
+    spark.createDataFrame([("a", 3), ("b", 1)], "doc_id string, generation int").write.mode("append").parquet(src)
+    run_once()
+    assert spark.read.parquet(out).count() == 0
+
+    # batch 2 (stream restarted from checkpoint → state restored):
+    # doc a regresses to gen 2 (stale write), doc b advances
+    spark.createDataFrame([("a", 2), ("b", 5)], "doc_id string, generation int").write.mode("append").parquet(src)
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1
+    assert rows[0].doc_id == "a" and rows[0].prev_generation == 3 and rows[0].generation == 2
