@@ -42,11 +42,16 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
-def test_validator_is_codegen_not_interpreted(spark, small_world):
+def test_validator_is_codegen_not_interpreted(spark, small_world, tmp_path):
     """The span validator's scan→join→explode→filter pipeline must be in
     WholeStageCodegen spans; array-HOF lambdas (interpreted eval) were a
-    measured ~10× regression."""
-    spec, cat, docs, _ = small_world
+    measured ~10× regression. Materialize inputs first so the generator's
+    own transform(sequence(...)) doesn't appear in the inspected plan."""
+    spec, cat0, docs0, _ = small_world
+    docs0.write.parquet(str(tmp_path / "d"))
+    cat0.write.parquet(str(tmp_path / "c"))
+    docs = spark.read.parquet(str(tmp_path / "d"))
+    cat = spark.read.parquet(str(tmp_path / "c"))
     plan = _plan(validate_spans(docs, cat, spec.n_assets))
     assert "Generate posexplode" in plan
     # the old shape — per-span transform(sequence(...)) lambdas — ran in
