@@ -195,12 +195,77 @@ _SHARED_SQL: dict[str, str] = {
         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         GROUP BY p.p_brand ORDER BY p.p_brand
     """,
+    # sessionization: lag + gap>30min cumsum (window-function composition)
+    "q14_event_sessions": """
+        WITH gaps AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts > LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                                + INTERVAL '30' MINUTE
+                      THEN 1 ELSE 0 END AS new_session
+          FROM events),
+        sess AS (
+          SELECT user_id,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+          FROM gaps)
+        SELECT user_id, COUNT(DISTINCT session_id) AS n_sessions, COUNT(*) AS n_events
+        FROM sess GROUP BY user_id ORDER BY user_id
+    """,
+    # manual pivot (portable CASE form) over order status
+    "q15_status_pivot": """
+        SELECT o_orderpriority,
+               SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
+               SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_partial
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    # rollup: subtotals + grand total (grouping-set handling)
+    "q16_rollup_revenue": """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        FROM lineitem
+        GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        ORDER BY returnflag, linestatus
+    """,
 }
 
 # ---------------------------------------------------------------------------
 # Split implementations: Spark = DataFrame API (the engine's operators),
 # oracle = hand-written DuckDB SQL with identical semantics.
 # ---------------------------------------------------------------------------
+
+
+def _q17_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated quantiles of order totals per status (Spark
+    percentile == DuckDB quantile_cont)."""
+    _load(spark, sf_dir, "orders")
+    return spark.sql("""
+        SELECT o_orderstatus,
+               percentile(o_totalprice, 0.5) AS p50,
+               percentile(o_totalprice, 0.9) AS p90,
+               percentile(o_totalprice, 0.99) AS p99
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """)
+
+
+_Q17_ORACLE = """
+    SELECT o_orderstatus,
+           quantile_cont(o_totalprice, 0.5) AS p50,
+           quantile_cont(o_totalprice, 0.9) AS p90,
+           quantile_cont(o_totalprice, 0.99) AS p99
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def _q29_hll_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog column profile (north_star) — estimates are not
+    engine-reproducible, so this is a rows-only check; the exact-distinct
+    twin q12 is the value-checked one."""
+    from ovalspark.operators.stats import column_profile
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return column_profile(li, ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"])
 
 
 def _q20_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -482,7 +547,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     out.update(
         {
+            "q17_quantiles": _q17_quantiles,
             "q20_token_stats": _q20_token_stats,
+            "q29_hll_profile": _q29_hll_profile,
             "q21_quality_by_lang": _q21_quality_by_lang,
             "q22_lang_id_confusion": _q22_lang_id_confusion,
             "q23_fingerprints": _q23_fingerprints,
@@ -506,6 +573,7 @@ def oracle_sql() -> dict[str, str]:
     out = dict(_SHARED_SQL)
     out.update(
         {
+            "q17_quantiles": _Q17_ORACLE,
             "q20_token_stats": _Q20_ORACLE,
             "q21_quality_by_lang": _Q21_ORACLE,
             "q22_lang_id_confusion": _Q22_ORACLE,

@@ -1,0 +1,63 @@
+"""CLI lifecycle: generate → validate → resume refusal/acceptance — the
+engine's analog of oval's cmd-layer tests (argparser_test.go) plus the
+run/save/load scenario of its Makefile CI."""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import pytest
+
+from ovalspark.cli import main, parse_fault_mix, parse_span_range
+
+
+def test_span_range_parser():
+    assert parse_span_range("1-16") == (1, 16)
+    with pytest.raises(argparse.ArgumentTypeError):
+        parse_span_range("0-4")
+    with pytest.raises(argparse.ArgumentTypeError):
+        parse_span_range("9-3")
+    with pytest.raises(argparse.ArgumentTypeError):
+        parse_span_range("abc")
+
+
+def test_fault_mix_parser():
+    assert parse_fault_mix("WRONG_KIND=0.02,LOST_DOC=0.01") == {"WRONG_KIND": 0.02, "LOST_DOC": 0.01}
+    with pytest.raises(argparse.ArgumentTypeError):
+        parse_fault_mix("WRONG_KIND=x")
+
+
+def test_cli_generate_validate_resume(spark, tmp_path, capsys):
+    root, out = str(tmp_path / "world"), str(tmp_path / "run")
+    rc = main(
+        [
+            "generate", "--root", root, "--writers", "2", "--docs-per-writer", "120",
+            "--spans", "1-6", "--faults", "WRONG_KIND=0.05,LOST_DOC=0.05",
+        ]
+    )
+    assert rc == 0
+    gen_line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert gen_line["shards"] == 2
+
+    rc = main(["validate", "--root", root, "--out", out, "--broadcast-catalog"])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and report["passed"] is False
+    assert report["totals"]["span_sequence"]["violations"] > 0
+    assert report["totals"]["existence"]["violations"] > 0
+
+    # second run without --resume refuses; with --resume it is a no-op
+    assert main(["validate", "--root", root, "--out", out]) == 2
+    capsys.readouterr()
+    rc = main(["validate", "--root", root, "--out", out, "--resume"])
+    report2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and report2["totals"] == report["totals"]
+
+
+def test_cli_fail_fast(spark, tmp_path, capsys):
+    root, out = str(tmp_path / "w2"), str(tmp_path / "r2")
+    main(["generate", "--root", root, "--writers", "2", "--docs-per-writer", "80", "--faults", "STALE_GENERATION=0.2"])
+    capsys.readouterr()
+    rc = main(["validate", "--root", root, "--out", out, "--fail-fast"])
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and "aborted" in line
