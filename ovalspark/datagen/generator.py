@@ -61,6 +61,8 @@ class GenSpec:
             raise ValueError("n_writers must be in [1, 256) (oval root.go:170-173)")
         if self.docs_per_writer * max(1, self.hot_shard_factor) > (1 << 24):
             raise ValueError("docs_per_writer must fit in 24 bits (oval root.go:175-178)")
+        if self.n_runners < 1 or self.n_runners >= 256:
+            raise ValueError("n_runners must be in [1, 256) — ids must fit the 40-bit key space (spans.MAX_DOC_ID)")
 
     @property
     def n_shards(self) -> int:

@@ -56,9 +56,17 @@ _SEED_ASSET = 22695477
 DEFAULT_N_ASSETS = 1 << 16
 
 
+MAX_DOC_ID = (1 << 40) - 1  # 10 hex digits — the fixed-width key contract
+
+
 def doc_key(id_col: Column) -> Column:
     """int64 doc id -> 12-char key ``"ov" + %010x`` (oval key codec,
-    ``internal/object/object.go:48-50``)."""
+    ``internal/object/object.go:48-50``; MaxKeyLength=12 at :13-19).
+
+    Contract: ids must fit in 40 bits (``MAX_DOC_ID``) or the key grows
+    past 12 chars and breaks every fixed-width consumer — same implicit
+    bound as oval's key layout. ``GenSpec`` enforces it structurally
+    (runner<8 bits, writer<8 bits, seq<24 bits)."""
     return F.format_string("ov%010x", id_col)
 
 
