@@ -72,8 +72,11 @@ _SHARED_SQL: dict[str, str] = {
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(8,2))) * (1 + CAST(l_tax AS DECIMAL(8,2)))) AS DOUBLE) AS sum_charge,
+               CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0 AS sum_disc_price,
+               CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                   * (100 - CAST(floor(l_discount * 100 + 0.5) AS BIGINT))
+                   * (100 + CAST(floor(l_tax * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 1000000.0 AS sum_charge,
                COUNT(*) AS count_order
         FROM lineitem
         WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
@@ -83,7 +86,7 @@ _SHARED_SQL: dict[str, str] = {
     # TPC-H Q3 shape — 3-way join, top-N by aggregated revenue
     "q02_top_revenue_orders": """
         SELECT o.o_orderkey,
-               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+               CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue,
                CAST(CAST(o.o_orderdate AS DATE) AS STRING) AS orderdate
         FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
                         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -95,7 +98,7 @@ _SHARED_SQL: dict[str, str] = {
     # TPC-H Q5 shape — 5-way join through the region hierarchy
     "q03_nation_revenue": """
         SELECT n.n_name,
-               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l.l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+               CAST(SUM(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT) * (100 - CAST(floor(l.l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE) / 10000.0 AS revenue
         FROM customer c
           JOIN orders o ON c.c_custkey = o.o_custkey
           JOIN lineitem l ON l.l_orderkey = o.o_orderkey
