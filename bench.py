@@ -94,6 +94,16 @@ def main() -> int:
                 "sf": sf,
                 "cpus": cpus,
                 "validation_docs_per_sec": docs_per_sec,
+                # measured offline on the 2.1M-doc bucketed world via
+                # tools/bench_validation.py (fresh JVM per point; full
+                # methodology + hardware-ceiling control in BASELINE.md)
+                "scaling": {
+                    "docs": 2091405,
+                    "seconds": {"2": 182.86, "8": 54.05, "32": 32.22},
+                    "efficiency_2_to_8": 0.85,
+                    "efficiency_8_to_32": 0.42,
+                    "hardware_control_efficiency_8_to_32": 0.61,
+                },
             }
         )
     )
