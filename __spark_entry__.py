@@ -55,6 +55,11 @@ def entry(spark: SparkSession) -> DataFrame:
         docs, cat, spec,
         {"WRONG_KIND": 0.02, "STALE_GENERATION": 0.02, "SIZE_MISMATCH": 0.02, "LOST_DOC": 0.02},
     )
+    # materialize the synthetic input before validating: otherwise the
+    # validator's span references re-expand the generator's (interpreted
+    # HOF) expressions once per referenced field — measured 30x slower.
+    # Real deployments read docs from storage, which is this, for free.
+    bad = bad.localCheckpoint()
     v = validate_spans(bad, cat, spec.n_assets, broadcast_catalog=True).unionByName(check_existence(bad, cat))
     return v.orderBy("partition_id", "doc_id", "span_idx", "field")
 
@@ -495,6 +500,7 @@ def _q40_span_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = catalog_from_flat(flat, spec)
     docs = generate_documents(cat, spec)
     bad, _ = inject_faults(docs, cat, spec, {"WRONG_KIND": 0.02, "STALE_GENERATION": 0.02, "LOST_DOC": 0.02})
+    bad = bad.localCheckpoint()  # see entry(): avoid re-expanding generator exprs
     v = validate_spans(bad, cat, spec.n_assets, broadcast_catalog=True).unionByName(check_existence(bad, cat))
     return v.orderBy("partition_id", "doc_id", "span_idx", "field")
 
