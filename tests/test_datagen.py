@@ -97,3 +97,15 @@ def test_invalid_specs():
         GenSpec(n_writers=256)
     with pytest.raises(ValueError):
         GenSpec(docs_per_writer=(1 << 24) + 1)
+
+
+def test_flat_generator_identical_to_hof(spark):
+    """generate_documents_flat (codegen bulk path) must produce exactly
+    the rows of generate_documents (HOF path)."""
+    from ovalspark.datagen import generate_documents_flat
+
+    spec = GenSpec(n_runners=1, n_writers=2, docs_per_writer=150, max_spans=7)
+    cat = generate_catalog(spark, spec)
+    a = generate_documents(cat, spec)
+    b = generate_documents_flat(cat, spec)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
