@@ -542,6 +542,14 @@ def _q45_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_duplicates_cosine(emb, threshold=0.9, n_bits=8).orderBy("id_a", "id_b")
 
 
+def _q46_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ovalspark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    return ivf_topk(emb, list(qv), k=10, n_lists=16, nprobe=6)
+
+
 def _shared(name: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _load(spark, sf_dir, *_TABLES)
@@ -573,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q43_ann_lsh": _q43_ann_lsh,
             "q44_cosine_topk": _q44_cosine_topk,
             "q45_embedding_near_dups": _q45_embedding_near_dups,
+            "q46_ivf_topk": _q46_ivf_topk,
         }
     )
     return out

@@ -15,6 +15,7 @@
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
+from pyspark.sql.window import Window
 from pyspark.sql import functions as F
 
 
@@ -138,4 +139,78 @@ def near_duplicates_cosine(
     pairs = a.join(b, "_sig").filter(F.col("id_a") < F.col("id_b"))
     return pairs.select("id_a", "id_b", cosine(F.col("v_a"), F.col("v_b")).alias("cos_sim")).filter(
         F.col("cos_sim") >= threshold
+    )
+
+
+def ivf_assign(
+    df: DataFrame,
+    n_lists: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 13,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: pick n_lists centroid vectors
+    deterministically (the rows whose xxhash64(id) ranks lowest — a seeded
+    uniform sample, no iterative k-means needed for a partitioning that
+    balances list sizes), assign every vector to its nearest centroid by
+    cosine. Returns (centroids(list_id, centroid), assigned(df + list_id)).
+
+    Scale shape: centroids are tiny and broadcast; assignment is one
+    narrow pass computing n_lists dot products per row (argmax via
+    array of structs + array_max). At query time only nprobe lists are
+    scanned — the classic inverted-file ANN layout, with the assignment
+    stored as a partition column so list probes become partition pruning.
+    """
+    w = Window.orderBy(F.xxhash64(F.col(id_col), F.lit(seed)))
+    cents = (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_lists)
+        .select((F.col("_rk") - 1).alias("list_id"), F.col(vec_col).alias("centroid"))
+    )
+    cent_arr = F.broadcast(cents.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("list_id", "centroid"))).alias("cents")
+    ))
+    scored = df.crossJoin(cent_arr).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.array_max(
+            F.transform(
+                F.col("cents"),
+                lambda c: F.struct(
+                    cosine(F.col(vec_col), c["centroid"]).alias("sim"), c["list_id"].alias("list_id")
+                ),
+            )
+        )["list_id"].alias("list_id"),
+    )
+    return cents, scored
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 13,
+) -> DataFrame:
+    """IVF approximate top-k: rank centroids by similarity to the query,
+    scan only the nprobe nearest lists, exact cosine re-rank inside them.
+    Single-query demonstration form; at scale the assignment is
+    precomputed once (``ivf_assign``) and persisted partitioned by
+    list_id so a probe is partition pruning, not a scan."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    cents, assigned = ivf_assign(df, n_lists, id_col, vec_col, seed)
+    probe = (
+        cents.select("list_id", cosine(F.col("centroid"), q).alias("sim"))
+        .orderBy(F.desc("sim"), "list_id")
+        .limit(nprobe)
+        .select("list_id")
+    )
+    cands = assigned.join(F.broadcast(probe), "list_id")
+    return (
+        cands.select(F.col(id_col), cosine(F.col(vec_col), q).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), id_col)
+        .limit(k)
     )

@@ -115,3 +115,27 @@ def test_rolling_hash_order_sensitive(spark):
     df = spark.createDataFrame([("a b c",), ("c b a",), ("a b c",)], "text string")
     h = [r.rh for r in df.select(rolling_hash(F.col("text")).alias("rh")).collect()]
     assert h[0] == h[2] and h[0] != h[1]
+
+
+def test_ivf_topk_recall(spark, small_world):
+    """IVF with nprobe=4/16 lists recalls most of the exact top-10 and
+    always finds the query vector itself."""
+    from ovalspark.operators.similarity import ivf_assign, ivf_topk
+
+    _, _, docs, _ = small_world
+    emb = docs.limit(300).select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(0), F.lit(15)), lambda i: (F.pmod(F.xxhash64("doc_id", i), F.lit(1000)) / 500.0 - 1.0).cast("float")).alias("embedding"),
+    ).cache()
+    cents, assigned = ivf_assign(emb, n_lists=16)
+    assert cents.count() == 16
+    assert assigned.count() == emb.count()
+    sizes = [r["count"] for r in assigned.groupBy("list_id").count().collect()]
+    assert max(sizes) < emb.count() * 0.5  # no degenerate single list
+
+    q = emb.first().embedding
+    from ovalspark.operators.similarity import cosine_topk
+    exact = [r.vec_id for r in cosine_topk(emb, list(q), k=10, id_col="vec_id").collect()]
+    approx = [r.vec_id for r in ivf_topk(emb, list(q), k=10, n_lists=16, nprobe=6).collect()]
+    assert approx[0] == exact[0]
+    assert len(set(exact) & set(approx)) >= 4
