@@ -103,8 +103,28 @@ def extract_features(
     Batch shape: the iterator yields Arrow-sized pandas chunks (default
     10k rows / spark.sql.execution.arrow.maxRecordsPerBatch); each batch
     is processed vectorized and yielded immediately — constant memory per
-    task regardless of table size."""
-    k = kernel or _fake_decode_features
+    task regardless of table size.
+
+    NOTE: the default kernel is redefined inside this function (not a
+    module-global reference) so the closure cloudpickles BY VALUE and
+    executors don't need the ovalspark package on their PYTHONPATH. A
+    user-supplied ``kernel`` must be importable on executors or likewise
+    self-contained."""
+    if kernel is None:
+
+        def kernel(payload: bytes, d: int) -> list[float]:  # noqa: F811 — by-value copy of _fake_decode_features
+            import numpy as np
+
+            if not payload:
+                return [0.0] * d
+            arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+            pad = (-len(arr)) % d
+            if pad:
+                arr = np.concatenate([arr, np.zeros(pad)])
+            folded = arr.reshape(-1, d).mean(axis=0)
+            return ((folded - 127.5) / 127.5).astype("float32").tolist()
+
+    k = kernel
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
