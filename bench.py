@@ -99,8 +99,8 @@ def main() -> int:
                 # methodology + hardware-ceiling control in BASELINE.md)
                 "scaling": {
                     "docs": 2091405,
-                    "seconds": {"2": 182.86, "8": 54.05, "32": 32.22},
-                    "efficiency_2_to_8": 0.85,
+                    "seconds_best_of_3_sessions": {"2": 121.6, "8": 37.91, "32": 32.22},
+                    "efficiency_2_to_8": 0.80,
                     "efficiency_8_to_32": 0.42,
                     "hardware_control_efficiency_8_to_32": 0.61,
                 },
