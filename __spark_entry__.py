@@ -277,17 +277,23 @@ def _q29_hll_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q20_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ovalspark.operators.text import subword_piece_estimate, token_count
+    from ovalspark.operators.text import regex_token_count, subword_piece_estimate, token_count
 
     docs = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     t = F.col("text")
     return (
-        docs.select("source", token_count(t).alias("nt"), subword_piece_estimate(t).alias("np"))
+        docs.select(
+            "source",
+            token_count(t).alias("nt"),
+            subword_piece_estimate(t).alias("np"),
+            regex_token_count(t).alias("nr"),
+        )
         .groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum("nt").alias("total_tokens"),
             F.sum("np").alias("total_pieces"),
+            F.sum("nr").alias("total_regex_tokens"),
             (F.sum("nt").cast("double") / F.count("*")).alias("avg_tokens"),
         )
         .orderBy("source")
@@ -298,6 +304,7 @@ _Q20_ORACLE = """
     SELECT source, COUNT(*) AS n_docs,
            SUM(len(string_split(text, ' '))) AS total_tokens,
            SUM(CAST(ceil(length(text) / 3.5) AS BIGINT)) AS total_pieces,
+           SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS total_regex_tokens,
            CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens
     FROM documents GROUP BY source ORDER BY source
 """

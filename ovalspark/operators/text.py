@@ -44,6 +44,20 @@ def subword_piece_estimate(text: Column, chars_per_piece: float = 3.5) -> Column
     return F.ceil(F.length(text) / chars_per_piece).cast("long")
 
 
+# GPT-2-style pre-tokenization classes, restricted to constructs RE2 and
+# Java regex treat identically (no lookarounds): letter runs, digit runs,
+# single punctuation marks.
+BPE_PRETOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def regex_token_count(text: Column, pattern: str = BPE_PRETOKEN_RE) -> Column:
+    """BPE-ish regex pre-token count (the whitespace counter's partner):
+    counts letter runs + digit runs + punctuation marks, the unit a BPE
+    tokenizer would further split. Portable: DuckDB regexp_extract_all
+    yields identical matches for this pattern class."""
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), F.lit(0))).cast("long")
+
+
 def stopword_ratio(text: Column) -> Column:
     toks = tokens(text)
     hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
