@@ -116,10 +116,23 @@ def run_plan(
         viol = c.fn(d_in, c_in, assets)
         cdir = f"{out_dir}/{c.name}"
         _write_canonical(viol, cdir)
-        vcounts = {
-            r.partition_id: r.n
-            for r in viol.groupBy("partition_id").agg(F.count("*").alias("n")).collect()
-        }
+        # count violations from the WRITTEN output, not by re-running the
+        # constraint: a second `viol.groupBy(...).count()` would recompute
+        # the whole plan (a full extra pass over docs per constraint);
+        # the written violation files are tiny by design.
+        spark = viol.sparkSession
+        try:
+            written = spark.read.schema(
+                "doc_id string, span_idx int, field string, expected string, "
+                "actual string, violation_class string, writer_id int, "
+                "written_at timestamp, partition_id int"
+            ).json(cdir)
+            vcounts = {
+                r.partition_id: r.n
+                for r in written.groupBy("partition_id").agg(F.count("*").alias("n")).collect()
+            }
+        except Exception:  # no files written at all → zero violations
+            vcounts = {}
         records = {
             int(p): {
                 "row_count": int(row_counts.get(p, 0)),
@@ -132,9 +145,12 @@ def run_plan(
         # violations with null partition_id (shouldn't happen) still count
         manifest.mark_done(c.name, c.version, records)
         manifest.save()
-        if fail_fast and sum(vcounts.values()) > 0:
+        # only the partitions validated in THIS pass count toward fail-fast
+        # (the read-back includes previously-written partitions on resume)
+        new_viols = sum(vcounts.get(p, 0) for p in todo)
+        if fail_fast and new_viols > 0:
             raise ValidationFailure(
-                f"constraint {c.name}@{c.version} found {sum(vcounts.values())} violations"
+                f"constraint {c.name}@{c.version} found {new_viols} violations"
             )
 
     totals = manifest.totals()
