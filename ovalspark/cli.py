@@ -68,6 +68,13 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--fail-fast", action="store_true", help="abort on first dirty constraint (V12)")
     v.add_argument("--broadcast-catalog", action="store_true")
     v.add_argument("--run-id", default="run-0")
+    v.add_argument(
+        "--spans",
+        type=parse_span_range,
+        default=None,
+        metavar="MIN-MAX",
+        help="generator span bounds; enables the DIST_DRIFT distribution constraint",
+    )
     return p
 
 
@@ -110,7 +117,7 @@ def main(argv: list[str] | None = None) -> int:
             print(f"manifest {manifest} exists; pass --resume to continue it", file=sys.stderr)
             return 2
         ts = TableSet.load(spark, args.root)
-        plan = default_plan(broadcast_catalog=args.broadcast_catalog)
+        plan = default_plan(broadcast_catalog=args.broadcast_catalog, span_bounds=args.spans)
         try:
             res = run_plan(
                 plan, ts.docs, ts.catalog, ts.assets, args.out, manifest,

@@ -122,3 +122,40 @@ def chi_square_drift(docs: DataFrame, threshold: float = 30.0) -> DataFrame:
         F.max("total").alias("n_spans"), F.sum("term").alias("chi2")
     )
     return out.withColumn("drifted", F.col("chi2") > threshold)
+
+
+def check_distribution(
+    docs: DataFrame,
+    min_spans: int,
+    max_spans: int,
+    ks_threshold: float | None = None,
+    chi2_threshold: float = 30.0,
+) -> DataFrame:
+    """Drift results as violation rows (common schema) — DIST_DRIFT per
+    drifted partition, so distribution checks compose into a
+    ValidationPlan next to the row-level constraints (FIXTURES.md §4)."""
+    ks = ks_drift(docs, min_spans, max_spans, ks_threshold).filter(F.col("drifted"))
+    chi = chi_square_drift(docs, chi2_threshold).filter(F.col("drifted"))
+    k = ks.select(
+        "partition_id",
+        F.lit(None).cast("string").alias("doc_id"),
+        F.lit(None).cast("int").alias("span_idx"),
+        F.lit("span_count_distribution").alias("field"),
+        F.lit("F(x)=2(1-2^-x)").alias("expected"),
+        F.format_string("ks=%.4f", F.col("ks_stat")).alias("actual"),
+        F.lit("DIST_DRIFT").alias("violation_class"),
+        F.lit(None).cast("int").alias("writer_id"),
+        F.lit(None).cast("timestamp").alias("written_at"),
+    )
+    c = chi.select(
+        "partition_id",
+        F.lit(None).cast("string").alias("doc_id"),
+        F.lit(None).cast("int").alias("span_idx"),
+        F.lit("kind_distribution").alias("field"),
+        F.lit("70/15/10/5").alias("expected"),
+        F.format_string("chi2=%.2f", F.col("chi2")).alias("actual"),
+        F.lit("DIST_DRIFT").alias("violation_class"),
+        F.lit(None).cast("int").alias("writer_id"),
+        F.lit(None).cast("timestamp").alias("written_at"),
+    )
+    return k.unionByName(c)

@@ -54,9 +54,13 @@ def default_plan(
     n_assets: int = sp.DEFAULT_N_ASSETS,
     broadcast_catalog: bool = False,
     include_referential: bool = True,
+    span_bounds: tuple[int, int] | None = None,
 ) -> ValidationPlan:
     """The full oval-parity plan: span-sequence + existence + counts +
-    uniqueness (+ referential when an asset catalog is supplied)."""
+    uniqueness (+ referential when an asset catalog is supplied,
+    + distribution drift when the generator's span bounds are known)."""
+    from ovalspark.operators.drift import check_distribution
+
     constraints = [
         Constraint(
             "span_sequence",
@@ -69,4 +73,9 @@ def default_plan(
     ]
     if include_referential:
         constraints.append(Constraint("referential", "1", lambda d, c, a: check_referential(d, a)))
+    if span_bounds is not None:
+        mn, mx = span_bounds
+        constraints.append(
+            Constraint("distribution", "1", lambda d, c, a: check_distribution(d, mn, mx))
+        )
     return ValidationPlan(constraints=tuple(constraints))

@@ -62,3 +62,32 @@ def test_chi_square_clean_passes_and_skew_flagged(spark):
     res = chi_square_drift(skewed, threshold=30.0)
     flagged = [r.partition_id for r in res.filter(F.col("drifted")).collect()]
     assert flagged == [1]
+
+
+def test_dist_drift_violation_rows_via_plan(spark, tmp_path):
+    """DIST_DRIFT surfaces as violation rows through the plan runner
+    (the last FIXTURES.md §4 fault class in violation-row form)."""
+    import pyspark.sql.functions as F2
+
+    from ovalspark.plans import default_plan, run_plan
+
+    spec = GenSpec(n_runners=1, n_writers=4, docs_per_writer=2000, min_spans=1, max_spans=10)
+    cat = generate_catalog(spark, spec)
+    docs = generate_documents(cat, spec)
+    uniform_n = (1 + F.pmod(F.xxhash64("doc_id", F.lit(9)), F.lit(spec.max_spans))).cast("int")
+    drifted = docs.withColumn(
+        "spans",
+        F.when(
+            F.col("partition_id") == 2,
+            sp.expected_spans(F.col("doc_id"), F.col("generation"), F.col("writer_id"), uniform_n),
+        ).otherwise(F.col("spans")),
+    ).localCheckpoint()
+    plan = default_plan(spec.n_assets, include_referential=False, span_bounds=(spec.min_spans, spec.max_spans))
+    res = run_plan(plan, drifted, cat, None, str(tmp_path / "out"), str(tmp_path / "m.json"))
+    # partition 2 fails; note the uniform resample also perturbs span
+    # counts vs the catalog, so span_sequence/size checks fire there too —
+    # the distribution constraint must single out partition 2 as drifted
+    assert res.totals["distribution"]["violations"] >= 1
+    written = spark.read.json(str(tmp_path / "out" / "distribution"))
+    assert {r.partition_id for r in written.select("partition_id").collect()} == {2}
+    assert not res.verdicts[2]
