@@ -28,6 +28,15 @@ def get_spark(
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
+    extra_conf = dict(extra_conf or {})
+    # local mode: shuffle scratch on tmpfs when available — this box's
+    # virtio disk convoys concurrent shuffle writers (measured 10x
+    # slowdowns at 32 threads; see BASELINE.md). Clusters configure
+    # spark.local.dir themselves; extra_conf overrides.
+    if master.startswith("local") and "spark.local.dir" not in extra_conf and os.path.isdir("/dev/shm"):
+        d = "/dev/shm/ovalspark-local"
+        os.makedirs(d, exist_ok=True)
+        extra_conf["spark.local.dir"] = d
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
@@ -40,7 +49,7 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or _default_parallelism(master)))
     )
-    for k, v in (extra_conf or {}).items():
+    for k, v in extra_conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
 
