@@ -33,13 +33,12 @@ def _load(spark: SparkSession, sf_dir: str, *names: str) -> None:
 
 
 def _spread(df: DataFrame) -> DataFrame:
-    """Repartition up to core count when the source is a single small file
-    (compute-heavy per-row ops would otherwise run on one task). At real
-    scale the scan has natural parallelism and this is a no-op."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
-        return df.repartition(par)
-    return df
+    """Repartition to core count: the test inputs are single small files,
+    so compute-heavy per-row ops would otherwise run on one task. Plain
+    ``repartition`` (no ``.rdd`` probe — that forces a full RDD conversion
+    just to read a partition count); at real scale the scan has natural
+    parallelism and callers drop this wrapper entirely."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -178,19 +177,19 @@ _SHARED_SQL: dict[str, str] = {
     # stats profiler long-form (A1/north_star), numeric columns of lineitem
     "q12_column_stats_lineitem": """
         SELECT 'l_quantity' AS col_name, COUNT(*) AS n_rows,
-               SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+               CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
                CAST(MIN(l_quantity) AS DOUBLE) AS min_v, CAST(MAX(l_quantity) AS DOUBLE) AS max_v,
                COUNT(DISTINCT l_quantity) AS n_distinct
         FROM lineitem
         UNION ALL
         SELECT 'l_extendedprice', COUNT(*),
-               SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END),
+               CAST(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE),
                COUNT(DISTINCT l_extendedprice)
         FROM lineitem
         UNION ALL
         SELECT 'l_discount', COUNT(*),
-               SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END),
+               CAST(SUM(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT),
                CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE),
                COUNT(DISTINCT l_discount)
         FROM lineitem
@@ -222,9 +221,9 @@ _SHARED_SQL: dict[str, str] = {
     # manual pivot (portable CASE form) over order status
     "q15_status_pivot": """
         SELECT o_orderpriority,
-               SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-               SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
-               SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_partial
+               CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+               CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
     """,
     # rollup: subtotals + grand total (grouping-set handling)
@@ -302,9 +301,9 @@ def _q20_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _Q20_ORACLE = """
     SELECT source, COUNT(*) AS n_docs,
-           SUM(len(string_split(text, ' '))) AS total_tokens,
-           SUM(CAST(ceil(length(text) / 3.5) AS BIGINT)) AS total_pieces,
-           SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS total_regex_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(ceil(length(text) / 3.5) AS BIGINT)) AS BIGINT) AS total_pieces,
+           CAST(SUM(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))) AS BIGINT) AS total_regex_tokens,
            CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*) AS avg_tokens
     FROM documents GROUP BY source ORDER BY source
 """
@@ -333,7 +332,7 @@ _Q21_ORACLE = """
         + 0.2 * (1.0 - least(abs(((length(text) - (len(string_split(text, ' ')) - 1)) / greatest(len(string_split(text, ' ')), 1)) - 5.0) / 5.0, 1.0))
         ) * 1000000) AS BIGINT) AS qi
       FROM documents)
-    SELECT lang, COUNT(*) AS n_docs, SUM(qi) AS quality_sum
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(qi) AS BIGINT) AS quality_sum
     FROM scored GROUP BY lang ORDER BY lang
 """
 
@@ -439,13 +438,16 @@ def _q26_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q26_ORACLE = """
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
-    SELECT doc_id,
-      list_aggregate(
-        list_transform(generate_series(1, len(toks)),
-          i -> (i * (('0x' || substr(md5(toks[i]), 1, 13))::BIGINT)) % 2305843009213693951),
-        'sum') % 2305843009213693951 AS rh
-    FROM t ORDER BY doc_id
+    -- NOTE: DuckDB's list_aggregate(..., 'sum') computes in DOUBLE and loses
+    -- precision past 2^53; the unnest + SUM form aggregates in HUGEINT (exact).
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    terms AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks)),
+               i -> (i * (('0x' || substr(md5(toks[i]), 1, 13))::BIGINT)) % 2305843009213693951)) AS term
+      FROM t)
+    SELECT doc_id, CAST(SUM(term) % 2305843009213693951 AS BIGINT) AS rh
+    FROM terms GROUP BY doc_id ORDER BY doc_id
 """
 
 

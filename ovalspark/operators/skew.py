@@ -35,15 +35,18 @@ def salted_join(
     small's (like ``big.join(small, key, how)``); salt columns are
     internal and dropped.
 
-    The salt is hashed from the whole big-side row id stream (xxhash64 of
-    key + a per-row uniform), NOT round-robin, so repeated runs produce
-    identical partition assignment — resume-friendly.
+    The salt is xxhash64 over EVERY big-side column (row content), not
+    ``monotonically_increasing_id`` — content-derived salts are stable
+    across runs, partitionings, and parallelism levels, so repeated runs
+    produce identical salt assignment (resume-friendly). Byte-identical
+    duplicate rows share a salt; that only matters if one key's rows are
+    ALSO mostly duplicates, in which case salting can't help anyway.
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how}")
     b = big.withColumn(
         "_salt",
-        F.pmod(F.xxhash64(F.col(key), F.monotonically_increasing_id(), F.lit(salt_seed)), F.lit(n_salts)).cast("int"),
+        F.pmod(F.xxhash64(*[F.col(c) for c in big.columns], F.lit(salt_seed)), F.lit(n_salts)).cast("int"),
     )
     salts = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))).alias("_salt")
     s = small.select("*", salts)

@@ -66,6 +66,19 @@ def main() -> int:
             fails += 1
             continue
         a, b = canon(spd), canon(dpd)
+        # the driver's value hash is REPRESENTATION-sensitive: an int64 column
+        # on one side rendered as float64 on the other (DuckDB HUGEINT sums)
+        # hash-mismatches even when values are equal. Flag dtype-kind drift.
+        kind_drift = [
+            c for c in a.columns if a[c].dtype.kind != b[c].dtype.kind
+        ]
+        if kind_drift:
+            print(
+                f"{name}: DTYPE-KIND MISMATCH (driver hash would fail): "
+                + ", ".join(f"{c} spark={a[c].dtype} duck={b[c].dtype}" for c in kind_drift)
+            )
+            fails += 1
+            continue
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
             print(f"{name}: OK ({len(spd)} rows)")
