@@ -85,6 +85,34 @@ def minhash_signature(shingles: Column, n_hashes: int = 12) -> list[Column]:
     return out
 
 
+def minhash_signatures_flat(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_hashes: int = 12,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """Codegen twin of ``minhash_signature``: explode shingles to flat rows
+    (whole-stage-codegen md5 + universal-hash expressions, one per shingle
+    occurrence) and take per-doc MIN via hash aggregation (map-side partial
+    combine, so the shuffle carries one row per (doc, 12 longs)).
+
+    The HOF form evaluates its ``transform`` lambdas interpreted; this one
+    trades that for an explode + shuffle. Measured at sf0.1 (see
+    BASELINE.md) to decide the default. Values are identical (same hash
+    family); returns (id_col, mh0..mh{n-1})."""
+    sh = df.select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_sh")).filter(
+        F.size("_sh") > 0
+    )
+    ex = sh.select(id_col, F.explode("_sh").alias("_s"))
+    base = F.pmod(F.conv(F.substring(F.md5(F.col("_s")), 1, 15), 16, 10).cast("long"), F.lit(_MH_P))
+    aggs = []
+    for k in range(n_hashes):
+        a, b = _mh_coeffs(k)
+        aggs.append(F.min(F.pmod(F.lit(a) * F.col("_h") + F.lit(b), F.lit(_MH_P))).alias(f"mh{k}"))
+    return ex.select(id_col, base.alias("_h")).groupBy(id_col).agg(*aggs)
+
+
 def minhash_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -93,11 +121,19 @@ def minhash_duplicates(
     bands: int = 4,
     jaccard_threshold: float = 0.7,
     shingle_n: int = 2,
+    materialize: bool = True,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash-LSH with exact Jaccard verify.
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, one row per pair (pairs
     colliding in several bands are deduplicated).
+
+    ``materialize`` (default on) localCheckpoints the signature table
+    before the band self-join: the shingle+minhash lineage feeds FOUR plan
+    subtrees (band join left/right + two shingle join-backs), and without
+    materialization Catalyst re-evaluates the dominant shingling cost in
+    each — measured ~2× end-to-end at sf0.1. At real scale signatures are
+    a stored column and this step is the one-off job that writes it.
     """
     rows_per_band = n_hashes // bands
     sig = df.select(
@@ -105,6 +141,8 @@ def minhash_duplicates(
         word_shingles(F.col(text_col), shingle_n).alias("_sh"),
     ).filter(F.size("_sh") > 0)
     sig = sig.select("_id", "_sh", *minhash_signature(F.col("_sh"), n_hashes))
+    if materialize:
+        sig = sig.localCheckpoint()
     band_cols = [
         F.md5(F.concat_ws(",", F.lit(b), *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)])).alias(
             f"band{b}"

@@ -72,10 +72,22 @@ def ks_drift(
             x = min(max(x, 0.0), 1.0)
             return 2.0 * (1.0 - 2.0 ** (-x)) if x < 1.0 else 1.0
 
-        pdf = pdf.sort_values("n_spans")
-        total = int(pdf["cnt"].sum())
-        ecdf = pdf["cnt"].cumsum() / total
-        model = pdf["n_spans"].map(model_cdf)
+        # Reindex over the FULL integer support (plus any out-of-range
+        # observed values), zero-filling absent counts: a support value the
+        # partition never produced is itself evidence of drift, and without
+        # it a degenerate histogram (e.g. everything at max_spans) evaluates
+        # the ECDF only where it equals 1.0 and reports ks_stat=0.
+        support = sorted(set(range(min_spans, max_spans + 1)) | set(pdf["n_spans"].astype(int)))
+        counts = pdf.set_index("n_spans")["cnt"].reindex(support, fill_value=0)
+        total = int(counts.sum())
+        ecdf = counts.cumsum() / total
+        model = pd.Series([model_cdf(k) for k in support], index=support)
+        # Both CDFs are step functions jumping ONLY at integer support
+        # points (the model is the discretized span-count law, not the
+        # underlying continuous exponential), so sup_x |F_n(x)-F(x)| is
+        # attained at the zero-filled support values — a continuous-CDF
+        # pre-jump term |F_n(k-1)-F(k)| would add the model's own jump
+        # mass (~0.13 at k=min) and false-positive every clean partition.
         d = float((ecdf - model).abs().max())
         return pd.DataFrame(
             {
@@ -111,12 +123,27 @@ def chi_square_drift(docs: DataFrame, threshold: float = 30.0) -> DataFrame:
         .groupBy("partition_id", "kind")
         .agg(F.count("*").alias("obs"))
     )
+    # zero-fill the full KINDS set per partition: a category entirely
+    # absent from a partition must still contribute its (0-exp)^2/exp = exp
+    # term, or a missing-kind drift (e.g. zero video spans) goes undetected.
+    # The fill frame is (n_partitions × 4) rows — negligible at any scale.
+    full = (
+        obs.select("partition_id")
+        .distinct()
+        .select("partition_id", F.explode(F.array(*[F.lit(k) for k in KINDS])).alias("kind"))
+    )
+    obs = full.join(obs, ["partition_id", "kind"], "left").withColumn(
+        "obs", F.coalesce(F.col("obs"), F.lit(0))
+    )
     totals = obs.groupBy("partition_id").agg(F.sum("obs").alias("total"))
     p_expr = F.create_map(*[x for k, p in probs.items() for x in (F.lit(k), F.lit(p))])
     contrib = (
         obs.join(totals, "partition_id")
         .withColumn("exp", F.col("total") * p_expr[F.col("kind")])
-        .withColumn("term", (F.col("obs") - F.col("exp")) ** 2 / F.col("exp"))
+        .withColumn(
+            "term",
+            F.when(F.col("exp") > 0, (F.col("obs") - F.col("exp")) ** 2 / F.col("exp")).otherwise(F.lit(0.0)),
+        )
     )
     out = contrib.groupBy("partition_id").agg(
         F.max("total").alias("n_spans"), F.sum("term").alias("chi2")

@@ -79,6 +79,18 @@ class Manifest:
         for pid, r in partition_records.items():
             rec["partitions"][str(pid)] = {**r, "status": "done"}
 
+    def record_observed(self, name: str, version: str, metrics: dict[str, Any]) -> None:
+        """Attach live run metrics (df.observe counters measured during the
+        constraint's own write action — the oval stat-counter analog,
+        /root/reference/internal/stat/stat.go:8-51) to the constraint
+        record. Keyed by version like partitions; metrics describe the
+        LATEST pass over this constraint."""
+        rec = self.constraints.get(name)
+        if not rec or rec.get("version") != version:
+            rec = {"version": version, "partitions": {}}
+            self.constraints[name] = rec
+        rec["observed"] = {k: int(v) for k, v in metrics.items()}
+
     def totals(self) -> dict[str, dict[str, int]]:
         out = {}
         for name, rec in self.constraints.items():

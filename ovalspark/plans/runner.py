@@ -92,34 +92,66 @@ def run_plan(
     run_id: str = "run-0",
     fail_fast: bool = False,
 ) -> RunResult:
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import Observation
+
     manifest = Manifest.load_or_create(manifest_path, run_id=run_id)
     all_parts = sorted(r.partition_id for r in catalog.select("partition_id").distinct().collect())
 
-    # per-partition input row counts (lineage), computed once
-    row_counts = {
-        r.partition_id: r.n for r in docs.groupBy("partition_id").agg(F.count("*").alias("n")).collect()
-    }
-
+    # the partitions any constraint in this pass will actually touch:
+    # a resume with one straggler partition must not re-count the world
+    todo_by_constraint: dict[str, list[int]] = {}
     for c in plan.constraints:
         done = manifest.done_partitions(c.name, c.version)
         todo = [p for p in all_parts if p not in done]
+        if todo and not c.partition_local:
+            todo = all_parts
+        todo_by_constraint[c.name] = todo
+    need_counts = sorted({p for t in todo_by_constraint.values() for p in t})
+
+    # per-partition input row counts (lineage), computed once per pass and
+    # ONLY for partitions being (re)validated in this pass
+    if need_counts == all_parts:
+        count_src = docs
+    else:
+        count_src = docs.filter(F.col("partition_id").isin(need_counts))
+    row_counts = (
+        {
+            r.partition_id: r.n
+            for r in count_src.groupBy("partition_id").agg(F.count("*").alias("n")).collect()
+        }
+        if need_counts
+        else {}
+    )
+
+    for c in plan.constraints:
+        todo = todo_by_constraint[c.name]
         if not todo:
             continue
-        if c.partition_local and done:
+        if c.partition_local and todo != all_parts:
             d_in = docs.filter(F.col("partition_id").isin(todo))
             c_in = catalog.filter(F.col("partition_id").isin(todo))
         else:
             # global constraint (or fresh run): must see the whole table
             d_in, c_in = docs, catalog
-            todo = all_parts if not c.partition_local else todo
 
+        # live run metrics (oval's stat counters,
+        # /root/reference/internal/stat/stat.go:8-51 analog): an observation
+        # node piggybacks on the write action — violations are counted
+        # DURING the run, not by an extra pass. Observed on the OUTPUT only:
+        # constraints like uniqueness/distribution reference the input in
+        # several plan subtrees, and a CollectMetrics node that fires more
+        # than once per action breaks Observation.get. rows_scanned comes
+        # from the per-pass lineage counts (also not an extra pass).
         viol = c.fn(d_in, c_in, assets)
+        obs_out = Observation(f"{c.name}-viols")
+        viol = viol.observe(obs_out, F.count(F.lit(1)).alias("violations_found"))
         cdir = f"{out_dir}/{c.name}"
         _write_canonical(viol, cdir)
-        # count violations from the WRITTEN output, not by re-running the
-        # constraint: a second `viol.groupBy(...).count()` would recompute
-        # the whole plan (a full extra pass over docs per constraint);
-        # the written violation files are tiny by design.
+        # count per-partition violations from the WRITTEN output, not by
+        # re-running the constraint: a second `viol.groupBy(...).count()`
+        # would recompute the whole plan (a full extra pass over docs per
+        # constraint); the written violation files are tiny by design.
         spark = viol.sparkSession
         try:
             written = spark.read.schema(
@@ -131,8 +163,25 @@ def run_plan(
                 r.partition_id: r.n
                 for r in written.groupBy("partition_id").agg(F.count("*").alias("n")).collect()
             }
-        except Exception:  # no files written at all → zero violations
+        except AnalysisException as e:
+            # ONLY path-not-found means "zero violations ever written for
+            # this constraint" — any other failure (transient FS error,
+            # corrupt output, schema drift) must fail the run loudly, not
+            # silently record a passing verdict.
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
             vcounts = {}
+        # live-observed counter; a dynamic-overwrite write of an EMPTY
+        # violations table skips its result stage, so the metrics row never
+        # materializes — fall back to the written-output count (identical
+        # by construction: both count this pass's violations).
+        try:
+            observed = {"rows_scanned": sum(row_counts.get(p, 0) for p in todo), **obs_out.get}
+        except Exception:
+            observed = {
+                "rows_scanned": sum(row_counts.get(p, 0) for p in todo),
+                "violations_found": sum(vcounts.get(p, 0) for p in todo),
+            }
         records = {
             int(p): {
                 "row_count": int(row_counts.get(p, 0)),
@@ -144,6 +193,7 @@ def run_plan(
         }
         # violations with null partition_id (shouldn't happen) still count
         manifest.mark_done(c.name, c.version, records)
+        manifest.record_observed(c.name, c.version, observed)
         manifest.save()
         # only the partitions validated in THIS pass count toward fail-fast
         # (the read-back includes previously-written partitions on resume)

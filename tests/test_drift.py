@@ -41,6 +41,53 @@ def test_ks_flags_uniform_resample(spark):
     assert flagged == [0]
 
 
+def test_ks_flags_degenerate_all_at_max(spark):
+    """Regression: all of partition 0's docs at n_spans=max_spans used to
+    slip through — the ECDF was only evaluated at observed values, where
+    ecdf == model_cdf == 1.0. The zero-filled support makes the pre-max
+    gap (ecdf=0 vs model≈0.93) visible."""
+    spec, docs = _world(spark)
+    degenerate = docs.withColumn(
+        "spans",
+        F.when(
+            F.col("partition_id") == 0,
+            sp.expected_spans(
+                F.col("doc_id"), F.col("generation"), F.col("writer_id"), F.lit(spec.max_spans)
+            ),
+        ).otherwise(F.col("spans")),
+    )
+    res = ks_drift(degenerate, spec.min_spans, spec.max_spans)
+    flagged = [r.partition_id for r in res.filter(F.col("drifted")).collect()]
+    assert flagged == [0]
+    stat = res.filter(F.col("partition_id") == 0).collect()[0].ks_stat
+    assert stat > 0.9  # model CDF at max_spans-1 is ~0.928, ECDF is 0
+
+
+def test_chi_square_flags_missing_category(spark):
+    """Regression: a kind entirely ABSENT from a partition contributed no
+    chi-square term. With zero-fill, partition 3 losing all its video
+    spans (5% expected) contributes exp≈0.05·N alone."""
+    spec, docs = _world(spark)
+    no_video = docs.withColumn(
+        "spans",
+        F.when(
+            F.col("partition_id") == 3,
+            F.transform(
+                "spans",
+                lambda s: F.struct(
+                    F.when(s["kind"] == "video", F.lit("text")).otherwise(s["kind"]).alias("kind"),
+                    s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    s["offset"].alias("offset"),
+                ),
+            ),
+        ).otherwise(F.col("spans")),
+    )
+    res = chi_square_drift(no_video, threshold=30.0)
+    flagged = [r.partition_id for r in res.filter(F.col("drifted")).collect()]
+    assert flagged == [3]
+
+
 def test_chi_square_clean_passes_and_skew_flagged(spark):
     spec, docs = _world(spark)
     clean = chi_square_drift(docs, threshold=30.0)

@@ -46,6 +46,21 @@ def test_full_run_and_verdicts(world, tmp_path):
     assert res.totals["referential"]["violations"] > 0
 
 
+def test_observed_metrics_in_manifest(world, tmp_path):
+    """Live df.observe counters (A1 / oval stat.go analog) land in the
+    manifest per constraint and agree with the written-output counts."""
+    spec, cat, bad, assets = world
+    plan = default_plan(spec.n_assets, broadcast_catalog=True)
+    out, man = str(tmp_path / "out"), str(tmp_path / "manifest.json")
+    res = run_plan(plan, bad, cat, assets, out, man)
+    m = json.load(open(man))
+    for name, totals in res.totals.items():
+        obs = m["constraints"][name]["observed"]
+        assert obs["violations_found"] == totals["violations"]
+        assert obs["rows_scanned"] == totals["rows"]
+        assert obs["rows_scanned"] > 0
+
+
 def test_rerun_is_noop(world, tmp_path):
     """Re-running a completed run skips everything (idempotent /start, O8)."""
     spec, cat, bad, assets = world
