@@ -533,22 +533,25 @@ def _q43_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return ann_lsh_topk(emb, list(qv), k=10, max_hamming=4)
+    return ann_lsh_topk(emb, list(qv), k=10, n_bits=12, max_hamming=4)
 
 
 def _q44_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ovalspark.operators.similarity import cosine_topk
+    from ovalspark.operators.similarity import cosine_topk_q
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
-    return cosine_topk(emb, list(qv), k=10)
+    return cosine_topk_q(emb, list(qv), k=10)
 
 
 def _q45_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ovalspark.operators.similarity import near_duplicates_cosine
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return near_duplicates_cosine(emb, threshold=0.9, n_bits=8).orderBy("id_a", "id_b")
+    # threshold 0.35: the synthetic embeddings are random (no true dups);
+    # a lower bar makes the gate check NONEMPTY — real ids + exact cos_q
+    # integers — instead of trivially matching on zero rows.
+    return near_duplicates_cosine(emb, threshold=0.35, n_bits=8, dims=_EMB_DIMS).orderBy("id_a", "id_b")
 
 
 def _q46_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -557,6 +560,115 @@ def _q46_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return ivf_topk(emb, list(qv), k=10, n_lists=16, nprobe=6)
+
+
+# --- DuckDB twins of the quantized similarity pipeline ----------------------
+# All ranking values are engine-exact integers: quantized unit vectors
+# (floor(q_i/||q||·1e6), every step deterministic IEEE-754) and md5-derived
+# hyperplane signs — see ovalspark/operators/similarity.py module doc.
+
+_EMB_DIMS = 64  # the testdata embeddings table dimension (TESTDATA.md)
+
+# shared CTE prefix: quantized components (v), unit vectors (u)
+_DUCK_UNIT_CTES = """
+    base AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+      FROM embeddings),
+    normed AS (
+      SELECT vec_id, v, sqrt(list_sum(list_transform(v, y -> y * y))) AS nrm FROM base),
+    unitv AS (
+      SELECT vec_id, v,
+             list_transform(v, x -> CAST(floor(CAST(x AS DOUBLE) / nrm * 1000000) AS BIGINT)) AS u
+      FROM normed)
+"""
+
+
+def _duck_sig_expr(n_bits: int, seed: int = 7) -> str:
+    """Hyperplane signature over the quantized components column ``v`` —
+    the SQL twin of similarity.hyperplane_signature_q."""
+    from ovalspark.operators.similarity import hyperplane_signs
+
+    signs = hyperplane_signs(n_bits, _EMB_DIMS, seed)
+    terms = []
+    for p in range(n_bits):
+        lits = "[" + ", ".join(str(s) for s in signs[p]) + "]"
+        terms.append(
+            f"CASE WHEN list_sum(list_transform(list_zip(v, {lits}), z -> z[1] * z[2])) > 0 "
+            f"THEN {1 << p} ELSE 0 END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_DUCK_COS_Q = "CAST(list_sum(list_transform(list_zip({a}, {b}), z -> z[1] * z[2])) AS BIGINT)"
+
+
+def _q43_oracle() -> str:
+    sig = _duck_sig_expr(12)
+    cos = _DUCK_COS_Q.format(a="s.u", b="q.u")
+    return f"""
+    WITH {_DUCK_UNIT_CTES},
+    sigs AS (SELECT vec_id, u, {sig} AS sig FROM unitv),
+    q AS (SELECT u, sig FROM sigs WHERE vec_id = 0)
+    SELECT s.vec_id, {cos} AS cos_q
+    FROM sigs s, q
+    WHERE bit_count(xor(s.sig, q.sig)) <= 4
+    ORDER BY cos_q DESC, s.vec_id LIMIT 10
+"""
+
+
+def _q44_oracle() -> str:
+    cos = _DUCK_COS_Q.format(a="e.u", b="q.u")
+    return f"""
+    WITH {_DUCK_UNIT_CTES},
+    q AS (SELECT u FROM unitv WHERE vec_id = 0)
+    SELECT e.vec_id, {cos} AS cos_q
+    FROM unitv e, q
+    ORDER BY cos_q DESC, e.vec_id LIMIT 10
+"""
+
+
+def _q45_oracle() -> str:
+    sig = _duck_sig_expr(8)
+    cos = _DUCK_COS_Q.format(a="a.u", b="b.u")
+    return f"""
+    WITH {_DUCK_UNIT_CTES},
+    sigs AS (SELECT vec_id, u, {sig} AS sig FROM unitv)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos_q
+    FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    WHERE {cos} >= 350000000000
+    ORDER BY id_a, id_b
+"""
+
+
+def _q46_oracle(n_lists: int = 16, nprobe: int = 6, seed: int = 13) -> str:
+    cos_ec = _DUCK_COS_Q.format(a="e.u", b="c.cu")
+    cos_cq = _DUCK_COS_Q.format(a="c.cu", b="q.u")
+    cos_eq = _DUCK_COS_Q.format(a="a.u", b="q.u")
+    return f"""
+    WITH {_DUCK_UNIT_CTES},
+    ranked AS (
+      SELECT vec_id, u,
+             ('0x' || substr(md5(vec_id::VARCHAR || ':{seed}'), 1, 15))::BIGINT AS rk
+      FROM unitv),
+    cents AS (
+      SELECT row_number() OVER (ORDER BY rk, vec_id) - 1 AS list_id, u AS cu
+      FROM ranked ORDER BY rk, vec_id LIMIT {n_lists}),
+    scored AS (
+      SELECT e.vec_id, e.u, c.list_id, {cos_ec} AS sim
+      FROM unitv e CROSS JOIN cents c),
+    assigned AS (
+      SELECT vec_id, u, list_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id) AS rn
+        FROM scored) WHERE rn = 1),
+    q AS (SELECT u FROM unitv WHERE vec_id = 0),
+    probe AS (
+      SELECT c.list_id FROM cents c, q
+      ORDER BY {cos_cq} DESC, c.list_id LIMIT {nprobe})
+    SELECT a.vec_id, {cos_eq} AS cos_q
+    FROM assigned a JOIN probe p USING (list_id), q
+    ORDER BY cos_q DESC, a.vec_id LIMIT 10
+"""
 
 
 def _shared(name: str) -> Callable[[SparkSession, str], DataFrame]:
@@ -610,7 +722,10 @@ def oracle_sql() -> dict[str, str]:
             "q26_rolling_hash": _Q26_ORACLE,
             "q27_knn_int_dot": _Q27_ORACLE,
             "q28_embedding_stats": _Q28_ORACLE,
-            # q40-q45: xxhash64/pandas-UDF based — rows-only checks
+            "q43_ann_lsh": _q43_oracle(),
+            "q44_cosine_topk": _q44_oracle(),
+            "q45_embedding_near_dups": _q45_oracle(),
+            "q46_ivf_topk": _q46_oracle(),
         }
     )
     return out

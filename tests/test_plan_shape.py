@@ -90,6 +90,31 @@ def test_broadcast_join_when_requested(spark, small_world):
     assert "BroadcastHashJoin" in plan
 
 
+def test_ivf_centroid_pick_is_takeordered(spark, small_world):
+    """IVF centroid selection must be TakeOrdered (per-partition heaps over
+    n_lists winners), NEVER an unpartitioned global-sort window — the old
+    Window.orderBy(hash) shape funneled the whole table into one task."""
+    from ovalspark.operators.similarity import ivf_assign
+
+    _, _, docs, _ = small_world
+    emb = docs.select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: (F.pmod(F.xxhash64("doc_id", i), F.lit(1000)) / 500.0 - 1.0).cast("float"),
+        ).alias("embedding"),
+    )
+    cents, assigned = ivf_assign(emb, n_lists=8)
+    plan = _plan(cents)
+    assert "TakeOrderedAndProject" in plan, plan
+    # the window (list_id numbering) must run over the 8 winners only —
+    # downstream of the TakeOrdered, never over the full table
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan
+    # and no full-table single-partition exchange feeding a global sort
+    head = plan[plan.index("TakeOrderedAndProject") :]
+    assert "Exchange SinglePartition" not in head, plan
+
+
 def test_salted_uniqueness_two_phase(spark, small_world):
     """Salted path must contain the two-phase aggregate (partial on
     (key, salt), final on key)."""
