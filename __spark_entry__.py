@@ -497,11 +497,21 @@ _Q28_ORACLE = """
 # --- non-SQL-expressible operators (rows-only driver check) ----------------
 
 
+_Q40_DIR = "/tmp/ovalspark_oracle/q40"
+_Q40_VERSION = "v1"  # bump when the generation/corruption recipe changes
+
+
 def _q40_span_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship validator over interleaved docs derived from sf_dir's
-    flat documents table (xxhash64-based regeneration — not expressible in
-    DuckDB, covered instead by the corruption-injection pytest suite)."""
+    flat documents table. The expected-span regeneration is xxhash64-based
+    (not expressible in DuckDB), so the query MATERIALIZES its inputs —
+    catalog, actual spans (flat), expected spans (flat) — to parquet and
+    the oracle recomputes the violation rows from those files with portable
+    SQL: DuckDB checks the validator itself, not just its row count."""
+    import os
+
     from ovalspark.datagen import GenSpec, catalog_from_flat, generate_documents, inject_faults
+    from ovalspark.functions import spans as sp
     from ovalspark.operators import check_existence, validate_spans
 
     flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -510,8 +520,147 @@ def _q40_span_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = generate_documents(cat, spec)
     bad, _ = inject_faults(docs, cat, spec, {"WRONG_KIND": 0.02, "STALE_GENERATION": 0.02, "LOST_DOC": 0.02})
     bad = bad.localCheckpoint()  # see entry(): avoid re-expanding generator exprs
+
+    # materialize the oracle's inputs once per (version, sf_dir) — the whole
+    # pipeline is deterministic, so re-deriving produces identical bytes and
+    # the skip only avoids flagship-benchmark IO on repeated runs
+    marker, want = f"{_Q40_DIR}/marker.txt", f"{_Q40_VERSION}:{sf_dir}"
+    have = open(marker).read() if os.path.exists(marker) else None
+    if have != want:
+        cat.write.mode("overwrite").parquet(f"{_Q40_DIR}/catalog")
+        bad.select(
+            "partition_id",
+            "doc_id",
+            F.col("writer_id").alias("doc_writer_id"),
+            "written_at",
+            F.size("spans").alias("n_actual"),
+            F.posexplode_outer("spans").alias("span_idx", "s"),
+        ).select(
+            "partition_id",
+            "doc_id",
+            "doc_writer_id",
+            "written_at",
+            "n_actual",
+            "span_idx",
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.offset").alias("span_offset"),
+        ).write.mode("overwrite").parquet(f"{_Q40_DIR}/actual")
+        erows = cat.filter(F.col("exists")).select(
+            "doc_id",
+            "generation",
+            "writer_id",
+            F.posexplode(F.sequence(F.lit(0), F.col("n_spans") - 1)).alias("_", "span_idx"),
+        )
+        i = F.col("span_idx")
+        ekind = sp.span_kind(F.col("doc_id"), i)
+        erows.select(
+            "doc_id",
+            i.cast("int").alias("span_idx"),
+            ekind.alias("kind"),
+            sp.span_text(F.col("doc_id"), F.col("generation"), F.col("writer_id"), i).alias("text"),
+            sp.span_media_ref(F.col("doc_id"), i, ekind, spec.n_assets).alias("media_ref"),
+            (i * sp.SPAN_UNIT).cast("int").alias("span_offset"),
+        ).write.mode("overwrite").parquet(f"{_Q40_DIR}/expected")
+        os.makedirs(_Q40_DIR, exist_ok=True)
+        with open(marker, "w") as f:
+            f.write(want)
+
     v = validate_spans(bad, cat, spec.n_assets, broadcast_catalog=True).unionByName(check_existence(bad, cat))
-    return v.orderBy("partition_id", "doc_id", "span_idx", "field")
+    return v.select(
+        "partition_id",
+        "doc_id",
+        "span_idx",
+        "field",
+        "expected",
+        "actual",
+        "violation_class",
+        "writer_id",
+        F.date_format("written_at", "yyyy-MM-dd HH:mm:ss").alias("written_at"),
+    ).orderBy("partition_id", "doc_id", "span_idx", "field")
+
+
+def _q40_oracle() -> str:
+    """Independent DuckDB recomputation of the q40 violation rows from the
+    parquet the query materializes (see _q40_span_validation). Mirrors
+    ovalspark/operators/spans.py: size check on the doc level, field-by-
+    field span comparison on the common prefix (struct fields + fixed-width
+    text segments + whole-text fallback) and the existence anti-joins."""
+    d = _Q40_DIR
+    seg = {
+        "key": ("substr({t}, 1, 12)", "WRONG_TEXT"),
+        "generation": ("substr({t}, 14, 8)", "STALE_GENERATION"),
+        "writer_id": ("substr({t}, 23, 4)", "WRONG_WRITER"),
+        "offset_text": ("substr({t}, 28, 8)", "OFFSET_DISORDER"),
+        "body": ("substr({t}, 37, 32)", "WRONG_TEXT"),
+    }
+    seg_branches = "\n    UNION ALL\n".join(
+        f"""    SELECT partition_id, doc_id, span_idx, '{name}' AS field,
+           {expr.format(t="etext")} AS expected, {expr.format(t="atext")} AS actual,
+           '{cls}' AS violation_class, writer_id, written_at
+    FROM j WHERE atext IS DISTINCT FROM etext
+      AND {expr.format(t="atext")} IS DISTINCT FROM {expr.format(t="etext")}"""
+        for name, (expr, cls) in seg.items()
+    )
+    all_segs_equal = " AND ".join(
+        f"{expr.format(t='atext')} IS NOT DISTINCT FROM {expr.format(t='etext')}"
+        for expr, _ in seg.values()
+    )
+    return f"""
+    WITH cat AS (SELECT * FROM read_parquet('{d}/catalog/*.parquet')),
+    cate AS (SELECT * FROM cat WHERE "exists"),
+    act AS (SELECT * FROM read_parquet('{d}/actual/*.parquet')),
+    exp AS (SELECT * FROM read_parquet('{d}/expected/*.parquet')),
+    docs AS (
+      SELECT doc_id, ANY_VALUE(partition_id) AS partition_id,
+             ANY_VALUE(doc_writer_id) AS doc_writer_id,
+             ANY_VALUE(n_actual) AS n_actual,
+             strftime(ANY_VALUE(written_at), '%Y-%m-%d %H:%M:%S') AS written_at
+      FROM act GROUP BY doc_id),
+    j AS (
+      SELECT a.partition_id, a.doc_id, a.span_idx,
+             a.kind AS akind, a.text AS atext, a.media_ref AS amref, a.span_offset AS aoff,
+             e.kind AS ekind, e.text AS etext, e.media_ref AS emref, e.span_offset AS eoff,
+             c.writer_id,
+             strftime(a.written_at, '%Y-%m-%d %H:%M:%S') AS written_at
+      FROM act a
+        JOIN cate c USING (doc_id)
+        JOIN exp e ON e.doc_id = a.doc_id AND e.span_idx = a.span_idx
+      WHERE a.span_idx IS NOT NULL AND a.span_idx < c.n_spans)
+    SELECT d.partition_id, d.doc_id, CAST(NULL AS INTEGER) AS span_idx, 'n_spans' AS field,
+           CAST(c.n_spans AS VARCHAR) AS expected, CAST(d.n_actual AS VARCHAR) AS actual,
+           'SIZE_MISMATCH' AS violation_class, c.writer_id, d.written_at
+    FROM docs d JOIN cate c USING (doc_id) WHERE d.n_actual <> c.n_spans
+    UNION ALL
+    SELECT partition_id, doc_id, span_idx, 'kind', ekind, akind,
+           'WRONG_KIND', writer_id, written_at
+    FROM j WHERE akind IS DISTINCT FROM ekind
+    UNION ALL
+    SELECT partition_id, doc_id, span_idx, 'media_ref', emref, amref,
+           'WRONG_MEDIA_REF', writer_id, written_at
+    FROM j WHERE amref IS DISTINCT FROM emref
+    UNION ALL
+    SELECT partition_id, doc_id, span_idx, 'offset',
+           CAST(eoff AS VARCHAR), CAST(aoff AS VARCHAR),
+           'OFFSET_DISORDER', writer_id, written_at
+    FROM j WHERE aoff IS DISTINCT FROM eoff
+    UNION ALL
+{seg_branches}
+    UNION ALL
+    SELECT partition_id, doc_id, span_idx, 'text', etext, atext,
+           'WRONG_TEXT', writer_id, written_at
+    FROM j WHERE atext IS DISTINCT FROM etext AND {all_segs_equal}
+    UNION ALL
+    SELECT c.partition_id, c.doc_id, CAST(NULL AS INTEGER), 'existence',
+           'present', 'missing', 'LOST_DOC', c.writer_id, CAST(NULL AS VARCHAR)
+    FROM cate c LEFT JOIN docs dd USING (doc_id) WHERE dd.doc_id IS NULL
+    UNION ALL
+    SELECT dd.partition_id, dd.doc_id, CAST(NULL AS INTEGER), 'existence',
+           'missing', 'present', 'PHANTOM_DOC', dd.doc_writer_id, dd.written_at
+    FROM docs dd LEFT JOIN cate c USING (doc_id) WHERE c.doc_id IS NULL
+    ORDER BY partition_id, doc_id, span_idx, field
+"""
 
 
 def _q41_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -521,11 +670,97 @@ def _q41_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=8).orderBy("id_a", "id_b")
 
 
+_Q41_ORACLE = """
+    -- SimHash twin of ovalspark.operators.dedup.simhash_fingerprints: per
+    -- token h = first 16 hex of md5 as uint64, TF-weighted ±1 votes per
+    -- bit, fp = sign vector (two's-complement int64); candidates from 16-bit
+    -- bands, verified by bit_count(xor) — all integer-exact cross-engine.
+    -- (The pandas-UDF side skips empty texts; the testdata has none.)
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks),
+    votes AS (
+      SELECT doc_id, g.b,
+             SUM(CASE WHEN (h >> CAST(g.b AS UBIGINT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+      FROM th CROSS JOIN generate_series(0, 63) AS g(b)
+      GROUP BY doc_id, g.b),
+    fps AS (
+      SELECT doc_id,
+             CAST(CASE WHEN s >= 9223372036854775808::HUGEINT
+                       THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS simhash
+      FROM (SELECT doc_id,
+                   SUM(CASE WHEN vote > 0 THEN CAST(power(2, b) AS HUGEINT) ELSE 0::HUGEINT END) AS s
+            FROM votes GROUP BY doc_id)),
+    banded AS (
+      SELECT doc_id, simhash,
+             unnest([ ((simhash >> 0)  & 65535) + 0,
+                      ((simhash >> 16) & 65535) + 65536,
+                      ((simhash >> 32) & 65535) + 131072,
+                      ((simhash >> 48) & 65535) + 196608 ]) AS band
+      FROM fps),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.simhash AS fp_a, b.simhash AS fp_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id)
+    SELECT id_a, id_b, bit_count(xor(fp_a, fp_b)) AS hamming
+    FROM pairs WHERE bit_count(xor(fp_a, fp_b)) <= 8
+    ORDER BY id_a, id_b
+"""
+
+
 def _q42_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ovalspark.operators.dedup import minhash_duplicates
 
     docs = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return minhash_duplicates(docs, "doc_id", "text", jaccard_threshold=0.5).orderBy("id_a", "id_b")
+
+
+def _q42_oracle(n_hashes: int = 12, bands: int = 4, threshold: float = 0.5) -> str:
+    """DuckDB twin of dedup.minhash_duplicates: the same md5-based hash
+    family, band fingerprints, bucket self-join and exact-Jaccard verify."""
+    from ovalspark.operators.dedup import _MH_P, _mh_coeffs
+
+    rpb = n_hashes // bands
+    mins = ",\n             ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {_MH_P})) AS mh{k}"
+        for k, (a, b) in ((k, _mh_coeffs(k)) for k in range(n_hashes))
+    )
+    band_exprs = ",\n                      ".join(
+        "md5("
+        + f"{b}::VARCHAR"
+        + "".join(f" || ',' || mh{b * rpb + r}::VARCHAR" for r in range(rpb))
+        + ")"
+        for b in range(bands)
+    )
+    return f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    s AS (SELECT doc_id,
+                 list_distinct(list_transform(generate_series(1, len(words) - 1),
+                                              i -> words[i] || ' ' || words[i + 1])) AS sh
+          FROM w),
+    s2 AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+    hb AS (SELECT doc_id,
+                  list_transform(sh, x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % {_MH_P}) AS hs
+           FROM s2),
+    sig AS (SELECT doc_id,
+             {mins}
+            FROM hb),
+    banded AS (
+      SELECT doc_id,
+             unnest([ {band_exprs} ]) AS band
+      FROM sig),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.doc_id < b.doc_id)
+    SELECT p.id_a, p.id_b,
+           len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(sa.sh || sb.sh)) AS jaccard
+    FROM pairs p
+      JOIN s2 sa ON sa.doc_id = p.id_a
+      JOIN s2 sb ON sb.doc_id = p.id_b
+    WHERE len(list_intersect(sa.sh, sb.sh)) / len(list_distinct(sa.sh || sb.sh)) >= {threshold}
+    ORDER BY id_a, id_b
+"""
 
 
 def _q43_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -722,6 +957,9 @@ def oracle_sql() -> dict[str, str]:
             "q26_rolling_hash": _Q26_ORACLE,
             "q27_knn_int_dot": _Q27_ORACLE,
             "q28_embedding_stats": _Q28_ORACLE,
+            "q40_span_validation": _q40_oracle(),
+            "q41_simhash_near_dups": _Q41_ORACLE,
+            "q42_minhash_near_dups": _q42_oracle(),
             "q43_ann_lsh": _q43_oracle(),
             "q44_cosine_topk": _q44_oracle(),
             "q45_embedding_near_dups": _q45_oracle(),

@@ -96,12 +96,22 @@ def main() -> int:
                 "validation_docs_per_sec": docs_per_sec,
                 # measured offline on the 2.1M-doc bucketed world via
                 # tools/bench_validation.py (fresh JVM per point; full
-                # methodology + hardware-ceiling control in BASELINE.md)
+                # methodology + hardware-ceiling control in BASELINE.md).
+                # Efficiencies are keyed by methodology and each is
+                # consistent with its own seconds series: best-of pairs
+                # mins across sessions, matched uses one session (A).
                 "scaling": {
                     "docs": 2091405,
-                    "seconds_best_of_3_sessions": {"2": 121.6, "8": 37.91, "32": 32.22},
-                    "efficiency_2_to_8": 0.80,
-                    "efficiency_8_to_32": 0.42,
+                    "best_of_3_sessions": {
+                        "seconds": {"2": 121.6, "8": 37.91, "32": 32.22},
+                        "efficiency_2_to_8": 0.80,
+                        "efficiency_8_to_32": 0.29,
+                    },
+                    "session_matched": {
+                        "seconds": {"2": 182.86, "8": 54.05, "32": 32.22},
+                        "efficiency_2_to_8": 0.85,
+                        "efficiency_8_to_32": 0.42,
+                    },
                     "hardware_control_efficiency_8_to_32": 0.61,
                 },
             }
