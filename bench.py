@@ -96,23 +96,30 @@ def main() -> int:
                 "validation_docs_per_sec": docs_per_sec,
                 # measured offline on the 2.1M-doc bucketed world via
                 # tools/bench_validation.py (fresh JVM per point; full
-                # methodology + hardware-ceiling control in BASELINE.md).
-                # Efficiencies are keyed by methodology and each is
-                # consistent with its own seconds series: best-of pairs
-                # mins across sessions, matched uses one session (A).
+                # round-2 diagnosis chain — file explosion, G1 cliff,
+                # Formatter — plus ceilings in BASELINE.md). Efficiencies
+                # are keyed by methodology, each consistent with its own
+                # seconds series.
                 "scaling": {
                     "docs": 2091405,
-                    "best_of_3_sessions": {
-                        "seconds": {"2": 121.6, "8": 37.91, "32": 32.22},
-                        "efficiency_2_to_8": 0.80,
-                        "efficiency_8_to_32": 0.29,
+                    "best_of_2_sessions": {
+                        "seconds": {"1": 56.42, "4": 21.48, "8": 16.27, "32": 18.03},
+                        "efficiency_1_to_4": 0.66,
+                        "efficiency_8_to_32": 0.23,
                     },
                     "session_matched": {
-                        "seconds": {"2": 182.86, "8": 54.05, "32": 32.22},
-                        "efficiency_2_to_8": 0.85,
-                        "efficiency_8_to_32": 0.42,
+                        "seconds": {"1": 80.85, "4": 27.63, "8": 21.15, "32": 21.02},
+                        "efficiency_1_to_4": 0.73,
+                        "efficiency_8_to_32": 0.25,
                     },
-                    "hardware_control_efficiency_8_to_32": 0.61,
+                    "controls": {
+                        "compute_xxhash64_seconds": {"1": 34.79, "4": 9.21, "8": 4.91, "32": 2.09},
+                        "compute_efficiency_1_to_4": 0.94,
+                        "compute_efficiency_8_to_32": 0.59,
+                        "allocation_string_regen_efficiency_8_to_32": 0.41,
+                    },
+                    "round1_best_docs_per_sec": {"8": 55169, "32": 64904},
+                    "round2_best_docs_per_sec": {"8": 128541, "32": 116003},
                 },
             }
         )

@@ -47,6 +47,10 @@ def parse_fault_mix(s: str) -> dict[str, float]:
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="ovalspark")
+    # plain|json event lines on stderr (U7; oval logger.go:17-42 analog) —
+    # stdout stays the machine report channel
+    p.add_argument("--log-format", choices=("plain", "json"), default="plain")
+    p.add_argument("--log-level", choices=("debug", "info", "warn", "error"), default="info")
     sub = p.add_subparsers(dest="cmd", required=True)
 
     g = sub.add_parser("generate", help="materialize a synthetic world (catalog+documents+assets)")
@@ -80,8 +84,10 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    from ovalspark.logging import RunLogger
     from ovalspark.session import get_spark
 
+    log = RunLogger(fmt=args.log_format, level=args.log_level)
     spark = get_spark(app_name=f"ovalspark-{args.cmd}")
     if args.cmd == "generate":
         from ovalspark.datagen import GenSpec, generate_assets, generate_catalog, generate_documents, inject_faults
@@ -101,7 +107,9 @@ def main(argv: list[str] | None = None) -> int:
         docs = generate_documents(cat, spec)
         if args.faults or args.phantom_fraction:
             docs, _ = inject_faults(docs, cat, spec, args.faults, args.phantom_fraction)
+        log.info("generate.start", root=args.root, shards=spec.n_shards, docs_per_writer=spec.docs_per_writer)
         TableSet(docs=docs, catalog=cat, assets=generate_assets(spark, spec)).save(args.root)
+        log.info("generate.done", root=args.root)
         print(json.dumps({"generated": args.root, "shards": spec.n_shards}))
         return 0
 
@@ -121,7 +129,7 @@ def main(argv: list[str] | None = None) -> int:
         try:
             res = run_plan(
                 plan, ts.docs, ts.catalog, ts.assets, args.out, manifest,
-                run_id=args.run_id, fail_fast=args.fail_fast,
+                run_id=args.run_id, fail_fast=args.fail_fast, logger=log,
             )
         except ValidationFailure as e:
             print(json.dumps({"passed": False, "aborted": str(e)}))

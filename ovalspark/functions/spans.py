@@ -59,6 +59,15 @@ DEFAULT_N_ASSETS = 1 << 16
 MAX_DOC_ID = (1 << 40) - 1  # 10 hex digits — the fixed-width key contract
 
 
+def hexpad(col: Column, width: int) -> Column:
+    """Lowercase zero-padded hex: the ``format_string("%0Nx")`` twin
+    WITHOUT java.util.Formatter (which re-parses its pattern per call).
+    Every clean span pays this on the validator fast path; swapping it in
+    measured ~9% off the whole validator (BASELINE.md round 2). ``hex`` of
+    a negative long is two's-complement 16 digits, exactly like %x."""
+    return F.lpad(F.lower(F.hex(col)), width, "0")
+
+
 def doc_key(id_col: Column) -> Column:
     """int64 doc id -> 12-char key ``"ov" + %010x`` (oval key codec,
     ``internal/object/object.go:48-50``; MaxKeyLength=12 at :13-19).
@@ -67,7 +76,7 @@ def doc_key(id_col: Column) -> Column:
     past 12 chars and breaks every fixed-width consumer — same implicit
     bound as oval's key layout. ``GenSpec`` enforces it structurally
     (runner<8 bits, writer<8 bits, seq<24 bits)."""
-    return F.format_string("ov%010x", id_col)
+    return F.concat(F.lit("ov"), hexpad(id_col, 10))
 
 
 def parse_doc_key(key_col: Column) -> Column:
@@ -113,7 +122,7 @@ def span_media_ref(doc_id: Column, span_idx: Column, kind: Column, n_assets: int
     """Referential pointer into the asset catalog for media spans; null
     for text spans (the bucket-name-in-unit analog, pattern.go:140-143:
     a field whose expected value is knowable from context)."""
-    ref = F.format_string("asset-%06x", F.pmod(F.xxhash64(doc_id, span_idx, F.lit(_SEED_ASSET)), F.lit(n_assets)))
+    ref = F.concat(F.lit("asset-"), hexpad(F.pmod(F.xxhash64(doc_id, span_idx, F.lit(_SEED_ASSET)), F.lit(n_assets)), 6))
     return F.when(kind != "text", ref)
 
 
@@ -122,19 +131,22 @@ def span_body(doc_id: Column, span_idx: Column) -> Column:
     (pattern.go:109-114). Function of (doc_id, span_idx) only, like the
     ramp is a function of the byte index only."""
     return F.concat(
-        F.format_string("%016x", F.xxhash64(doc_id, span_idx, F.lit(_SEED_BODY))),
-        F.format_string("%016x", F.xxhash64(doc_id, span_idx, F.lit(_SEED_BODY + 1))),
+        hexpad(F.xxhash64(doc_id, span_idx, F.lit(_SEED_BODY)), 16),
+        hexpad(F.xxhash64(doc_id, span_idx, F.lit(_SEED_BODY + 1)), 16),
     )
 
 
 def span_text(doc_id: Column, generation: Column, writer_id: Column, span_idx: Column) -> Column:
-    """The full 68-char span payload (header + body) — see module doc."""
-    return F.format_string(
-        "%s|%08x|%04x|%08x|%s",
+    """The full 68-char span payload (header + body) — see module doc.
+    Built from concat + hexpad, not format_string: the validator evaluates
+    this once per span on its fast path; dropping Formatter's per-call
+    pattern parse measured ~9% on the whole validator (BASELINE.md)."""
+    return F.concat_ws(
+        "|",
         doc_id,
-        generation.cast("long"),
-        writer_id.cast("long"),
-        (span_idx * SPAN_UNIT).cast("long"),
+        hexpad(generation.cast("long"), 8),
+        hexpad(writer_id.cast("long"), 4),
+        hexpad((span_idx * SPAN_UNIT).cast("long"), 8),
         span_body(doc_id, span_idx),
     )
 

@@ -91,10 +91,16 @@ def run_plan(
     manifest_path: str,
     run_id: str = "run-0",
     fail_fast: bool = False,
+    logger=None,
 ) -> RunResult:
+    import time
+
     from pyspark.errors import AnalysisException
     from pyspark.sql import Observation
 
+    from ovalspark.logging import NullLogger
+
+    log = logger if logger is not None else NullLogger()
     manifest = Manifest.load_or_create(manifest_path, run_id=run_id)
     all_parts = sorted(r.partition_id for r in catalog.select("partition_id").distinct().collect())
 
@@ -127,7 +133,10 @@ def run_plan(
     for c in plan.constraints:
         todo = todo_by_constraint[c.name]
         if not todo:
+            log.debug("constraint.skip", name=c.name, version=c.version, reason="all partitions done")
             continue
+        t0 = time.perf_counter()
+        log.info("constraint.start", name=c.name, version=c.version, partitions=len(todo))
         if c.partition_local and todo != all_parts:
             d_in = docs.filter(F.col("partition_id").isin(todo))
             c_in = catalog.filter(F.col("partition_id").isin(todo))
@@ -198,7 +207,17 @@ def run_plan(
         # only the partitions validated in THIS pass count toward fail-fast
         # (the read-back includes previously-written partitions on resume)
         new_viols = sum(vcounts.get(p, 0) for p in todo)
+        log.info(
+            "constraint.done",
+            name=c.name,
+            version=c.version,
+            partitions=len(todo),
+            violations=new_viols,
+            rows_scanned=observed.get("rows_scanned", 0),
+            seconds=round(time.perf_counter() - t0, 2),
+        )
         if fail_fast and new_viols > 0:
+            log.error("run.fail_fast", name=c.name, violations=new_viols)
             raise ValidationFailure(
                 f"constraint {c.name}@{c.version} found {new_viols} violations"
             )

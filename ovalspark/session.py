@@ -37,6 +37,13 @@ def get_spark(
         d = "/dev/shm/ovalspark-local"
         os.makedirs(d, exist_ok=True)
         extra_conf["spark.local.dir"] = d
+    # local mode: throughput GC. JDK17's default G1 collapses at high thread
+    # counts under this workload's allocation rate (span validator at
+    # local[32]: 36.4s G1 vs 13.7s ParallelGC, identical at local[8] —
+    # BASELINE.md round 2). A batch engine wants throughput collection, not
+    # G1's pause targets; clusters set executor JVM opts themselves.
+    if master.startswith("local") and "spark.driver.extraJavaOptions" not in extra_conf:
+        extra_conf["spark.driver.extraJavaOptions"] = "-XX:+UseParallelGC"
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

@@ -90,6 +90,22 @@ def test_broadcast_join_when_requested(spark, small_world):
     assert "BroadcastHashJoin" in plan
 
 
+def test_bucketed_write_is_one_file_per_bucket(spark, tmp_path):
+    """Regression: bucketBy WITHOUT a matching repartition writes
+    tasks × buckets files (measured ~12k 66KB files for 64 buckets); the
+    read side then pays ~12k file opens — a near-serial cost that capped
+    scan scaling at 0.26 efficiency 8→32. One file per bucket is the
+    multipart/file-sizing contract (oval s3client.go:164-236 analog)."""
+    import glob
+
+    spec = GenSpec(n_runners=1, n_writers=4, docs_per_writer=300, max_spans=6)
+    docs = generate_documents(generate_catalog(spark, spec), spec)
+    wh = str(tmp_path / "wh")
+    write_bucketed(docs, "t_onefile", wh, n_buckets=8)
+    files = [f for f in glob.glob(f"{wh}/t_onefile/part-*") if f.endswith(".parquet")]
+    assert len(files) == 8, sorted(files)
+
+
 def test_ivf_centroid_pick_is_takeordered(spark, small_world):
     """IVF centroid selection must be TakeOrdered (per-partition heaps over
     n_lists winners), NEVER an unpartitioned global-sort window — the old

@@ -33,6 +33,10 @@ sys.path.insert(0, "/root/repo")
 
 WAREHOUSE = "/tmp/ovalspark_wh"
 SHUFFLE_DIR = "/dev/shm/spark-local"
+# A bucketed scan is one task per bucket (files don't split). Measured:
+# 256 buckets was SLOWER than 64 at both 8 and 32 cores (more task/file
+# overhead than straggler amortization buys back on this memory-bound
+# workload) — keep 64.
 N_BUCKETS = 64
 
 # 64 shards x 40k docs ≈ 2.6M keyspace slots → ~2.1M existing docs,
@@ -97,6 +101,37 @@ def run(cpus: int) -> None:
     print(json.dumps({"cpus": cpus, "seconds": round(dt, 2), "docs": n_docs, "docs_per_sec": round(n_docs / dt, 1)}))
 
 
+def profile(cpus: int) -> None:
+    """Per-constraint wall time at local[cpus] — finds which constraint
+    limits the N→4N step (each timed standalone, then the union)."""
+    from ovalspark.operators import check_existence, check_partition_counts, check_uniqueness, validate_spans
+    from ovalspark.sources import CATALOG_DDL, DOCS_DDL, register_bucketed
+
+    spark = _session(cpus)
+    docs = register_bucketed(spark, "bench_docs", f"{WAREHOUSE}/bench_docs", DOCS_DDL, N_BUCKETS)
+    cat = register_bucketed(spark, "bench_catalog", f"{WAREHOUSE}/bench_catalog", CATALOG_DDL, N_BUCKETS)
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    parts = {
+        "span_sequence": lambda: validate_spans(docs, cat),
+        "existence": lambda: check_existence(docs, cat),
+        "partition_counts": lambda: check_partition_counts(docs, cat),
+        "uniqueness": lambda: check_uniqueness(docs, salted=False),
+    }
+    out = {"cpus": cpus}
+    for name, fn in parts.items():
+        t0 = time.perf_counter()
+        fn().write.format("noop").mode("overwrite").save()
+        out[name] = round(time.perf_counter() - t0, 2)
+    t0 = time.perf_counter()
+    v = parts["span_sequence"]()
+    for name in ("existence", "partition_counts", "uniqueness"):
+        v = v.unionByName(parts[name]())
+    v.write.format("noop").mode("overwrite").save()
+    out["union"] = round(time.perf_counter() - t0, 2)
+    print(json.dumps(out))
+
+
 def control(cpus: int) -> None:
     """Hardware ceiling: zero-IO, embarrassingly parallel JVM compute."""
     import pyspark.sql.functions as F
@@ -114,5 +149,7 @@ if __name__ == "__main__":
         prepare()
     elif cmd == "control":
         control(int(sys.argv[2]))
+    elif cmd == "profile":
+        profile(int(sys.argv[2]))
     else:
         run(int(sys.argv[2]))
