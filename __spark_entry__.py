@@ -716,6 +716,49 @@ def _q42_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_duplicates(docs, "doc_id", "text", jaccard_threshold=0.5).orderBy("id_a", "id_b")
 
 
+def _q47_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup GROUPS: minhash pairs → connected components →
+    one row per cluster. Members as a csv string (cross-engine list
+    rendering differs; a joined string hashes identically)."""
+    from ovalspark.operators.components import connected_components
+    from ovalspark.operators.dedup import minhash_duplicates
+
+    docs = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    pairs = minhash_duplicates(docs, "doc_id", "text", jaccard_threshold=0.5)
+    cc = connected_components(pairs)
+    return (
+        cc.groupBy("component")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.concat_ws(",", F.sort_array(F.collect_list("node"))).alias("members_csv"),
+        )
+        .orderBy("component")
+    )
+
+
+def _q47_oracle() -> str:
+    """Recursive-CTE twin: the q42 pair pipeline feeds min-label
+    propagation (every node's label set grows to its whole component via
+    the UNION fixpoint; MIN = the canonical representative)."""
+    pairs_body = _q42_oracle().replace("ORDER BY id_a, id_b", "")
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_body}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach AS (
+      SELECT node, node AS lbl FROM nodes
+      UNION
+      SELECT e.v AS node, r.lbl FROM reach r JOIN edges e ON e.u = r.node),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+    SELECT component, COUNT(*) AS n_members,
+           string_agg(node, ',' ORDER BY node) AS members_csv
+    FROM comp GROUP BY component ORDER BY component
+"""
+
+
 def _q42_oracle(n_hashes: int = 12, bands: int = 4, threshold: float = 0.5) -> str:
     """DuckDB twin of dedup.minhash_duplicates: the same md5-based hash
     family, band fingerprints, bucket self-join and exact-Jaccard verify."""
@@ -938,6 +981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q44_cosine_topk": _q44_cosine_topk,
             "q45_embedding_near_dups": _q45_embedding_near_dups,
             "q46_ivf_topk": _q46_ivf_topk,
+            "q47_dup_groups": _q47_dup_groups,
         }
     )
     return out
@@ -964,6 +1008,7 @@ def oracle_sql() -> dict[str, str]:
             "q44_cosine_topk": _q44_oracle(),
             "q45_embedding_near_dups": _q45_oracle(),
             "q46_ivf_topk": _q46_oracle(),
+            "q47_dup_groups": _q47_oracle(),
         }
     )
     return out

@@ -1,0 +1,111 @@
+"""Connected components over near-duplicate pair edges — dedup GROUPS.
+
+A real training-data dedup pipeline does not stop at candidate pairs:
+transitive near-duplicates (A~B, B~C) must collapse into ONE group so one
+canonical document survives. The reference has no analog (oval's keyspace
+is duplicate-free by construction, ``internal/object/object.go:57-69``);
+this is a pipeline-extension operator in the spirit of SURVEY.md §6.
+
+Algorithm: hash-min label propagation (the standard Spark formulation of
+connected components, cf. the large-star/small-star family of Kiveris et
+al., "Connected Components in MapReduce and Beyond", SoCC'14): every node
+starts labeled with itself; each round, every node adopts the minimum
+label in its closed neighborhood; repeat until no label changes. Rounds
+needed = O(diameter) for plain propagation — near-dup clusters are tiny
+and dense (diameter ≤ ~3), so 2-4 rounds in practice; ``max_iterations``
+bounds adversarial chains.
+
+Scale shape per round: one shuffle on node id for the (labels ⋈ edges)
+join + one groupBy(node).min(label) — both key-partitioned by node id,
+AQE-coalesced. Labels are ``localCheckpoint``ed per round: iterative
+self-referencing plans otherwise re-expand the whole previous round's
+lineage (the engine's measured trap #3, BASELINE.md). Convergence check
+is one small count per round — the only driver-side data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``; component =
+    the minimum node id reachable through the pair graph (deterministic
+    canonical representative, independent of partitioning/iteration order).
+    """
+    # undirected: symmetrize once; nodes = both endpoints
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        # min label over the closed neighborhood {node} ∪ neighbors(node)
+        neighbor_lbl = (
+            edges.join(labels.withColumnRenamed("node", "v"), "v")
+            .select(F.col("u").alias("node"), "component")
+        )
+        new_labels = (
+            labels.unionByName(neighbor_lbl)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def duplicate_groups(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Collapse near-dup pairs into groups: (component, n_members, members)
+    — one row per transitive duplicate cluster, members sorted for
+    deterministic output. The input is any (id_a, id_b) candidate-pair
+    table (minhash/simhash/embedding near-dups)."""
+    cc = connected_components(pairs, src, dst)
+    return (
+        cc.groupBy("component")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sort_array(F.collect_list("node")).alias("members"),
+        )
+    )
+
+
+def dedup_keep_canonical(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Filter ``docs`` to one canonical row per duplicate group (the
+    minimum id — the component label itself) plus every document that is
+    in no group. Anti-join against the non-canonical members: output size
+    = |docs| - (group members - groups), one broadcast-or-shuffle anti-join."""
+    cc = connected_components(pairs, src, dst)
+    losers = cc.filter(F.col("node") != F.col("component")).select(F.col("node").alias(id_col))
+    return docs.join(losers, id_col, "left_anti")

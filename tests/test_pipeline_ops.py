@@ -139,3 +139,33 @@ def test_ivf_topk_recall(spark, small_world):
     approx = [r.vec_id for r in ivf_topk(emb, list(q), k=10, n_lists=16, nprobe=6).collect()]
     assert approx[0] == exact[0]
     assert len(set(exact) & set(approx)) >= 4
+
+
+def test_connected_components_transitive_groups(spark):
+    """A~B, B~C must collapse into ONE group with the min id as canonical;
+    a long path exercises multi-round convergence."""
+    from ovalspark.operators.components import (
+        connected_components,
+        dedup_keep_canonical,
+        duplicate_groups,
+    )
+
+    pairs = spark.createDataFrame(
+        [("b", "a"), ("b", "c"), ("d", "e"), ("p1", "p2"), ("p2", "p3"), ("p3", "p4"), ("p4", "p5"), ("p5", "p6")],
+        "id_a string, id_b string",
+    )
+    cc = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert cc["a"] == cc["b"] == cc["c"] == "a"
+    assert cc["d"] == cc["e"] == "d"
+    assert all(cc[f"p{i}"] == "p1" for i in range(1, 7))  # 5-hop chain converges
+
+    groups = {r.component: (r.n_members, list(r.members)) for r in duplicate_groups(pairs).collect()}
+    assert groups["a"] == (3, ["a", "b", "c"])
+    assert groups["d"] == (2, ["d", "e"])
+    assert groups["p1"][0] == 6
+
+    docs = spark.createDataFrame(
+        [(x,) for x in ["a", "b", "c", "d", "e", "z"]], "doc_id string"
+    )
+    kept = sorted(r.doc_id for r in dedup_keep_canonical(docs, pairs).collect())
+    assert kept == ["a", "d", "z"]  # one canonical per group + untouched doc
