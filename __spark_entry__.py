@@ -949,6 +949,73 @@ def _q46_oracle(n_lists: int = 16, nprobe: int = 6, seed: int = 13) -> str:
 """
 
 
+def _q48_multimodal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal mapInPandas plumbing, value-checked: the synthetic media
+    payloads are concatenated md5 blocks (portable), and per-asset byte
+    sums are exact (numpy mean = sum/4096, a power-of-two division), so
+    DuckDB can rebuild every payload byte from md5 hex and verify the
+    Arrow-batched kernel's outputs integer-exactly. sf_dir unused — the
+    media table is synthesized (no media in the testdata)."""
+    from ovalspark.operators.multimodal import extract_features, generate_media_assets
+
+    assets = generate_media_assets(spark, 256)
+    feats = extract_features(assets)
+    return feats.select(
+        "asset_id",
+        "n_bytes",
+        F.round(F.col("mean_byte") * 4096).cast("long").alias("byte_sum"),
+    ).orderBy("asset_id")
+
+
+_Q48_ORACLE = """
+    WITH ids AS (SELECT unnest(generate_series(0, 255)) AS id),
+    blocks AS (SELECT id, unnest(generate_series(0, 255)) AS b FROM ids),
+    hexes AS (SELECT id, b, md5(id::VARCHAR || ':' || '42' || ':' || b::VARCHAR) AS h FROM blocks),
+    bytes AS (
+      SELECT id, unnest(list_transform(generate_series(1, 16),
+                                       i -> ('0x' || substr(h, 2 * i - 1, 2))::BIGINT)) AS byte
+      FROM hexes)
+    SELECT printf('asset-%06x', id) AS asset_id,
+           COUNT(*) AS n_bytes,
+           CAST(SUM(byte) AS BIGINT) AS byte_sum
+    FROM bytes GROUP BY id ORDER BY asset_id
+"""
+
+
+def _q49_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic lang-stratified curation sample: 50% of 'en', 10% of
+    everything else, decided per-key by content hash — reproducible on any
+    partitioning/engine and stable under appends."""
+    from ovalspark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(docs, "doc_id", "lang", {"en": 0.5}, default_rate=0.1).select(
+        "doc_id", "lang"
+    ).orderBy("doc_id")
+
+
+_Q49_ORACLE = """
+    SELECT doc_id, lang FROM documents
+    WHERE (('0x' || substr(md5('17:' || doc_id), 1, 15))::BIGINT % 1073741824) / 1073741824.0
+          < CASE WHEN lang = 'en' THEN 0.5 ELSE 0.1 END
+    ORDER BY doc_id
+"""
+
+
+def _q50_token_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ovalspark.operators.text import token_frequencies
+
+    docs = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return token_frequencies(docs, "text", k=50)
+
+
+_Q50_ORACLE = """
+    SELECT token, COUNT(*) AS freq
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token ORDER BY freq DESC, token LIMIT 50
+"""
+
+
 def _shared(name: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _load(spark, sf_dir, *_TABLES)
@@ -982,6 +1049,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q45_embedding_near_dups": _q45_embedding_near_dups,
             "q46_ivf_topk": _q46_ivf_topk,
             "q47_dup_groups": _q47_dup_groups,
+            "q48_multimodal_stats": _q48_multimodal_stats,
+            "q49_stratified_sample": _q49_stratified_sample,
+            "q50_token_heavy_hitters": _q50_token_heavy_hitters,
         }
     )
     return out
@@ -1009,6 +1079,9 @@ def oracle_sql() -> dict[str, str]:
             "q45_embedding_near_dups": _q45_oracle(),
             "q46_ivf_topk": _q46_oracle(),
             "q47_dup_groups": _q47_oracle(),
+            "q48_multimodal_stats": _Q48_ORACLE,
+            "q49_stratified_sample": _Q49_ORACLE,
+            "q50_token_heavy_hitters": _Q50_ORACLE,
         }
     )
     return out

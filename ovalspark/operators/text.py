@@ -133,6 +133,21 @@ def rolling_hash(text: Column, mod: int = (1 << 61) - 1) -> Column:
     return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, t: F.pmod(acc + t, F.lit(mod)))
 
 
+def token_frequencies(df: DataFrame, text_col: str = "text", k: int = 50) -> DataFrame:
+    """Exact top-k tokens by corpus frequency: explode → hash-aggregate
+    (map-side partial combine, so the shuffle carries one row per distinct
+    token per task) → TakeOrdered. The vocabulary is Zipf-shaped, so the
+    partial combine collapses most of the volume before the shuffle;
+    deterministic tie-break on the token itself."""
+    return (
+        df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(k)
+    )
+
+
 def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document profile with every signal above."""
     t = F.col(text_col)

@@ -169,3 +169,38 @@ def test_connected_components_transitive_groups(spark):
     )
     kept = sorted(r.doc_id for r in dedup_keep_canonical(docs, pairs).collect())
     assert kept == ["a", "d", "z"]  # one canonical per group + untouched doc
+
+
+def test_hash_sampling_deterministic_nested_stable(spark):
+    """Content-hash sampling: partition-layout independent, nested rates
+    are supersets, append-stable (old verdicts never change)."""
+    from ovalspark.operators.sampling import hash_sample, stratified_sample
+
+    df = spark.range(0, 2000).select(F.col("id").cast("string").alias("doc_id"))
+    s20 = {r.doc_id for r in hash_sample(df, "doc_id", 0.2).collect()}
+    s20_repart = {r.doc_id for r in hash_sample(df.repartition(13), "doc_id", 0.2).collect()}
+    assert s20 == s20_repart  # layout-independent
+    s10 = {r.doc_id for r in hash_sample(df, "doc_id", 0.1).collect()}
+    assert s10 <= s20  # nested rates are supersets
+    assert 0.05 < len(s10) / 2000 < 0.15 and 0.15 < len(s20) / 2000 < 0.25
+    bigger = spark.range(0, 4000).select(F.col("id").cast("string").alias("doc_id"))
+    s20b = {r.doc_id for r in hash_sample(bigger, "doc_id", 0.2).collect()}
+    assert s20 == {x for x in s20b if int(x) < 2000}  # append-stable
+
+    strat = spark.createDataFrame(
+        [(str(i), "en" if i % 2 else "de") for i in range(2000)], "doc_id string, lang string"
+    )
+    out = stratified_sample(strat, "doc_id", "lang", {"en": 0.5}, default_rate=0.05)
+    by_lang = {r.lang: r.n for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert 0.4 < by_lang["en"] / 1000 < 0.6
+    assert by_lang.get("de", 0) / 1000 < 0.12
+
+
+def test_token_frequencies_topk(spark):
+    from ovalspark.operators.text import token_frequencies
+
+    df = spark.createDataFrame(
+        [("a a a b b c",), ("a b d",)], "text string"
+    )
+    top = [(r.token, r.freq) for r in token_frequencies(df, "text", k=3).collect()]
+    assert top == [("a", 4), ("b", 3), ("c", 1)]  # freq desc, token tie-break
