@@ -113,10 +113,26 @@ def validate_spans(
     cat = catalog.filter(F.col("exists")).select("doc_id", "generation", "n_spans", "writer_id")
     if broadcast_catalog:
         cat = F.broadcast(cat)
-    j = docs.alias("d").join(cat.alias("c"), "doc_id")
+    j = docs.alias("d").join(cat.alias("c"), "doc_id").select(
+        "partition_id",
+        "doc_id",
+        F.col("d.spans").alias("spans"),
+        F.col("c.generation").alias("generation"),
+        F.col("c.n_spans").alias("n_spans"),
+        F.col("c.writer_id").alias("writer_id"),
+        "written_at",
+    )
+    return span_checks_joined(j, n_assets)
 
-    n_actual = F.size("d.spans")
-    n_expected = F.col("c.n_spans")
+
+def span_checks_joined(j: DataFrame, n_assets: int = sp.DEFAULT_N_ASSETS) -> DataFrame:
+    """The validator core over a PRE-JOINED frame with columns
+    (partition_id, doc_id, spans, generation, n_spans, writer_id,
+    written_at) — writer_id/generation/n_spans are the CATALOG's. Exposed
+    so the fused single-pass validator (operators/fused.py) can run the
+    same expressions on its one outer-join output without a second join."""
+    n_actual = F.size("spans")
+    n_expected = F.col("n_spans")
 
     # doc-level short-read / size check (pattern.go:123-127 analog)
     size_viol = j.filter(n_actual != n_expected).select(
@@ -127,7 +143,7 @@ def validate_spans(
         n_expected.cast("string").alias("expected"),
         n_actual.cast("string").alias("actual"),
         F.lit("SIZE_MISMATCH").alias("violation_class"),
-        F.col("c.writer_id").alias("writer_id"),
+        F.col("writer_id"),
         "written_at",
     )
 
@@ -136,11 +152,11 @@ def validate_spans(
         j.select(
             "partition_id",
             "doc_id",
-            F.col("c.generation").alias("generation"),
-            F.col("c.writer_id").alias("writer_id"),
+            "generation",
+            "writer_id",
             "written_at",
             n_expected.alias("n_expected"),
-            F.posexplode("d.spans").alias("i", "s"),
+            F.posexplode("spans").alias("i", "s"),
         )
         .filter(F.col("i") < F.col("n_expected"))
     )

@@ -1,0 +1,48 @@
+"""Fused single-pass validator: row-for-row equivalent to the union of the
+four standalone constraints (span_sequence + existence + partition_counts
++ uniqueness), on a world with every fault class injected."""
+
+from __future__ import annotations
+
+import pytest
+
+from ovalspark.datagen import inject_faults
+from ovalspark.operators import (
+    check_existence,
+    check_partition_counts,
+    check_uniqueness,
+    validate_spans,
+)
+from ovalspark.operators.fused import validate_all
+
+
+@pytest.fixture(scope="module")
+def corrupted(small_world):
+    spec, cat, docs, _ = small_world
+    fr = {
+        c: 0.03
+        for c in ("WRONG_KIND", "STALE_GENERATION", "SIZE_MISMATCH", "LOST_DOC", "DUP_DOC_ID", "WRONG_MEDIA_REF")
+    }
+    bad, _ = inject_faults(docs, cat, spec, fr, phantom_fraction=0.03)
+    return spec, cat, bad.localCheckpoint()
+
+
+def test_fused_equals_union_of_constraints(corrupted):
+    spec, cat, bad = corrupted
+    union = (
+        validate_spans(bad, cat, spec.n_assets)
+        .unionByName(check_existence(bad, cat))
+        .unionByName(check_partition_counts(bad, cat))
+        .unionByName(check_uniqueness(bad))
+    )
+    fused = validate_all(bad, cat, spec.n_assets)
+    assert fused.exceptAll(union).count() == 0
+    assert union.exceptAll(fused).count() == 0
+    # sanity: the world actually exercises every class
+    classes = {r.violation_class for r in fused.select("violation_class").distinct().collect()}
+    assert {"WRONG_KIND", "STALE_GENERATION", "SIZE_MISMATCH", "LOST_DOC", "PHANTOM_DOC", "DUP_DOC_ID", "COUNT_MISMATCH"} <= classes
+
+
+def test_fused_clean_world_is_empty(small_world):
+    spec, cat, docs, _ = small_world
+    assert validate_all(docs, cat, spec.n_assets).count() == 0

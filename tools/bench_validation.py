@@ -101,6 +101,23 @@ def run(cpus: int) -> None:
     print(json.dumps({"cpus": cpus, "seconds": round(dt, 2), "docs": n_docs, "docs_per_sec": round(n_docs / dt, 1)}))
 
 
+def run_fused(cpus: int) -> None:
+    """The single-pass fused validator on the same input — one full-outer
+    join feeds every constraint (operators/fused.py)."""
+    from ovalspark.operators.fused import validate_all
+    from ovalspark.sources import CATALOG_DDL, DOCS_DDL, register_bucketed
+
+    spark = _session(cpus)
+    docs = register_bucketed(spark, "bench_docs", f"{WAREHOUSE}/bench_docs", DOCS_DDL, N_BUCKETS)
+    cat = register_bucketed(spark, "bench_catalog", f"{WAREHOUSE}/bench_catalog", CATALOG_DDL, N_BUCKETS)
+    n_docs = docs.count()
+    spark.range(1000).selectExpr("sum(id)").collect()
+    t0 = time.perf_counter()
+    validate_all(docs, cat).write.format("noop").mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    print(json.dumps({"cpus": cpus, "mode": "fused", "seconds": round(dt, 2), "docs": n_docs, "docs_per_sec": round(n_docs / dt, 1)}))
+
+
 def profile(cpus: int) -> None:
     """Per-constraint wall time at local[cpus] — finds which constraint
     limits the N→4N step (each timed standalone, then the union)."""
@@ -151,5 +168,7 @@ if __name__ == "__main__":
         control(int(sys.argv[2]))
     elif cmd == "profile":
         profile(int(sys.argv[2]))
+    elif cmd == "fused":
+        run_fused(int(sys.argv[2]))
     else:
         run(int(sys.argv[2]))
