@@ -71,6 +71,11 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--resume", action="store_true", help="reuse an existing manifest (O3); without it a fresh run refuses to overwrite")
     v.add_argument("--fail-fast", action="store_true", help="abort on first dirty constraint (V12)")
     v.add_argument("--broadcast-catalog", action="store_true")
+    v.add_argument(
+        "--fused",
+        action="store_true",
+        help="single-pass mode: all core checks from one docs⋈catalog scan (throughput; partition-level resume)",
+    )
     v.add_argument("--run-id", default="run-0")
     v.add_argument(
         "--spans",
@@ -125,7 +130,7 @@ def main(argv: list[str] | None = None) -> int:
             print(f"manifest {manifest} exists; pass --resume to continue it", file=sys.stderr)
             return 2
         ts = TableSet.load(spark, args.root)
-        plan = default_plan(broadcast_catalog=args.broadcast_catalog, span_bounds=args.spans)
+        plan = default_plan(broadcast_catalog=args.broadcast_catalog, span_bounds=args.spans, fused=args.fused)
         try:
             res = run_plan(
                 plan, ts.docs, ts.catalog, ts.assets, args.out, manifest,

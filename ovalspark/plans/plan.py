@@ -55,22 +55,40 @@ def default_plan(
     broadcast_catalog: bool = False,
     include_referential: bool = True,
     span_bounds: tuple[int, int] | None = None,
+    fused: bool = False,
 ) -> ValidationPlan:
     """The full oval-parity plan: span-sequence + existence + counts +
     uniqueness (+ referential when an asset catalog is supplied,
-    + distribution drift when the generator's span bounds are known)."""
-    from ovalspark.operators.drift import check_distribution
+    + distribution drift when the generator's span bounds are known).
 
-    constraints = [
-        Constraint(
-            "span_sequence",
-            "1",
-            lambda d, c, a: validate_spans(d, c, n_assets, broadcast_catalog=broadcast_catalog),
-        ),
-        Constraint("existence", "1", lambda d, c, a: check_existence(d, c)),
-        Constraint("partition_counts", "1", lambda d, c, a: check_partition_counts(d, c)),
-        Constraint("uniqueness", "1", lambda d, c, a: check_uniqueness(d), partition_local=False),
-    ]
+    ``fused=True`` collapses the four core constraints into ONE
+    single-pass constraint (operators/fused.py) — same violation rows,
+    one input scan instead of four. Throughput mode; resume granularity
+    becomes (partition) for the fused block. Not partition_local: the
+    duplicate check must see every copy of a doc_id."""
+    from ovalspark.operators.drift import check_distribution
+    from ovalspark.operators.fused import validate_all
+
+    if fused:
+        constraints = [
+            Constraint(
+                "all_checks",
+                "1",
+                lambda d, c, a: validate_all(d, c, n_assets),
+                partition_local=False,
+            ),
+        ]
+    else:
+        constraints = [
+            Constraint(
+                "span_sequence",
+                "1",
+                lambda d, c, a: validate_spans(d, c, n_assets, broadcast_catalog=broadcast_catalog),
+            ),
+            Constraint("existence", "1", lambda d, c, a: check_existence(d, c)),
+            Constraint("partition_counts", "1", lambda d, c, a: check_partition_counts(d, c)),
+            Constraint("uniqueness", "1", lambda d, c, a: check_uniqueness(d), partition_local=False),
+        ]
     if include_referential:
         constraints.append(Constraint("referential", "1", lambda d, c, a: check_referential(d, a)))
     if span_bounds is not None:

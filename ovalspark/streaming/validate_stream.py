@@ -68,6 +68,24 @@ def validate_stream(
     return writer.start()
 
 
+def dedup_stream(
+    docs_stream: DataFrame,
+    text_col: str = "text",
+    time_col: str = "written_at",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup on ingest — the stream counterpart of
+    ``dedup.exact_duplicates``: md5 content fingerprint; one copy of each
+    distinct payload within the watermark survives (the first PROCESSED
+    copy — within a single micro-batch the survivor is unspecified, across
+    batches earlier batches win). ``dropDuplicatesWithinWatermark`` bounds
+    the dedup state by event time (a plain dropDuplicates keeps EVERY
+    fingerprint forever — unbounded state, the classic streaming-dedup
+    failure at scale)."""
+    fp = docs_stream.withColumn("_fp", F.md5(F.col(text_col)))
+    return fp.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(["_fp"]).drop("_fp")
+
+
 MONO_OUT_SCHEMA = "doc_id string, prev_generation int, generation int, violation_class string"
 MONO_STATE_SCHEMA = "max_generation int"
 

@@ -46,3 +46,22 @@ def test_fused_equals_union_of_constraints(corrupted):
 def test_fused_clean_world_is_empty(small_world):
     spec, cat, docs, _ = small_world
     assert validate_all(docs, cat, spec.n_assets).count() == 0
+
+
+def test_fused_plan_through_runner_matches_union_totals(corrupted, tmp_path):
+    """run_plan with the fused plan produces the same total violation count
+    and per-partition verdicts as the 4-constraint default plan."""
+    from ovalspark.plans import default_plan, run_plan
+
+    spec, cat, bad = corrupted
+    r_union = run_plan(
+        default_plan(spec.n_assets, include_referential=False),
+        bad, cat, None, str(tmp_path / "u"), str(tmp_path / "u.json"),
+    )
+    r_fused = run_plan(
+        default_plan(spec.n_assets, include_referential=False, fused=True),
+        bad, cat, None, str(tmp_path / "f"), str(tmp_path / "f.json"),
+    )
+    assert r_fused.verdicts == r_union.verdicts
+    union_total = sum(t["violations"] for t in r_union.totals.values())
+    assert r_fused.totals["all_checks"]["violations"] == union_total

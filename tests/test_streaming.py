@@ -81,3 +81,37 @@ def test_monotonic_generation_state(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 1
     assert rows[0].doc_id == "a" and rows[0].prev_generation == 3 and rows[0].generation == 2
+
+
+def test_dedup_stream_drops_repeats_within_watermark(spark, tmp_path):
+    """Exact streaming dedup: the first arrival of each distinct text
+    survives; byte-identical later copies are dropped; state is bounded by
+    the watermark (dropDuplicatesWithinWatermark, not dropDuplicates)."""
+    from ovalspark.streaming import dedup_stream
+
+    src, out, ckpt = str(tmp_path / "dd_src"), str(tmp_path / "dd_out"), str(tmp_path / "dd_ckpt")
+    rows1 = [("d1", "alpha", "2025-01-01 00:00:00"), ("d2", "beta", "2025-01-01 00:00:10")]
+    rows2 = [("d3", "alpha", "2025-01-01 00:00:20"), ("d4", "gamma", "2025-01-01 00:00:30")]
+    schema = "doc_id string, text string, ts string"
+
+    def run_batch(rows):
+        spark.createDataFrame(rows, schema).selectExpr(
+            "doc_id", "text", "CAST(ts AS TIMESTAMP) AS written_at"
+        ).write.mode("append").parquet(src)
+        stream = spark.readStream.schema("doc_id string, text string, written_at timestamp").parquet(src)
+        q = (
+            dedup_stream(stream, watermark="10 minutes")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_batch(rows1)  # batch 1: alpha + beta
+    run_batch(rows2)  # batch 2: duplicate alpha + new gamma
+    got = {(r.doc_id, r.text) for r in spark.read.parquet(out).collect()}
+    texts = sorted(t for _, t in got)
+    assert texts == ["alpha", "beta", "gamma"]  # one survivor per distinct text
+    assert ("d3", "alpha") not in got  # the later copy was the one dropped
