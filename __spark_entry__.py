@@ -841,25 +841,28 @@ def _q46_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --- DuckDB twins of the quantized similarity pipeline ----------------------
-# All ranking values are engine-exact integers: quantized unit vectors
-# (floor(q_i/||q||·1e6), every step deterministic IEEE-754) and md5-derived
-# hyperplane signs — see ovalspark/operators/similarity.py module doc.
+# All ranking values are engine-exact integers derived from three exact
+# integer sums (dot, n2a, n2b) over quantized components floor(x·1e6) and
+# md5-derived hyperplane signs — see ovalspark/operators/similarity.py.
 
 _EMB_DIMS = 64  # the testdata embeddings table dimension (TESTDATA.md)
 
-# shared CTE prefix: quantized components (v), unit vectors (u)
-_DUCK_UNIT_CTES = """
+# shared CTE prefix: quantized components (v) and their exact squared norm
+_DUCK_Q_CTES = """
     base AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
       FROM embeddings),
     normed AS (
-      SELECT vec_id, v, sqrt(list_sum(list_transform(v, y -> y * y))) AS nrm FROM base),
-    unitv AS (
-      SELECT vec_id, v,
-             list_transform(v, x -> CAST(floor(CAST(x AS DOUBLE) / nrm * 1000000) AS BIGINT)) AS u
-      FROM normed)
+      SELECT vec_id, v, list_sum(list_transform(v, y -> y * y)) AS n2 FROM base)
 """
+
+
+def _duck_cos_q(av: str, an2: str, bv: str, bn2: str) -> str:
+    """cos_q = floor(dot / (sqrt(n2a)·sqrt(n2b)) · 1e12) — same operation
+    order as similarity.cos_q_expr so rounding is identical."""
+    dot = f"list_sum(list_transform(list_zip({av}, {bv}), z -> z[1] * z[2]))"
+    return f"CAST(floor({dot} / (sqrt({an2}) * sqrt({bn2})) * 1000000000000.0) AS BIGINT)"
 
 
 def _duck_sig_expr(n_bits: int, seed: int = 7) -> str:
@@ -878,16 +881,13 @@ def _duck_sig_expr(n_bits: int, seed: int = 7) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-_DUCK_COS_Q = "CAST(list_sum(list_transform(list_zip({a}, {b}), z -> z[1] * z[2])) AS BIGINT)"
-
-
 def _q43_oracle() -> str:
     sig = _duck_sig_expr(12)
-    cos = _DUCK_COS_Q.format(a="s.u", b="q.u")
+    cos = _duck_cos_q("s.v", "s.n2", "q.v", "q.n2")
     return f"""
-    WITH {_DUCK_UNIT_CTES},
-    sigs AS (SELECT vec_id, u, {sig} AS sig FROM unitv),
-    q AS (SELECT u, sig FROM sigs WHERE vec_id = 0)
+    WITH {_DUCK_Q_CTES},
+    sigs AS (SELECT vec_id, v, n2, {sig} AS sig FROM normed),
+    q AS (SELECT v, n2, sig FROM sigs WHERE vec_id = 0)
     SELECT s.vec_id, {cos} AS cos_q
     FROM sigs s, q
     WHERE bit_count(xor(s.sig, q.sig)) <= 4
@@ -896,22 +896,22 @@ def _q43_oracle() -> str:
 
 
 def _q44_oracle() -> str:
-    cos = _DUCK_COS_Q.format(a="e.u", b="q.u")
+    cos = _duck_cos_q("e.v", "e.n2", "q.v", "q.n2")
     return f"""
-    WITH {_DUCK_UNIT_CTES},
-    q AS (SELECT u FROM unitv WHERE vec_id = 0)
+    WITH {_DUCK_Q_CTES},
+    q AS (SELECT v, n2 FROM normed WHERE vec_id = 0)
     SELECT e.vec_id, {cos} AS cos_q
-    FROM unitv e, q
+    FROM normed e, q
     ORDER BY cos_q DESC, e.vec_id LIMIT 10
 """
 
 
 def _q45_oracle() -> str:
     sig = _duck_sig_expr(8)
-    cos = _DUCK_COS_Q.format(a="a.u", b="b.u")
+    cos = _duck_cos_q("a.v", "a.n2", "b.v", "b.n2")
     return f"""
-    WITH {_DUCK_UNIT_CTES},
-    sigs AS (SELECT vec_id, u, {sig} AS sig FROM unitv)
+    WITH {_DUCK_Q_CTES},
+    sigs AS (SELECT vec_id, v, n2, {sig} AS sig FROM normed)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b, {cos} AS cos_q
     FROM sigs a JOIN sigs b ON a.sig = b.sig AND a.vec_id < b.vec_id
     WHERE {cos} >= 350000000000
@@ -920,26 +920,26 @@ def _q45_oracle() -> str:
 
 
 def _q46_oracle(n_lists: int = 16, nprobe: int = 6, seed: int = 13) -> str:
-    cos_ec = _DUCK_COS_Q.format(a="e.u", b="c.cu")
-    cos_cq = _DUCK_COS_Q.format(a="c.cu", b="q.u")
-    cos_eq = _DUCK_COS_Q.format(a="a.u", b="q.u")
+    cos_ec = _duck_cos_q("e.v", "e.n2", "c.cv", "c.cn2")
+    cos_cq = _duck_cos_q("c.cv", "c.cn2", "q.v", "q.n2")
+    cos_eq = _duck_cos_q("a.v", "a.n2", "q.v", "q.n2")
     return f"""
-    WITH {_DUCK_UNIT_CTES},
+    WITH {_DUCK_Q_CTES},
     ranked AS (
-      SELECT vec_id, u,
+      SELECT vec_id, v, n2,
              ('0x' || substr(md5(vec_id::VARCHAR || ':{seed}'), 1, 15))::BIGINT AS rk
-      FROM unitv),
+      FROM normed),
     cents AS (
-      SELECT row_number() OVER (ORDER BY rk, vec_id) - 1 AS list_id, u AS cu
+      SELECT row_number() OVER (ORDER BY rk, vec_id) - 1 AS list_id, v AS cv, n2 AS cn2
       FROM ranked ORDER BY rk, vec_id LIMIT {n_lists}),
     scored AS (
-      SELECT e.vec_id, e.u, c.list_id, {cos_ec} AS sim
-      FROM unitv e CROSS JOIN cents c),
+      SELECT e.vec_id, e.v, e.n2, c.list_id, {cos_ec} AS sim
+      FROM normed e CROSS JOIN cents c),
     assigned AS (
-      SELECT vec_id, u, list_id FROM (
+      SELECT vec_id, v, n2, list_id FROM (
         SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, list_id) AS rn
         FROM scored) WHERE rn = 1),
-    q AS (SELECT u FROM unitv WHERE vec_id = 0),
+    q AS (SELECT v, n2 FROM normed WHERE vec_id = 0),
     probe AS (
       SELECT c.list_id FROM cents c, q
       ORDER BY {cos_cq} DESC, c.list_id LIMIT {nprobe})

@@ -1,38 +1,47 @@
 """Similarity search over embedding columns (array<float>).
 
-- brute-force cosine top-k: the exactness baseline. Dot products via
-  ``F.zip_with`` + ``F.aggregate`` — pure columnar JVM math, one narrow
-  pass + a top-k (TakeOrdered, no full sort).
+- brute-force cosine top-k: the exactness baseline. Float dot products via
+  ``F.zip_with`` + ``F.aggregate`` — single-layer HOFs, one narrow pass +
+  a top-k (TakeOrdered, no full sort).
 - LSH-bucketed ANN: random-hyperplane signatures, bucket/hamming candidate
-  filter, exact re-rank inside buckets. The scale path: candidate count
-  drops exponentially with signature bits while recall is tunable.
+  filter, exact re-rank inside buckets.
 - IVF: deterministic centroid pick (TakeOrdered on a content hash — NOT a
-  global window), broadcast centroids, nearest-centroid assignment, probe
-  only nprobe lists at query time.
+  global window), nearest-centroid assignment, probe only nprobe lists.
 
-Cross-engine exactness (the DuckDB-oracle contract): every *ranking* value
-in the oracle-checked operators is computed over the QUANTIZED UNIT vector
-``u_i = floor( q_i / sqrt(sum q^2) * 1e6 )`` where ``q_i = floor(x_i*1e6)``
-is an exact int64. Each step is deterministic IEEE-754: int→double is exact
-below 2^53, sqrt and division are correctly rounded, and integer dot
-products of the results stay below 2^53 so even a DOUBLE-summing engine
-(DuckDB's list_sum) reproduces them bit-exactly. Hyperplane signs come from
-md5 (not xxhash64) so the "random" planes are derivable in any engine.
+Cross-engine exactness (the DuckDB-oracle contract): every ranking value
+is derived from THREE exact integer sums over the quantized components
+``q_i = floor(x_i * 1e6)``:
 
-The float-valued ``cosine``/``cosine_topk`` remain for users who want the
-real number; rankings agree with the quantized twin up to ~1e-6 ties.
+    dot = Σ a_i·b_i     n2a = Σ a_i²     n2b = Σ b_i²
+    cos_q = floor( dot / (sqrt(n2a) · sqrt(n2b)) · 1e12 )
+
+Every step is deterministic IEEE-754 (the sums are exact below 2^53 even
+in a DOUBLE-summing engine; int→double, sqrt, ·, / are correctly rounded;
+floor is exact), so Spark and DuckDB produce identical BIGINTs. Hyperplane
+signs come from md5 (derivable in any engine); a signature bit is the sign
+of an exact integer projection Σ sign_pd·q_d.
+
+Physical shape (the part that survives 100 TB): the per-row work is ONE
+``posexplode`` over the vector and ONE hash aggregation computing dot, n2
+and every signature projection together — whole-stage codegen end to end,
+with map-side partial combine so the shuffle carries one row per vector.
+The previous form nested the quantization HOFs (a transform whose lambda
+referenced an aggregate): Catalyst evaluates lambda-body subtrees per
+element, which measured **34× slower** than the float HOF baseline at
+200k×64 (BASELINE.md round 2); the flat form measured 3× FASTER than it.
 """
 
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-Q_SCALE = 1_000_000  # component quantization — also the unit-vector scale
-COS_SCALE = Q_SCALE * Q_SCALE  # quantized cosine ≈ cos * 1e12
+Q_SCALE = 1_000_000  # component quantization
+COS_SCALE = 1_000_000_000_000  # quantized cosine ≈ cos * 1e12
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -47,38 +56,122 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
-def quantized_unit(vec: Column, scale: int = Q_SCALE) -> Column:
-    """Engine-exact quantized unit vector (array<long>) — see module doc.
+def quant_py(vec: list[float], scale: int = Q_SCALE) -> list[int]:
+    """Driver-side quantized components for constant query vectors."""
+    return [math.floor(float(x) * scale) for x in vec]
 
-    u_i = floor( q_i / sqrt(sum_j q_j^2) * scale ),  q_i = floor(x_i*scale).
-    Every arithmetic step is deterministic IEEE-754, so Spark and DuckDB
-    produce identical integers for identical input floats.
+
+def quant(vec: Column, scale: int = Q_SCALE) -> Column:
+    """Quantized int64 components of a float vector (single-layer HOF —
+    fine for candidate-only verification; hot paths use the flat pass)."""
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * scale).cast("long"))
+
+
+def cos_q_expr(dot: Column, n2a: Column, n2b: Column) -> Column:
+    """floor(dot / (sqrt(n2a)·sqrt(n2b)) · 1e12) — engine-exact, see
+    module doc. Inputs are exact integer sums (as long or double <2^53)."""
+    denom = F.sqrt(n2a.cast("double")) * F.sqrt(n2b.cast("double"))
+    return F.floor(dot.cast("double") / denom * COS_SCALE).cast("long")
+
+
+def pair_cos_q(qa: Column, n2a: Column, qb: Column, n2b: Column) -> Column:
+    """Quantized cosine of two stored quantized-component arrays — used on
+    CANDIDATE pairs only (tiny), so the single-layer zip_with is fine."""
+    dot = F.aggregate(F.zip_with(qa, qb, lambda x, y: x * y), F.lit(0).cast("long"), lambda a, v: a + v)
+    return cos_q_expr(dot, n2a, n2b)
+
+
+def hyperplane_signs(n_bits: int, dims: int, seed: int = 7) -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix derived from md5 (portable: any
+    engine or language reproduces it). signs[p][d] = +1 iff the first byte
+    of md5("seed:p:d") is even. Tiny (n_bits×dims ints) — embedded as
+    literals, never shuffled or broadcast."""
+    return [
+        [
+            1 if hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()[0] % 2 == 0 else -1
+            for d in range(dims)
+        ]
+        for p in range(n_bits)
+    ]
+
+
+def hyperplane_signature_py(vec: list[float], dims: int, n_bits: int = 16, seed: int = 7) -> int:
+    """Driver-side signature for constant query vectors: bit p is the sign
+    of the exact integer projection Σ_d signs[p][d]·floor(vec_d·1e6)."""
+    signs = hyperplane_signs(n_bits, dims, seed)
+    qi = quant_py(vec)
+    sig = 0
+    for p in range(n_bits):
+        if sum(s * v for s, v in zip(signs[p], qi)) > 0:
+            sig |= 1 << p
+    return sig
+
+
+def embedding_scores(
+    df: DataFrame,
+    query: list[float] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_bits: int = 0,
+    seed: int = 7,
+    keep_quant: bool = False,
+    centroids: list[list[int]] | None = None,
+) -> DataFrame:
+    """The ONE flat pass every quantized operator shares: posexplode the
+    vector, quantize per component, and hash-aggregate per vector id —
+
+    - ``n2``: Σ q_i² (always)
+    - ``dot``: Σ q_i·query_q_i (when a query vector is given)
+    - ``sig``: the n_bits hyperplane signature (when n_bits > 0) — each bit
+      is the sign of one more SUM in the same aggregation
+    - ``dot_c{k}``: Σ q_i·centroid_k_i per centroid (when given) — the IVF
+      assignment scores, again in the same aggregation
+    - ``q``: the quantized component array itself (when ``keep_quant`` —
+      reassembled for candidate-pair verification)
+
+    Map-side partial combine collapses the exploded rows before the
+    shuffle, so the shuffle carries one row per vector regardless of dims.
     """
-    qi = F.transform(vec, lambda x: F.floor(x.cast("double") * scale).cast("long"))
-    n2 = F.aggregate(F.transform(qi, lambda v: v * v), F.lit(0).cast("long"), lambda a, v: a + v)
-    nrm = F.sqrt(n2.cast("double"))
-    return F.transform(qi, lambda v: F.floor(v.cast("double") / nrm * scale).cast("long"))
+    dims_src = df.select(F.size(vec_col).alias("d")).first()
+    dims = int(dims_src.d) if dims_src else 0
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(vec_col).alias("_i", "_x"),
+    ).select(
+        id_col,
+        "_i",
+        F.floor(F.col("_x").cast("double") * Q_SCALE).cast("long").alias("_q"),
+    )
+    aggs = [F.sum(F.col("_q") * F.col("_q")).alias("n2")]
+    if query is not None:
+        qlit = F.element_at(F.array(*[F.lit(v) for v in quant_py(query)]), F.col("_i") + 1)
+        aggs.append(F.sum(F.col("_q") * qlit).alias("dot"))
+    if n_bits > 0:
+        signs = hyperplane_signs(n_bits, dims, seed)
+        for p in range(n_bits):
+            smap = F.element_at(F.array(*[F.lit(v) for v in signs[p]]), F.col("_i") + 1)
+            aggs.append(F.sum(F.col("_q") * smap).alias(f"_proj{p}"))
+    if centroids is not None:
+        for k, c in enumerate(centroids):
+            cmap = F.element_at(F.array(*[F.lit(v) for v in c]), F.col("_i") + 1)
+            aggs.append(F.sum(F.col("_q") * cmap).alias(f"dot_c{k}"))
+    if keep_quant:
+        aggs.append(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_i", "_q"))), lambda s: s["_q"]
+            ).alias("q")
+        )
+    out = ex.groupBy(id_col).agg(*aggs)
+    if n_bits > 0:
+        sig = F.lit(0).cast("long")
+        for p in range(n_bits):
+            sig = sig + (F.col(f"_proj{p}") > 0).cast("long") * (1 << p)
+        out = out.withColumn("sig", sig).drop(*[f"_proj{p}" for p in range(n_bits)])
+    return out
 
 
-def quantized_unit_py(vec: list[float], scale: int = Q_SCALE) -> list[int]:
-    """Driver-side twin of ``quantized_unit`` for constant query vectors —
-    same arithmetic, so literals it produces match the column expression."""
-    import math
-
-    qi = [math.floor(float(x) * scale) for x in vec]
-    nrm = math.sqrt(float(sum(v * v for v in qi)))
-    return [math.floor(v / nrm * scale) for v in qi]
-
-
-def int_dot(a: Column, b: Column) -> Column:
-    """Exact int64 dot product of two array<long> columns."""
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0).cast("long"), lambda acc, v: acc + v)
-
-
-def cosine_q(a_vec: Column, b_unit: Column) -> Column:
-    """Quantized cosine (≈ cos·1e12) of a raw float vector against a
-    precomputed quantized unit vector — engine-exact int64."""
-    return int_dot(quantized_unit(a_vec), b_unit)
+def _query_n2(query: list[float]) -> int:
+    return sum(v * v for v in quant_py(query))
 
 
 def cosine_topk(
@@ -104,10 +197,13 @@ def cosine_topk_q(
 ) -> DataFrame:
     """Top-k by engine-exact quantized cosine (cos·1e12 as BIGINT) — the
     DuckDB-oracle-checked twin of ``cosine_topk``; rankings agree up to
-    quantization ties. Same TakeOrdered physical shape."""
-    qu = F.array(*[F.lit(v) for v in quantized_unit_py(query)])
-    scored = df.select(F.col(id_col), cosine_q(F.col(vec_col), qu).alias("cos_q"))
-    return scored.orderBy(F.desc("cos_q"), id_col).limit(k)
+    quantization ties. One flat pass + TakeOrdered."""
+    s = embedding_scores(df, query, id_col, vec_col)
+    return (
+        s.select(F.col(id_col), cos_q_expr(F.col("dot"), F.col("n2"), F.lit(_query_n2(query))).alias("cos_q"))
+        .orderBy(F.desc("cos_q"), id_col)
+        .limit(k)
+    )
 
 
 def int_dot_topk(
@@ -118,58 +214,14 @@ def int_dot_topk(
     vec_col: str = "embedding",
     scale: int = Q_SCALE,
 ) -> DataFrame:
-    """Top-k by integer-quantized dot product: floor(x*1e6) per component,
+    """Top-k by integer-quantized dot product: floor(x·1e6) per component,
     BIGINT products — bit-identical in any engine (the oracle variant).
     Ranking matches exact dot product up to quantization error."""
-    qi = [int(__import__("math").floor(x * scale)) for x in query]
+    qi = [int(math.floor(x * scale)) for x in query]
     q = F.array(*[F.lit(v) for v in qi])
     vi = F.transform(F.col(vec_col), lambda x: F.floor(x.cast("double") * scale).cast("long"))
     dot = F.aggregate(F.zip_with(vi, q, lambda x, y: x * y), F.lit(0).cast("long"), lambda a, v: a + v)
     return df.select(F.col(id_col), dot.alias("dot_q")).orderBy(F.desc("dot_q"), id_col).limit(k)
-
-
-def hyperplane_signs(n_bits: int, dims: int, seed: int = 7) -> list[list[int]]:
-    """Deterministic ±1 hyperplane matrix derived from md5 (portable: any
-    engine or language reproduces it). signs[p][d] = +1 iff the first byte
-    of md5("seed:p:d") is even. Tiny (n_bits×dims ints) — embedded as
-    literals, never shuffled or broadcast."""
-    return [
-        [
-            1 if hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()[0] % 2 == 0 else -1
-            for d in range(dims)
-        ]
-        for p in range(n_bits)
-    ]
-
-
-def hyperplane_signature_q(vec: Column, dims: int, n_bits: int = 16, seed: int = 7) -> Column:
-    """Random-hyperplane LSH signature as a long, computed over the exact
-    quantized int components so the sign of each projection — and therefore
-    the signature — is engine-exact (no float-accumulation-order hazard).
-
-    bit p = 1  iff  sum_d signs[p][d] * floor(vec[d]*1e6) > 0.
-    """
-    signs = hyperplane_signs(n_bits, dims, seed)
-    qi = F.transform(vec, lambda x: F.floor(x.cast("double") * Q_SCALE).cast("long"))
-    sig = F.lit(0).cast("long")
-    for p in range(n_bits):
-        s = F.array(*[F.lit(v) for v in signs[p]])
-        proj = int_dot(qi, s)
-        sig = sig + (proj > 0).cast("long") * (1 << p)
-    return sig
-
-
-def hyperplane_signature_py(vec: list[float], dims: int, n_bits: int = 16, seed: int = 7) -> int:
-    """Driver-side twin of ``hyperplane_signature_q`` for query vectors."""
-    import math
-
-    signs = hyperplane_signs(n_bits, dims, seed)
-    qi = [math.floor(float(x) * Q_SCALE) for x in vec]
-    sig = 0
-    for p in range(n_bits):
-        if sum(s * v for s, v in zip(signs[p], qi)) > 0:
-            sig |= 1 << p
-    return sig
 
 
 def ann_lsh_topk(
@@ -182,21 +234,18 @@ def ann_lsh_topk(
     max_hamming: int = 2,
     seed: int = 7,
 ) -> DataFrame:
-    """Approximate top-k: restrict the exact quantized-cosine re-rank to
-    vectors whose hyperplane signature is within ``max_hamming`` bits of
-    the query's. The query signature is a driver-computed constant, so the
-    candidate filter is one codegen'd bit_count predicate per row. At scale
-    the row signature is precomputed once (a stored column) and the filter
-    becomes a bucket join on banded signature prefixes."""
-    dims = len(query)
-    qsig = hyperplane_signature_py(query, dims, n_bits, seed)
-    qu = F.array(*[F.lit(v) for v in quantized_unit_py(query)])
-    sig = hyperplane_signature_q(F.col(vec_col), dims, n_bits, seed)
-    cands = df.select(F.col(id_col), F.col(vec_col), sig.alias("sig")).filter(
-        F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= max_hamming
-    )
+    """Approximate top-k: restrict the quantized-cosine re-rank to vectors
+    whose hyperplane signature is within ``max_hamming`` bits of the
+    query's (a driver-computed constant → one codegen'd bit_count
+    predicate). Signature projections, n2 and the query dot all come out
+    of the single flat aggregation pass. At scale the signature is a
+    stored column and the filter becomes a bucket join on banded
+    signature prefixes."""
+    qsig = hyperplane_signature_py(query, len(query), n_bits, seed)
+    s = embedding_scores(df, query, id_col, vec_col, n_bits=n_bits, seed=seed)
+    cands = s.filter(F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= max_hamming)
     return (
-        cands.select(F.col(id_col), cosine_q(F.col(vec_col), qu).alias("cos_q"))
+        cands.select(F.col(id_col), cos_q_expr(F.col("dot"), F.col("n2"), F.lit(_query_n2(query))).alias("cos_q"))
         .orderBy(F.desc("cos_q"), id_col)
         .limit(k)
     )
@@ -212,24 +261,19 @@ def near_duplicates_cosine(
     dims: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: exact-signature bucket self-join (vectors
-    this similar almost surely share all n_bits — the recall/cost tradeoff
-    is n_bits; multiple seeds would raise recall), quantized-cosine verify.
-    Returns (id_a, id_b, cos_q) with id_a < id_b; cos_q ≈ cos·1e12."""
-    if dims is None:
-        first = df.select(F.size(vec_col).alias("d")).first()
-        dims = int(first.d) if first else 0
-    sig = df.select(
-        F.col(id_col).alias("_id"),
-        quantized_unit(F.col(vec_col)).alias("_u"),
-        hyperplane_signature_q(F.col(vec_col), dims, n_bits, seed).alias("_sig"),
-    )
-    a = sig.select(F.col("_sig"), F.col("_id").alias("id_a"), F.col("_u").alias("u_a"))
-    b = sig.select(F.col("_sig"), F.col("_id").alias("id_b"), F.col("_u").alias("u_b"))
-    pairs = a.join(b, "_sig").filter(F.col("id_a") < F.col("id_b"))
+    this similar almost surely share all n_bits — n_bits is the
+    recall/cost knob; multiple seeds raise recall), quantized-cosine
+    verify on the candidates only. Returns (id_a, id_b, cos_q),
+    id_a < id_b, cos_q ≈ cos·1e12."""
+    _ = dims  # kept for API compatibility; dims are read from the data
+    s = embedding_scores(df, None, id_col, vec_col, n_bits=n_bits, seed=seed, keep_quant=True)
+    a = s.select(F.col("sig"), F.col(id_col).alias("id_a"), F.col("q").alias("q_a"), F.col("n2").alias("n2_a"))
+    b = s.select(F.col("sig"), F.col(id_col).alias("id_b"), F.col("q").alias("q_b"), F.col("n2").alias("n2_b"))
+    pairs = a.join(b, "sig").filter(F.col("id_a") < F.col("id_b"))
     thr = int(threshold * COS_SCALE)
-    return pairs.select("id_a", "id_b", int_dot(F.col("u_a"), F.col("u_b")).alias("cos_q")).filter(
-        F.col("cos_q") >= thr
-    )
+    return pairs.select(
+        "id_a", "id_b", pair_cos_q(F.col("q_a"), F.col("n2_a"), F.col("q_b"), F.col("n2_b")).alias("cos_q")
+    ).filter(F.col("cos_q") >= thr)
 
 
 def _rank_hash(id_col: Column, seed: int) -> Column:
@@ -251,47 +295,50 @@ def ivf_assign(
     (the rows whose md5-derived rank hash is lowest — a seeded uniform
     sample; no iterative k-means needed for a partitioning that balances
     list sizes), assign every vector to its nearest centroid by quantized
-    cosine. Returns (centroids(list_id, centroid), assigned(df + list_id)).
+    cosine. Returns (centroids(list_id, q, n2), assigned(df + list_id)).
 
     Scale shape: the centroid pick is ``orderBy(hash).limit(n)`` —
     TakeOrdered with per-partition heaps, NEVER a global single-task window
-    (only the n_lists winners ever meet in one place, and the subsequent
-    row_number window runs over those n_lists rows, not the table).
-    Centroids are tiny and broadcast; assignment is one narrow pass with
-    n_lists dot products per row (argmax via array_max of structs). At
-    query time only nprobe lists are scanned — the classic inverted-file
-    layout, with the assignment stored as a partition column so list probes
-    become partition pruning.
+    (the row_number runs over the n_lists winners only). The centroid
+    components become literal maps inside the ONE flat aggregation pass
+    that scores every vector against every centroid — no crossJoin, no
+    broadcast table, n_lists extra sums per exploded row.
     """
     picked = (
         df.select(F.col(id_col), F.col(vec_col), _rank_hash(F.col(id_col), seed).alias("_rk"))
         .orderBy("_rk", id_col)
         .limit(n_lists)
     )
-    # list_id by rank among the n_lists winners — window over n_lists rows
     w = Window.orderBy("_rk", id_col)
-    cents = picked.select(
+    cents_rows = picked.select(
         (F.row_number().over(w) - 1).alias("list_id"),
-        quantized_unit(F.col(vec_col)).alias("centroid_u"),
+        quant(F.col(vec_col)).alias("q"),
+    ).withColumn(
+        "n2", F.aggregate(F.transform("q", lambda v: v * v), F.lit(0).cast("long"), lambda a, v: a + v)
     )
-    cent_arr = F.broadcast(
-        cents.groupBy().agg(F.sort_array(F.collect_list(F.struct("list_id", "centroid_u"))).alias("cents"))
+    cent_local = [(int(r.list_id), list(r.q), int(r.n2)) for r in cents_rows.collect()]
+    cent_local.sort()
+    cvecs = [qv for _, qv, _ in cent_local]
+    cn2 = [n2 for _, _, n2 in cent_local]
+
+    s = embedding_scores(df, None, id_col, vec_col, centroids=cvecs)
+    # argmax over quantized cosines; exact integer/rounded-double math, so
+    # the tie-break (lowest list_id) is deterministic cross-run
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    cos_q_expr(F.col(f"dot_c{k}"), F.col("n2"), F.lit(cn2[k])).alias("sim"),
+                    F.lit(-k).alias("neg_list_id"),
+                )
+                for k in range(len(cvecs))
+            ]
+        )
     )
-    u = quantized_unit(F.col(vec_col))
-    scored = df.crossJoin(cent_arr).select(
-        F.col(id_col),
-        F.col(vec_col),
-        F.array_max(
-            F.transform(
-                F.col("cents"),
-                lambda c: F.struct(
-                    int_dot(u, c["centroid_u"]).alias("sim"),
-                    (-c["list_id"]).alias("neg_list_id"),  # tie-break: lowest list_id wins
-                ),
-            )
-        ).alias("_best"),
-    ).select(id_col, vec_col, (-F.col("_best.neg_list_id")).cast("int").alias("list_id"))
-    return cents, scored
+    assigned = s.select(F.col(id_col), (-best["neg_list_id"]).cast("int").alias("list_id"), "n2", *[
+        F.col(f"dot_c{k}") for k in range(len(cvecs))
+    ])
+    return cents_rows, assigned
 
 
 def ivf_topk(
@@ -305,21 +352,56 @@ def ivf_topk(
     seed: int = 13,
 ) -> DataFrame:
     """IVF approximate top-k: rank centroids by quantized cosine to the
-    query, scan only the nprobe nearest lists, exact quantized-cosine
-    re-rank inside them. Single-query demonstration form; at scale the
-    assignment is precomputed once (``ivf_assign``) and persisted
-    partitioned by list_id so a probe is partition pruning, not a scan."""
-    qu = F.array(*[F.lit(v) for v in quantized_unit_py(query)])
-    cents, assigned = ivf_assign(df, n_lists, id_col, vec_col, seed)
-    probe = (
-        cents.select("list_id", int_dot(F.col("centroid_u"), qu).alias("sim"))
-        .orderBy(F.desc("sim"), "list_id")
-        .limit(nprobe)
-        .select("list_id")
+    query, scan only the nprobe nearest lists, quantized-cosine re-rank
+    inside them. Assignment scores AND the query dot come out of one flat
+    pass; at scale the assignment is precomputed once (``ivf_assign``) and
+    persisted partitioned by list_id so a probe is partition pruning."""
+    picked = (
+        df.select(F.col(id_col), F.col(vec_col), _rank_hash(F.col(id_col), seed).alias("_rk"))
+        .orderBy("_rk", id_col)
+        .limit(n_lists)
     )
-    cands = assigned.join(F.broadcast(probe), "list_id")
+    w = Window.orderBy("_rk", id_col)
+    cents_rows = picked.select(
+        (F.row_number().over(w) - 1).alias("list_id"),
+        quant(F.col(vec_col)).alias("q"),
+    ).withColumn(
+        "n2", F.aggregate(F.transform("q", lambda v: v * v), F.lit(0).cast("long"), lambda a, v: a + v)
+    )
+    cent_local = sorted((int(r.list_id), list(r.q), int(r.n2)) for r in cents_rows.collect())
+    cvecs = [qv for _, qv, _ in cent_local]
+    cn2 = [n2 for _, _, n2 in cent_local]
+
+    # probe lists: centroid-vs-query quantized cosine, driver-side (tiny)
+    qq = quant_py(query)
+    qn2 = _query_n2(query)
+    ranked = sorted(
+        (
+            -math.floor(
+                sum(a * b for a, b in zip(cv, qq)) / (math.sqrt(n2) * math.sqrt(qn2)) * COS_SCALE
+            ),
+            lid,
+        )
+        for lid, cv, n2 in cent_local
+    )
+    probe = {lid for _, lid in ranked[:nprobe]}
+
+    s = embedding_scores(df, query, id_col, vec_col, centroids=cvecs)
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    cos_q_expr(F.col(f"dot_c{k}"), F.col("n2"), F.lit(cn2[k])).alias("sim"),
+                    F.lit(-k).alias("neg_list_id"),
+                )
+                for k in range(len(cvecs))
+            ]
+        )
+    )
     return (
-        cands.select(F.col(id_col), cosine_q(F.col(vec_col), qu).alias("cos_q"))
+        s.withColumn("list_id", (-best["neg_list_id"]).cast("int"))
+        .filter(F.col("list_id").isin(*[int(x) for x in probe]))
+        .select(F.col(id_col), cos_q_expr(F.col("dot"), F.col("n2"), F.lit(qn2)).alias("cos_q"))
         .orderBy(F.desc("cos_q"), id_col)
         .limit(k)
     )
