@@ -867,7 +867,7 @@ def _duck_cos_q(av: str, an2: str, bv: str, bn2: str) -> str:
 
 def _duck_sig_expr(n_bits: int, seed: int = 7) -> str:
     """Hyperplane signature over the quantized components column ``v`` —
-    the SQL twin of similarity.hyperplane_signature_q."""
+    the SQL twin of the signature projections in similarity.embedding_scores."""
     from ovalspark.operators.similarity import hyperplane_signs
 
     signs = hyperplane_signs(n_bits, _EMB_DIMS, seed)
