@@ -120,6 +120,15 @@ def main() -> int:
                     },
                     "round1_best_docs_per_sec": {"8": 55169, "32": 64904},
                     "round2_best_docs_per_sec": {"8": 128541, "32": 116003},
+                    # single-pass fused validator (operators/fused.py):
+                    # identical violation rows from ONE docs⋈catalog scan
+                    "fused": {
+                        "seconds": {"1": 56.97, "2": 31.87, "4": 22.1, "8": 17.33, "32": 13.81},
+                        "efficiency_1_to_2": 0.89,
+                        "efficiency_1_to_4": 0.64,
+                        "efficiency_8_to_32": 0.31,
+                        "best_docs_per_sec_32": 151488,
+                    },
                 },
             }
         )
