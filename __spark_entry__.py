@@ -42,9 +42,12 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: interleave sf0.001 documents → corrupt → validate."""
+    """Flagship: interleave sf0.001 documents → corrupt → validate with the
+    FUSED single-pass validator (operators/fused.py): span-sequence, size,
+    existence, per-partition counts and key uniqueness all derived from one
+    docs⋈catalog pass — oval's validate-everything-per-object shape."""
     from ovalspark.datagen import GenSpec, catalog_from_flat, generate_documents, inject_faults
-    from ovalspark.operators import check_existence, validate_spans
+    from ovalspark.operators.fused import validate_all
 
     flat = spark.read.parquet(f"{SF0001}/documents.parquet")
     spec = GenSpec(max_spans=8)
@@ -59,7 +62,7 @@ def entry(spark: SparkSession) -> DataFrame:
     # HOF) expressions once per referenced field — measured 30x slower.
     # Real deployments read docs from storage, which is this, for free.
     bad = bad.localCheckpoint()
-    v = validate_spans(bad, cat, spec.n_assets, broadcast_catalog=True).unionByName(check_existence(bad, cat))
+    v = validate_all(bad, cat, spec.n_assets)
     return v.orderBy("partition_id", "doc_id", "span_idx", "field")
 
 

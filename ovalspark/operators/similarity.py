@@ -132,8 +132,9 @@ def embedding_scores(
     Map-side partial combine collapses the exploded rows before the
     shuffle, so the shuffle carries one row per vector regardless of dims.
     """
-    dims_src = df.select(F.size(vec_col).alias("d")).first()
-    dims = int(dims_src.d) if dims_src else 0
+    if n_bits > 0:  # dims only needed to materialize the sign matrix
+        dims_src = df.select(F.size(vec_col).alias("d")).first()
+        dims = int(dims_src.d) if dims_src else 0
     ex = df.select(
         F.col(id_col),
         F.posexplode(vec_col).alias("_i", "_x"),
