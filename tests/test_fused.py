@@ -65,3 +65,20 @@ def test_fused_plan_through_runner_matches_union_totals(corrupted, tmp_path):
     assert r_fused.verdicts == r_union.verdicts
     union_total = sum(t["violations"] for t in r_union.totals.values())
     assert r_fused.totals["all_checks"]["violations"] == union_total
+
+
+def test_fused_rerun_is_noop(corrupted, tmp_path):
+    """Re-running a completed fused run skips the constraint entirely and
+    leaves the manifest byte-identical (O8 idempotent start, fused mode)."""
+    import json
+
+    from ovalspark.plans import default_plan, run_plan
+
+    spec, cat, bad = corrupted
+    plan = default_plan(spec.n_assets, include_referential=False, fused=True)
+    out, man = str(tmp_path / "o"), str(tmp_path / "m.json")
+    run_plan(plan, bad, cat, None, out, man)
+    m1 = json.load(open(man))
+    res2 = run_plan(plan, bad, cat, None, out, man)
+    assert json.load(open(man)) == m1
+    assert not res2.passed
