@@ -74,7 +74,7 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument(
         "--fused",
         action="store_true",
-        help="single-pass mode: all core checks from one docs⋈catalog scan (throughput; partition-level resume)",
+        help="single-pass mode: all core checks from one docs⋈catalog scan (throughput; resume is per-run — the fused constraint reruns whole unless it fully completed)",
     )
     v.add_argument("--run-id", default="run-0")
     v.add_argument(

@@ -64,7 +64,11 @@ def hexpad(col: Column, width: int) -> Column:
     WITHOUT java.util.Formatter (which re-parses its pattern per call).
     Every clean span pays this on the validator fast path; swapping it in
     measured ~9% off the whole validator (BASELINE.md round 2). ``hex`` of
-    a negative long is two's-complement 16 digits, exactly like %x."""
+    a negative long is two's-complement 16 digits, exactly like %x.
+
+    NOTE: ``lpad`` also TRUNCATES values longer than ``width`` (keeps the
+    leftmost chars) — callers that need over-width inputs to fail instead
+    must guard the range themselves (see ``doc_key``)."""
     return F.lpad(F.lower(F.hex(col)), width, "0")
 
 
@@ -72,11 +76,21 @@ def doc_key(id_col: Column) -> Column:
     """int64 doc id -> 12-char key ``"ov" + %010x`` (oval key codec,
     ``internal/object/object.go:48-50``; MaxKeyLength=12 at :13-19).
 
-    Contract: ids must fit in 40 bits (``MAX_DOC_ID``) or the key grows
-    past 12 chars and breaks every fixed-width consumer — same implicit
-    bound as oval's key layout. ``GenSpec`` enforces it structurally
-    (runner<8 bits, writer<8 bits, seq<24 bits)."""
-    return F.concat(F.lit("ov"), hexpad(id_col, 10))
+    Contract: ids must fit in 40 bits (``MAX_DOC_ID``) — enforced here
+    with ``raise_error`` because ``hexpad`` (lpad) would otherwise
+    silently TRUNCATE an 11+-digit hex id to its leftmost digits,
+    producing colliding 12-char keys. ``GenSpec`` also enforces the bound
+    structurally (runner<8 bits, writer<8 bits, seq<24 bits); this guard
+    makes out-of-contract callers fail loudly instead."""
+    return F.concat(
+        F.lit("ov"),
+        hexpad(
+            F.when(
+                (id_col >= 0) & (id_col <= MAX_DOC_ID), id_col
+            ).otherwise(F.raise_error(F.concat(F.lit("doc id out of 40-bit key range: "), id_col.cast("string")))),
+            10,
+        ),
+    )
 
 
 def parse_doc_key(key_col: Column) -> Column:

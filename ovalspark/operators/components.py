@@ -38,6 +38,15 @@ def connected_components(
     """(node, component) for every node appearing in ``pairs``; component =
     the minimum node id reachable through the pair graph (deterministic
     canonical representative, independent of partitioning/iteration order).
+
+    Raises ``RuntimeError`` if labels are still changing after
+    ``max_iterations`` rounds: plain min-label propagation needs
+    O(diameter) rounds, so an adversarial duplicate CHAIN longer than the
+    budget would otherwise silently return a graph split into several
+    components — and ``dedup_keep_canonical`` would then keep multiple
+    "canonical" docs with no signal to the caller. Near-dup clusters are
+    dense (diameter ≤ ~3); hitting this means either raise the budget or
+    switch to a large-star/small-star contraction (O(log n) rounds).
     """
     # undirected: symmetrize once; nodes = both endpoints
     edges = (
@@ -73,6 +82,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds "
+            f"({changed} labels still changing): graph diameter exceeds the "
+            "iteration budget — raise max_iterations or use star contraction"
+        )
     return labels
 
 

@@ -23,10 +23,12 @@ scans' worth of scheduling, decode and join work.
 Output is row-for-row identical to the union of the four standalone
 constraints (asserted by tests/test_fused.py both directions).
 
-Trade-off vs the per-constraint plan: resume granularity becomes
-(partition) instead of (constraint, partition) — a resumed fused run
-re-derives every class for its todo partitions. Use fused for throughput,
-per-constraint for long multi-constraint runs with partial failures.
+Trade-off vs the per-constraint plan: resume granularity is per-RUN — the
+fused constraint is marked ``partition_local=False`` (the duplicate check
+must see every copy of a doc_id), so a resumed run skips it only when it
+fully completed and otherwise re-derives everything. Use fused for
+throughput, per-constraint for long multi-constraint runs with partial
+failures.
 """
 
 from __future__ import annotations
@@ -75,6 +77,8 @@ def validate_all(
         "c_writer_id",
         "d_writer_id",
         F.coalesce("d_partition_id", "c_partition_id").alias("partition_id"),
+        "d_partition_id",
+        "c_partition_id",
         F.col("d_partition_id").isNotNull().alias("in_docs"),
         F.col("c_partition_id").isNotNull().alias("in_cat"),
     )
@@ -84,7 +88,8 @@ def validate_all(
     # full join lazily exactly once. Checkpointing the wide join instead
     # measured 20% SLOWER at 8 cores (it writes+rereads every span array).
     j_narrow = j.select(
-        "doc_id", "written_at", "c_writer_id", "d_writer_id", "partition_id", "in_docs", "in_cat"
+        "doc_id", "written_at", "c_writer_id", "d_writer_id", "partition_id",
+        "d_partition_id", "c_partition_id", "in_docs", "in_cat"
     ).localCheckpoint()
 
     lost = j_narrow.filter(~F.col("in_docs")).select(
@@ -123,13 +128,30 @@ def validate_all(
     )
     spans_v = span_checks_joined(matched, n_assets)
 
+    # Keyed exactly like check_partition_counts: expected by the CATALOG's
+    # partition_id, actual by the doc's. A single agg on the coalesced
+    # partition_id (doc-side wins for matched rows) would mis-attribute a
+    # doc stored under the wrong partition — both sides shift together and
+    # the mismatch is masked. Two small aggs over the same checkpointed
+    # j_narrow = still one input pass.
+    expected_cnt = (
+        j_narrow.filter(F.col("in_cat"))
+        .groupBy(F.col("c_partition_id").alias("partition_id"))
+        # distinct: a doc_id duplicated on the docs side joins its one
+        # catalog row several times — row counts would overcount
+        .agg(F.countDistinct("doc_id").alias("expected_n"))
+    )
+    actual_cnt = (
+        j_narrow.filter(F.col("in_docs"))
+        .groupBy(F.col("d_partition_id").alias("partition_id"))
+        .agg(F.count("*").alias("actual_n"))
+    )
     counts = (
-        j_narrow.groupBy("partition_id")
-        .agg(
-            # distinct: a doc_id duplicated on the docs side joins its one
-            # catalog row several times — in_cat row-sums would overcount
-            F.countDistinct(F.when(F.col("in_cat"), F.col("doc_id"))).alias("expected_n"),
-            F.sum(F.col("in_docs").cast("long")).alias("actual_n"),
+        expected_cnt.join(actual_cnt, "partition_id", "full_outer")
+        .select(
+            "partition_id",
+            F.coalesce("expected_n", F.lit(0)).alias("expected_n"),
+            F.coalesce("actual_n", F.lit(0)).alias("actual_n"),
         )
         .filter(F.col("expected_n") != F.col("actual_n"))
         .select(

@@ -116,6 +116,9 @@ def embedding_scores(
     seed: int = 7,
     keep_quant: bool = False,
     centroids: list[list[int]] | None = None,
+    dims: int | None = None,
+    validate_dims: bool = False,
+    seeds: list[int] | None = None,
 ) -> DataFrame:
     """The ONE flat pass every quantized operator shares: posexplode the
     vector, quantize per component, and hash-aggregate per vector id —
@@ -123,7 +126,9 @@ def embedding_scores(
     - ``n2``: Σ q_i² (always)
     - ``dot``: Σ q_i·query_q_i (when a query vector is given)
     - ``sig``: the n_bits hyperplane signature (when n_bits > 0) — each bit
-      is the sign of one more SUM in the same aggregation
+      is the sign of one more SUM in the same aggregation. With
+      ``seeds=[s0, s1, ...]`` one signature per seed comes out of the SAME
+      pass as ``sig_0, sig_1, ...`` (multi-seed candidate recall).
     - ``dot_c{k}``: Σ q_i·centroid_k_i per centroid (when given) — the IVF
       assignment scores, again in the same aggregation
     - ``q``: the quantized component array itself (when ``keep_quant`` —
@@ -131,10 +136,44 @@ def embedding_scores(
 
     Map-side partial combine collapses the exploded rows before the
     shuffle, so the shuffle carries one row per vector regardless of dims.
+
+    CONTRACT: vectors must be non-empty and share one fixed dimensionality.
+    An empty/all-null array emits no posexplode rows, so the vector
+    silently VANISHES from every downstream ranking; a wrong-length vector
+    gets a mis-sized signature. Pass ``dims`` when the caller knows it
+    (skips the probe job); ``validate_dims=True`` adds a raise_error guard
+    so malformed vectors fail loudly instead of disappearing. When
+    ``dims`` is not given and signatures are requested, dims is probed
+    from an arbitrary first row.
     """
-    if n_bits > 0:  # dims only needed to materialize the sign matrix
+    sig_seeds = seeds if seeds is not None else [seed]
+    if n_bits > 0 and dims is None:  # dims only needed for the sign matrix
         dims_src = df.select(F.size(vec_col).alias("d")).first()
         dims = int(dims_src.d) if dims_src else 0
+    if validate_dims:
+        want = dims
+        if want is None and query is not None:
+            want = len(query)
+        if want is None and centroids:
+            want = len(centroids[0])
+        if want is None:
+            raise ValueError("validate_dims=True needs dims (explicit, query or centroids)")
+        bad = F.size(F.col(vec_col)) != F.lit(want)
+        df = df.withColumn(
+            vec_col,
+            F.when(
+                ~bad, F.col(vec_col)
+            ).otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"embedding dims != {want} for id "),
+                        F.col(id_col).cast("string"),
+                        F.lit(": size="),
+                        F.size(F.col(vec_col)).cast("string"),
+                    )
+                )
+            ),
+        )
     ex = df.select(
         F.col(id_col),
         F.posexplode(vec_col).alias("_i", "_x"),
@@ -148,10 +187,11 @@ def embedding_scores(
         qlit = F.element_at(F.array(*[F.lit(v) for v in quant_py(query)]), F.col("_i") + 1)
         aggs.append(F.sum(F.col("_q") * qlit).alias("dot"))
     if n_bits > 0:
-        signs = hyperplane_signs(n_bits, dims, seed)
-        for p in range(n_bits):
-            smap = F.element_at(F.array(*[F.lit(v) for v in signs[p]]), F.col("_i") + 1)
-            aggs.append(F.sum(F.col("_q") * smap).alias(f"_proj{p}"))
+        for j, sd in enumerate(sig_seeds):
+            signs = hyperplane_signs(n_bits, dims, sd)
+            for p in range(n_bits):
+                smap = F.element_at(F.array(*[F.lit(v) for v in signs[p]]), F.col("_i") + 1)
+                aggs.append(F.sum(F.col("_q") * smap).alias(f"_proj{j}_{p}"))
     if centroids is not None:
         for k, c in enumerate(centroids):
             cmap = F.element_at(F.array(*[F.lit(v) for v in c]), F.col("_i") + 1)
@@ -164,10 +204,15 @@ def embedding_scores(
         )
     out = ex.groupBy(id_col).agg(*aggs)
     if n_bits > 0:
-        sig = F.lit(0).cast("long")
-        for p in range(n_bits):
-            sig = sig + (F.col(f"_proj{p}") > 0).cast("long") * (1 << p)
-        out = out.withColumn("sig", sig).drop(*[f"_proj{p}" for p in range(n_bits)])
+        drop_cols = []
+        for j in range(len(sig_seeds)):
+            sig = F.lit(0).cast("long")
+            for p in range(n_bits):
+                sig = sig + (F.col(f"_proj{j}_{p}") > 0).cast("long") * (1 << p)
+            name = "sig" if seeds is None else f"sig_{j}"
+            out = out.withColumn(name, sig)
+            drop_cols += [f"_proj{j}_{p}" for p in range(n_bits)]
+        out = out.drop(*drop_cols)
     return out
 
 
@@ -243,7 +288,7 @@ def ann_lsh_topk(
     stored column and the filter becomes a bucket join on banded
     signature prefixes."""
     qsig = hyperplane_signature_py(query, len(query), n_bits, seed)
-    s = embedding_scores(df, query, id_col, vec_col, n_bits=n_bits, seed=seed)
+    s = embedding_scores(df, query, id_col, vec_col, n_bits=n_bits, seed=seed, dims=len(query))
     cands = s.filter(F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= max_hamming)
     return (
         cands.select(F.col(id_col), cos_q_expr(F.col("dot"), F.col("n2"), F.lit(_query_n2(query))).alias("cos_q"))
@@ -260,21 +305,53 @@ def near_duplicates_cosine(
     n_bits: int = 16,
     seed: int = 7,
     dims: int | None = None,
+    seeds: list[int] | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: exact-signature bucket self-join (vectors
-    this similar almost surely share all n_bits — n_bits is the
-    recall/cost knob; multiple seeds raise recall), quantized-cosine
-    verify on the candidates only. Returns (id_a, id_b, cos_q),
-    id_a < id_b, cos_q ≈ cos·1e12."""
-    _ = dims  # kept for API compatibility; dims are read from the data
-    s = embedding_scores(df, None, id_col, vec_col, n_bits=n_bits, seed=seed, keep_quant=True)
-    a = s.select(F.col("sig"), F.col(id_col).alias("id_a"), F.col("q").alias("q_a"), F.col("n2").alias("n2_a"))
-    b = s.select(F.col("sig"), F.col(id_col).alias("id_b"), F.col("q").alias("q_b"), F.col("n2").alias("n2_b"))
-    pairs = a.join(b, "sig").filter(F.col("id_a") < F.col("id_b"))
+    this similar almost surely share all n_bits), quantized-cosine verify
+    on the candidates only. Returns (id_a, id_b, cos_q), id_a < id_b,
+    cos_q ≈ cos·1e12.
+
+    Recall knobs: fewer ``n_bits`` = bigger buckets = higher recall and
+    more candidates; ``seeds=[s0, s1, ...]`` unions candidates from one
+    independent signature per seed (all from the SAME flat pass), so a
+    true pair split by an unlucky hyperplane in one signature is caught
+    by another — recall is monotonically ≥ the single-seed run. Candidate
+    self-joins ship only (sig, id) per seed; pairs are deduped BEFORE the
+    one verify join, so each pair pays the exact-cosine check once.
+    """
+    multi = seeds is not None and len(seeds) > 1
+    use_seeds = seeds if seeds is not None else [seed]
+    s = embedding_scores(
+        df, None, id_col, vec_col, n_bits=n_bits,
+        seed=use_seeds[0], seeds=use_seeds if multi else None,
+        keep_quant=True, dims=dims,
+    ).localCheckpoint()  # signatures feed self-joins: materialize once (perf trap #2)
     thr = int(threshold * COS_SCALE)
-    return pairs.select(
-        "id_a", "id_b", pair_cos_q(F.col("q_a"), F.col("n2_a"), F.col("q_b"), F.col("n2_b")).alias("cos_q")
-    ).filter(F.col("cos_q") >= thr)
+
+    def pairs_for(sig_col: str) -> DataFrame:
+        a = s.select(F.col(sig_col).alias("_s"), F.col(id_col).alias("id_a"))
+        b = s.select(F.col(sig_col).alias("_s"), F.col(id_col).alias("id_b"))
+        return a.join(b, "_s").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+
+    if multi:
+        cand = pairs_for("sig_0")
+        for j in range(1, len(use_seeds)):
+            cand = cand.unionByName(pairs_for(f"sig_{j}"))
+        cand = cand.distinct()
+    else:
+        cand = pairs_for("sig")
+    qa = s.select(F.col(id_col).alias("id_a"), F.col("q").alias("q_a"), F.col("n2").alias("n2_a"))
+    qb = s.select(F.col(id_col).alias("id_b"), F.col("q").alias("q_b"), F.col("n2").alias("n2_b"))
+    return (
+        cand.join(qa, "id_a")
+        .join(qb, "id_b")
+        .select(
+            "id_a", "id_b",
+            pair_cos_q(F.col("q_a"), F.col("n2_a"), F.col("q_b"), F.col("n2_b")).alias("cos_q"),
+        )
+        .filter(F.col("cos_q") >= thr)
+    )
 
 
 def _rank_hash(id_col: Column, seed: int) -> Column:

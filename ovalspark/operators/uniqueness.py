@@ -33,9 +33,14 @@ def duplicate_doc_ids(docs: DataFrame, key: str = "doc_id", n_salts: int = 32, s
     """
     if not salted:
         return docs.groupBy(key).agg(F.count("*").alias("cnt")).filter(F.col("cnt") > 1)
-    salted_df = docs.select(key).withColumn(
-        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
-    )
+    # Content-derived salt (hash of the whole row), matching the module
+    # docstring and salted_join's recipe: deterministic across
+    # partitionings/repartitionings, unlike monotonically_increasing_id.
+    # Copies of a hot key that differ anywhere in content spread over
+    # n_salts reducers; byte-identical copies co-locate, which only
+    # shifts work, never the exact phase-2 count.
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in docs.columns]), F.lit(n_salts))
+    salted_df = docs.withColumn("_salt", salt).select(key, "_salt")
     partial = salted_df.groupBy(key, "_salt").agg(F.count("*").alias("c"))
     return (
         partial.groupBy(key)

@@ -64,8 +64,8 @@ def default_plan(
     ``fused=True`` collapses the four core constraints into ONE
     single-pass constraint (operators/fused.py) — same violation rows,
     one input scan instead of four. Throughput mode; resume granularity
-    becomes (partition) for the fused block. Not partition_local: the
-    duplicate check must see every copy of a doc_id."""
+    for the fused block is per-run (skip only when fully complete). Not
+    partition_local: the duplicate check must see every copy of a doc_id."""
     from ovalspark.operators.drift import check_distribution
     from ovalspark.operators.fused import validate_all
 
