@@ -270,12 +270,15 @@ _Q17_ORACLE = """
 
 def _q29_hll_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog column profile (north_star) — estimates are not
-    engine-reproducible, so this is a rows-only check; the exact-distinct
-    twin q12 is the value-checked one."""
-    from ovalspark.operators.stats import column_profile
+    engine-reproducible, so the driver records rows-only; the query is
+    SELF-validating instead: one pass computes estimate AND exact count
+    and raise_errors if |est-exact| > 3·rsd·exact, so a bad sketch turns
+    this gate row red rather than passing silently. The exact-distinct
+    twin q12 is the hash-checked one."""
+    from ovalspark.operators.stats import column_profile_checked
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    return column_profile(li, ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"])
+    return column_profile_checked(li, ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"])
 
 
 def _q20_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -500,8 +503,27 @@ _Q28_ORACLE = """
 # --- non-SQL-expressible operators (rows-only driver check) ----------------
 
 
-_Q40_DIR = "/tmp/ovalspark_oracle/q40"
+_Q40_ROOT = "/tmp/ovalspark_oracle"
 _Q40_VERSION = "v1"  # bump when the generation/corruption recipe changes
+
+# The sf_dir the DRIVER's correctness gate runs at — oracle_sql() is a
+# static string, so the q40 oracle must know which materialization dir to
+# read without receiving sf_dir. tools/check_oracle.py overrides this
+# module attribute when run at a different sf.
+GATE_SF_DIR = "/root/testdata/sf0.01"
+
+
+def _q40_dir(sf_dir: str) -> str:
+    """Materialization dir keyed by hash(version, sf_dir): two concurrent
+    drivers at DIFFERENT sf_dirs write disjoint dirs (the round-2 shared
+    marker file could hand the oracle mismatched parquet); at the SAME
+    sf_dir the contents are deterministic-identical and the atomic rename
+    in _q40_span_validation makes the first writer win cleanly."""
+    import hashlib
+    import os
+
+    norm = os.path.normpath(sf_dir)
+    return f"{_Q40_ROOT}/q40-{hashlib.md5(f'{_Q40_VERSION}:{norm}'.encode()).hexdigest()[:12]}"
 
 
 def _q40_span_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -512,6 +534,7 @@ def _q40_span_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle recomputes the violation rows from those files with portable
     SQL: DuckDB checks the validator itself, not just its row count."""
     import os
+    import shutil
 
     from ovalspark.datagen import GenSpec, catalog_from_flat, generate_documents, inject_faults
     from ovalspark.functions import spans as sp
@@ -524,13 +547,15 @@ def _q40_span_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad, _ = inject_faults(docs, cat, spec, {"WRONG_KIND": 0.02, "STALE_GENERATION": 0.02, "LOST_DOC": 0.02})
     bad = bad.localCheckpoint()  # see entry(): avoid re-expanding generator exprs
 
-    # materialize the oracle's inputs once per (version, sf_dir) — the whole
-    # pipeline is deterministic, so re-deriving produces identical bytes and
-    # the skip only avoids flagship-benchmark IO on repeated runs
-    marker, want = f"{_Q40_DIR}/marker.txt", f"{_Q40_VERSION}:{sf_dir}"
-    have = open(marker).read() if os.path.exists(marker) else None
-    if have != want:
-        cat.write.mode("overwrite").parquet(f"{_Q40_DIR}/catalog")
+    # materialize the oracle's inputs once per (version, sf_dir): build in
+    # a pid-private staging dir, then one atomic rename — a concurrent
+    # driver at the same sf_dir either wins the rename or discards its
+    # (byte-identical) staging copy; a reader never sees a partial dir
+    final = _q40_dir(sf_dir)
+    if not os.path.isdir(final):
+        stage = f"{final}.tmp.{os.getpid()}"
+        shutil.rmtree(stage, ignore_errors=True)
+        cat.write.mode("overwrite").parquet(f"{stage}/catalog")
         bad.select(
             "partition_id",
             "doc_id",
@@ -549,7 +574,7 @@ def _q40_span_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("s.text").alias("text"),
             F.col("s.media_ref").alias("media_ref"),
             F.col("s.offset").alias("span_offset"),
-        ).write.mode("overwrite").parquet(f"{_Q40_DIR}/actual")
+        ).write.mode("overwrite").parquet(f"{stage}/actual")
         erows = cat.filter(F.col("exists")).select(
             "doc_id",
             "generation",
@@ -565,10 +590,13 @@ def _q40_span_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
             sp.span_text(F.col("doc_id"), F.col("generation"), F.col("writer_id"), i).alias("text"),
             sp.span_media_ref(F.col("doc_id"), i, ekind, spec.n_assets).alias("media_ref"),
             (i * sp.SPAN_UNIT).cast("int").alias("span_offset"),
-        ).write.mode("overwrite").parquet(f"{_Q40_DIR}/expected")
-        os.makedirs(_Q40_DIR, exist_ok=True)
-        with open(marker, "w") as f:
-            f.write(want)
+        ).write.mode("overwrite").parquet(f"{stage}/expected")
+        try:
+            os.rename(stage, final)
+        except OSError:
+            # a concurrent same-sf_dir driver won the rename; contents are
+            # deterministic-identical, so just drop the staging copy
+            shutil.rmtree(stage, ignore_errors=True)
 
     v = validate_spans(bad, cat, spec.n_assets, broadcast_catalog=True).unionByName(check_existence(bad, cat))
     return v.select(
@@ -589,8 +617,11 @@ def _q40_oracle() -> str:
     parquet the query materializes (see _q40_span_validation). Mirrors
     ovalspark/operators/spans.py: size check on the doc level, field-by-
     field span comparison on the common prefix (struct fields + fixed-width
-    text segments + whole-text fallback) and the existence anti-joins."""
-    d = _Q40_DIR
+    text segments + whole-text fallback) and the existence anti-joins.
+
+    Reads the hash-keyed dir for GATE_SF_DIR — the sf the driver's gate
+    runs at; check_oracle.py overrides the module attribute for other sfs."""
+    d = _q40_dir(GATE_SF_DIR)
     seg = {
         "key": ("substr({t}, 1, 12)", "WRONG_TEXT"),
         "generation": ("substr({t}, 14, 8)", "STALE_GENERATION"),
