@@ -1050,6 +1050,50 @@ _Q50_ORACLE = """
 """
 
 
+_Q51_VERSION = "v1"
+
+
+def _q51_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """V8 read-before-overwrite as a value-checked gate row: commit the
+    documents table as snapshot 1 of a versioned-manifest table
+    (sources/snapshots.py), OVERWRITE it with only the 'en' subset
+    (snapshot 2), then read snapshot 1 back and aggregate per lang. The
+    oracle aggregates the ORIGINAL documents table — so if time travel is
+    broken (the read resolves to post-overwrite files) the non-en rows
+    vanish and the hash mismatches. Same hash-keyed dir recipe as q40."""
+    import hashlib
+    import os
+    import shutil
+
+    from ovalspark.sources.snapshots import current_snapshot_id, snapshot_read, snapshot_write
+
+    norm = os.path.normpath(sf_dir)
+    root = f"{_Q40_ROOT}/q51-{hashlib.md5(f'{_Q51_VERSION}:{norm}'.encode()).hexdigest()[:12]}"
+    if current_snapshot_id(root) != 2:
+        shutil.rmtree(root, ignore_errors=True)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        snapshot_write(docs, root)
+        snapshot_write(docs.filter(F.col("lang") == "en"), root, mode="overwrite")
+    old = snapshot_read(spark, root, snapshot_id=1)
+    return (
+        old.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.count_distinct("doc_id").alias("n_ids"),
+        )
+        .orderBy("lang")
+    )
+
+
+_Q51_ORACLE = """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids
+    FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def _shared(name: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _load(spark, sf_dir, *_TABLES)
@@ -1086,6 +1130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q48_multimodal_stats": _q48_multimodal_stats,
             "q49_stratified_sample": _q49_stratified_sample,
             "q50_token_heavy_hitters": _q50_token_heavy_hitters,
+            "q51_snapshot_time_travel": _q51_snapshot_time_travel,
         }
     )
     return out
@@ -1116,6 +1161,7 @@ def oracle_sql() -> dict[str, str]:
             "q48_multimodal_stats": _Q48_ORACLE,
             "q49_stratified_sample": _Q49_ORACLE,
             "q50_token_heavy_hitters": _Q50_ORACLE,
+            "q51_snapshot_time_travel": _Q51_ORACLE,
         }
     )
     return out

@@ -1,3 +1,11 @@
+from ovalspark.sources.snapshots import (  # noqa: F401
+    current_snapshot_id,
+    reconcile_counts,
+    snapshot_files,
+    snapshot_history,
+    snapshot_read,
+    snapshot_write,
+)
 from ovalspark.sources.tables import (  # noqa: F401
     CATALOG_DDL,
     DOCS_DDL,

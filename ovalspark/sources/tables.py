@@ -10,6 +10,11 @@ not in this sandbox, so the interface degrades to parquet with an identical
 partition layout — same reader/writer call sites, swap the format when the
 jar is present (``CREATE TABLE IF NOT EXISTS``-style init is S6's
 idempotent bucket init).
+
+``fmt="snapshot"`` routes to the jar-free versioned-manifest layer
+(``sources/snapshots.py``), which delivers the two Iceberg behaviors the
+engine actually depends on — snapshot reads (V8) and ``.files`` metadata
+reconciliation (V9) — over plain parquet + JSON manifests.
 """
 
 from __future__ import annotations
@@ -27,9 +32,20 @@ def _iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
-def read_table(spark: SparkSession, path_or_ident: str, fmt: str = "auto") -> DataFrame:
+def read_table(
+    spark: SparkSession, path_or_ident: str, fmt: str = "auto", snapshot_id: int | None = None
+) -> DataFrame:
     if fmt == "iceberg" or (fmt == "auto" and not path_or_ident.startswith("/") and _iceberg_available(spark)):
-        return spark.read.format("iceberg").load(path_or_ident)
+        r = spark.read.format("iceberg")
+        if snapshot_id is not None:
+            r = r.option("snapshot-id", snapshot_id)
+        return r.load(path_or_ident)
+    if fmt == "snapshot":
+        from ovalspark.sources.snapshots import snapshot_read
+
+        return snapshot_read(spark, path_or_ident, snapshot_id)
+    if snapshot_id is not None:
+        raise ValueError("snapshot_id requires fmt='iceberg' or fmt='snapshot'")
     return spark.read.parquet(path_or_ident)
 
 
@@ -41,6 +57,11 @@ def write_table(
     mode: str = "overwrite",
 ) -> None:
     spark = df.sparkSession
+    if fmt == "snapshot":
+        from ovalspark.sources.snapshots import snapshot_write
+
+        snapshot_write(df, path_or_ident, mode="overwrite" if mode == "overwrite" else "append")
+        return
     if fmt == "iceberg" or (fmt == "auto" and not path_or_ident.startswith("/") and _iceberg_available(spark)):
         w = df.writeTo(path_or_ident)
         if partition_by:

@@ -9,6 +9,13 @@ dispatch, the identifier-vs-path routing, and Spark's data-source
 resolution of the "iceberg" name — is executed unconditionally so the
 branch never rots silently.
 
+The SEMANTICS this round-trip would assert are no longer jar-blocked:
+tests/test_snapshots.py runs the same three assertions (snapshot
+read-before-overwrite, .files reconciliation, byte-identical old-snapshot
+validation) against the jar-free versioned-manifest layer
+(ovalspark/sources/snapshots.py), un-skipped; gate query q51 value-checks
+the time-travel read against the DuckDB oracle.
+
 To run the full test on a machine with the jar:
     spark.jars.packages=org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:<ver>
     spark.sql.catalog.local=org.apache.iceberg.spark.SparkCatalog
