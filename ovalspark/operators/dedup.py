@@ -242,11 +242,86 @@ def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = 
     return df.select(F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("simhash"))
 
 
-def simhash_near_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+def simhash_fingerprints_flat(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash per document — pure JVM/codegen twin of
+    ``simhash_fingerprints`` (bit-identical output; tests assert it).
+
+    Shape: explode tokens (TF-weighted — every occurrence votes, like the
+    UDF's per-token loop), md5 each occurrence ONCE, rebuild the 64-bit
+    hash from two 32-hex-digit ``conv`` halves (one 16-digit conv would
+    overflow signed long), then ONE hash aggregation per doc computing
+    the token count plus 16 SWAR bit-population sums: lane k's sum packs
+    the set-bit counts of bits k, k+16, k+32, k+48 as four 16-bit
+    counters in one long (mask 0x0001000100010001), so the aggregation
+    carries 17 longs instead of 65. vote_b > 0 ⇔ 2·set_b > n; bit 63 is
+    added as long MIN_VALUE for exact two's-complement wrap. Lane
+    counters bound doc length at 65535 tokens — enforced loudly with
+    raise_error, never silently wrapped.
+
+    Measured at sf0.1/local[32] (BASELINE.md round 3): warm 1.25-1.33 s
+    vs the pandas UDF's 0.33-0.39 s — the UDF's cross-row token
+    memoization (Zipf vocab) beats per-occurrence JVM md5, so the UDF
+    stays the default; this form exists for Python-worker-free
+    deployments and as the q41 oracle's structural twin (the 64-sum
+    variant without SWAR packing measured 2.1 s).
+    """
+    nonempty = df.filter(F.col(text_col).isNotNull() & (F.col(text_col) != ""))
+    h_hex = F.md5(F.col("_t"))
+    hi = F.conv(F.substring(h_hex, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(h_hex, 9, 8), 16, 10).cast("long")
+    toks = nonempty.select(
+        F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("_t")
+    ).select("id", F.shiftleft(hi, 32).bitwiseOR(lo).alias("_h"))
+    lane_mask = 0x0001000100010001
+    aggs = [F.count("*").alias("_n")]
+    for k in range(16):
+        aggs.append(
+            F.sum(F.shiftrightunsigned(F.col("_h"), k).bitwiseAND(F.lit(lane_mask))).alias(f"_s{k}")
+        )
+    agg = toks.groupBy("id").agg(*aggs)
+    n = F.when(
+        F.col("_n") < F.lit(1 << 16), F.col("_n")
+    ).otherwise(F.raise_error(F.concat(F.lit("doc exceeds 65535 tokens (SWAR lane bound): "), F.col("id"))))
+
+    def set_count(b: int):
+        return F.shiftrightunsigned(F.col(f"_s{b % 16}"), 16 * (b // 16)).bitwiseAND(F.lit(0xFFFF))
+
+    fp = F.lit(0).cast("long")
+    for b in range(63):
+        fp = fp + (set_count(b) * 2 > n).cast("long") * F.lit(1 << b)
+    fp = fp + (set_count(63) * 2 > n).cast("long") * F.lit(-(1 << 63))
+    out = agg.select("id", fp.alias("simhash"))
+    # the UDF maps empty/null text to fingerprint 0; explode emits no
+    # groups for them, so reattach (narrow column-pruned second scan —
+    # empty docs are rare to nonexistent in a real corpus)
+    empties = (
+        df.filter(F.col(text_col).isNull() | (F.col(text_col) == ""))
+        .select(F.col(id_col).alias("id"), F.lit(0).cast("long").alias("simhash"))
+    )
+    return out.unionByName(empties)
+
+
+def simhash_near_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    impl: str = "udf",
+) -> DataFrame:
     """Candidate pairs from 16-bit fingerprint bands (4 bands → any pair
     within Hamming ≤ 3 shares at least one exact band), verified by exact
-    Hamming distance via bit_count(xor)."""
-    fp = simhash_fingerprints(df, id_col, text_col)
+    Hamming distance via bit_count(xor).
+
+    ``impl="udf"`` (default) computes fingerprints with the vectorized
+    pandas UDF — MEASURED 3.5× faster than the flat JVM form at sf0.1
+    (0.33 vs 1.25 s warm, BASELINE.md round 3) because it memoizes
+    token→bit-row across rows while the JVM form pays md5 per token
+    occurrence. ``impl="flat"`` is the pure-codegen SWAR form for
+    Python-worker-free deployments. Both produce identical bits
+    (tests/test_pipeline_ops.py asserts it).
+    """
+    fp_fn = simhash_fingerprints_flat if impl == "flat" else simhash_fingerprints
+    fp = fp_fn(df, id_col, text_col)
     # band value carries the band index so bands only collide with the
     # SAME band of other docs; one exploded self-join (not 4)
     bands = fp.select(

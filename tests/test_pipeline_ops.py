@@ -64,6 +64,24 @@ def test_simhash_near_dups(corpus):
     assert ("d1", "d3") in pairs  # near dup within a few bits
 
 
+def test_simhash_flat_matches_udf(spark, corpus):
+    """The SWAR JVM form and the pandas UDF must agree bit-for-bit,
+    including the empty/null-text → fingerprint 0 edge."""
+    from ovalspark.operators.dedup import simhash_fingerprints_flat
+
+    edge = corpus.unionByName(
+        spark.createDataFrame([("d7", ""), ("d8", None)], "doc_id string, text string")
+    )
+    udf = {r.id: r.simhash for r in simhash_fingerprints(edge).collect()}
+    flat = {r.id: r.simhash for r in simhash_fingerprints_flat(edge).collect()}
+    assert udf == flat
+    assert flat["d7"] == 0 and flat["d8"] == 0
+    # both impls drive the same candidate pairs through the band join
+    u = set((r.id_a, r.id_b) for r in simhash_near_duplicates(corpus, max_hamming=10, impl="udf").collect())
+    f = set((r.id_a, r.id_b) for r in simhash_near_duplicates(corpus, max_hamming=10, impl="flat").collect())
+    assert u == f
+
+
 def test_word_shingles_edgecases(spark):
     df = spark.createDataFrame([("one",), ("a b",), ("",)], "text string")
     got = df.select(word_shingles(F.col("text")).alias("sh")).collect()
