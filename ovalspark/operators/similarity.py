@@ -362,78 +362,26 @@ def _rank_hash(id_col: Column, seed: int) -> Column:
     ).cast("long")
 
 
-def ivf_assign(
-    df: DataFrame,
-    n_lists: int = 64,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    seed: int = 13,
-) -> tuple[DataFrame, DataFrame]:
-    """IVF coarse quantizer: pick n_lists centroid vectors deterministically
-    (the rows whose md5-derived rank hash is lowest — a seeded uniform
-    sample; no iterative k-means needed for a partitioning that balances
-    list sizes), assign every vector to its nearest centroid by quantized
-    cosine. Returns (centroids(list_id, q, n2), assigned(df + list_id)).
-
-    Scale shape: the centroid pick is ``orderBy(hash).limit(n)`` —
-    TakeOrdered with per-partition heaps, NEVER a global single-task window
-    (the row_number runs over the n_lists winners only). The centroid
-    components become literal maps inside the ONE flat aggregation pass
-    that scores every vector against every centroid — no crossJoin, no
-    broadcast table, n_lists extra sums per exploded row.
-    """
-    picked = (
-        df.select(F.col(id_col), F.col(vec_col), _rank_hash(F.col(id_col), seed).alias("_rk"))
-        .orderBy("_rk", id_col)
-        .limit(n_lists)
-    )
-    w = Window.orderBy("_rk", id_col)
-    cents_rows = picked.select(
-        (F.row_number().over(w) - 1).alias("list_id"),
-        quant(F.col(vec_col)).alias("q"),
-    ).withColumn(
-        "n2", F.aggregate(F.transform("q", lambda v: v * v), F.lit(0).cast("long"), lambda a, v: a + v)
-    )
-    cent_local = [(int(r.list_id), list(r.q), int(r.n2)) for r in cents_rows.collect()]
-    cent_local.sort()
-    cvecs = [qv for _, qv, _ in cent_local]
-    cn2 = [n2 for _, _, n2 in cent_local]
-
-    s = embedding_scores(df, None, id_col, vec_col, centroids=cvecs)
-    # argmax over quantized cosines; exact integer/rounded-double math, so
-    # the tie-break (lowest list_id) is deterministic cross-run
-    best = F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    cos_q_expr(F.col(f"dot_c{k}"), F.col("n2"), F.lit(cn2[k])).alias("sim"),
-                    F.lit(-k).alias("neg_list_id"),
-                )
-                for k in range(len(cvecs))
-            ]
-        )
-    )
-    assigned = s.select(F.col(id_col), (-best["neg_list_id"]).cast("int").alias("list_id"), "n2", *[
-        F.col(f"dot_c{k}") for k in range(len(cvecs))
-    ])
-    return cents_rows, assigned
+# When n_lists exceeds this, ivf_assign/ivf_topk switch from inline
+# centroid literals (n_lists×dims literals + n_lists SUMs in ONE
+# aggregation — fastest, but the expression tree grows past codegen
+# comfort at real IVF scale) to a broadcast-joined centroid-component
+# table (plan size O(1) in n_lists; same FLOPs, done in join+agg rows).
+INLINE_CENTROID_LIMIT = 64
 
 
-def ivf_topk(
-    df: DataFrame,
-    query: list[float],
-    k: int = 10,
-    n_lists: int = 16,
-    nprobe: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    seed: int = 13,
-) -> DataFrame:
-    """IVF approximate top-k: rank centroids by quantized cosine to the
-    query, scan only the nprobe nearest lists, quantized-cosine re-rank
-    inside them. Assignment scores AND the query dot come out of one flat
-    pass; at scale the assignment is precomputed once (``ivf_assign``) and
-    persisted partitioned by list_id so a probe is partition pruning."""
+def _pick_centroids(
+    df: DataFrame, n_lists: int, id_col: str, vec_col: str, seed: int
+) -> tuple[DataFrame, list[tuple[int, list[int], int]]]:
+    """Deterministic centroid pick: the n_lists rows with the lowest
+    md5-derived rank hash (a seeded uniform sample — no iterative k-means
+    needed for a partitioning that balances list sizes).
+
+    ``orderBy(hash).limit(n)`` compiles to TakeOrdered (per-partition
+    heaps); the row_number window runs over the n_lists winners only,
+    NEVER the full table. Returns (centroids(list_id, q, n2) DF, and the
+    collected [(list_id, qvec, n2)] — n_lists rows, the one documented
+    driver-side collect in this module)."""
     picked = (
         df.select(F.col(id_col), F.col(vec_col), _rank_hash(F.col(id_col), seed).alias("_rk"))
         .orderBy("_rk", id_col)
@@ -447,10 +395,12 @@ def ivf_topk(
         "n2", F.aggregate(F.transform("q", lambda v: v * v), F.lit(0).cast("long"), lambda a, v: a + v)
     )
     cent_local = sorted((int(r.list_id), list(r.q), int(r.n2)) for r in cents_rows.collect())
-    cvecs = [qv for _, qv, _ in cent_local]
-    cn2 = [n2 for _, _, n2 in cent_local]
+    return cents_rows, cent_local
 
-    # probe lists: centroid-vs-query quantized cosine, driver-side (tiny)
+
+def _rank_lists(cent_local: list[tuple[int, list[int], int]], query: list[float]) -> list[int]:
+    """List ids ordered by centroid-vs-query quantized cosine, best first —
+    driver-side over n_lists rows (tiny)."""
     qq = quant_py(query)
     qn2 = _query_n2(query)
     ranked = sorted(
@@ -462,9 +412,24 @@ def ivf_topk(
         )
         for lid, cv, n2 in cent_local
     )
-    probe = {lid for _, lid in ranked[:nprobe]}
+    return [lid for _, lid in ranked]
 
-    s = embedding_scores(df, query, id_col, vec_col, centroids=cvecs)
+
+def _assign_inline(
+    df: DataFrame,
+    cent_local: list[tuple[int, list[int], int]],
+    query: list[float] | None,
+    id_col: str,
+    vec_col: str,
+    keep_quant: bool,
+) -> DataFrame:
+    """(id, list_id, n2[, dot][, q]) via inline centroid literals — one
+    flat aggregation, n_lists extra SUMs per exploded row."""
+    cvecs = [qv for _, qv, _ in cent_local]
+    cn2 = [n2 for _, _, n2 in cent_local]
+    s = embedding_scores(df, query, id_col, vec_col, centroids=cvecs, keep_quant=keep_quant)
+    # argmax over quantized cosines; exact integer/rounded-double math, so
+    # the tie-break (lowest list_id) is deterministic cross-run
     best = F.array_max(
         F.array(
             *[
@@ -476,9 +441,177 @@ def ivf_topk(
             ]
         )
     )
+    keep = [F.col(id_col), (-best["neg_list_id"]).cast("int").alias("list_id"), F.col("n2")]
+    if query is not None:
+        keep.append(F.col("dot"))
+    if keep_quant:
+        keep.append(F.col("q"))
+    return s.select(*keep)
+
+
+def _assign_join(
+    df: DataFrame,
+    cent_local: list[tuple[int, list[int], int]],
+    query: list[float] | None,
+    id_col: str,
+    vec_col: str,
+    keep_quant: bool,
+) -> DataFrame:
+    """Same output as ``_assign_inline`` but the centroids live in a
+    broadcast (list_id, idx, cval) table joined against the exploded
+    components — plan size O(1) in n_lists, so it survives thousands of
+    lists where the literal expression tree would hit codegen limits.
+    Same total multiply-adds; two key-partitioned aggregations instead of
+    one (map-side combine collapses the dims×n_lists join output before
+    each shuffle)."""
+    spark = df.sparkSession
+    cn2_by_list = {lid: n2 for lid, _, n2 in cent_local}
+    cent_tbl = spark.createDataFrame(
+        [(lid, i, v) for lid, cv, _ in cent_local for i, v in enumerate(cv)],
+        "list_id int, _i int, cval long",
+    )
+    ex = df.select(F.col(id_col), F.posexplode(vec_col).alias("_i", "_x")).select(
+        id_col, "_i", F.floor(F.col("_x").cast("double") * Q_SCALE).cast("long").alias("_q")
+    )
+    per_id_aggs = [F.sum(F.col("_q") * F.col("_q")).alias("n2")]
+    if query is not None:
+        qlit = F.element_at(F.array(*[F.lit(v) for v in quant_py(query)]), F.col("_i") + 1)
+        per_id_aggs.append(F.sum(F.col("_q") * qlit).alias("dot"))
+    if keep_quant:
+        per_id_aggs.append(
+            F.transform(F.sort_array(F.collect_list(F.struct("_i", "_q"))), lambda s: s["_q"]).alias("q")
+        )
+    per_id = ex.groupBy(id_col).agg(*per_id_aggs)
+    dots = (
+        ex.join(F.broadcast(cent_tbl), "_i")
+        .groupBy(id_col, "list_id")
+        .agg(F.sum(F.col("_q") * F.col("cval")).alias("dot_c"))
+    )
+    # centroid n2 by list: O(n_lists) literals, not O(n_lists×dims)
+    cn2_arr = F.array(*[F.lit(cn2_by_list[lid]) for lid in sorted(cn2_by_list)])
+    scored = dots.join(per_id.select(id_col, "n2"), id_col).withColumn(
+        "sim", cos_q_expr(F.col("dot_c"), F.col("n2"), F.element_at(cn2_arr, F.col("list_id") + 1))
+    )
+    best = (
+        scored.groupBy(id_col)
+        .agg(F.max(F.struct(F.col("sim"), (-F.col("list_id")).alias("neg_list_id"))).alias("_m"))
+        .select(id_col, (-F.col("_m.neg_list_id")).cast("int").alias("list_id"))
+    )
+    return best.join(per_id, id_col)
+
+
+def ivf_assign(
+    df: DataFrame,
+    n_lists: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 13,
+    keep_quant: bool = False,
+    centroid_join: bool | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF coarse quantizer: pick n_lists centroids deterministically,
+    assign every vector to its nearest centroid by quantized cosine.
+    Returns (centroids(list_id, q, n2), assigned(id, list_id, n2[, q])).
+
+    ``centroid_join=None`` (auto) uses inline centroid literals up to
+    ``INLINE_CENTROID_LIMIT`` lists (fastest; measured round 2) and the
+    broadcast-joined centroid table beyond (plan size O(1) in n_lists —
+    the literal form is n_lists×dims literals in one expression tree,
+    which stops being a plan at real IVF scale). ``keep_quant`` carries
+    the quantized component array into the assignment — what
+    ``ivf_persist`` stores so probes re-rank without the original table.
+    """
+    cents_rows, cent_local = _pick_centroids(df, n_lists, id_col, vec_col, seed)
+    use_join = centroid_join if centroid_join is not None else len(cent_local) > INLINE_CENTROID_LIMIT
+    assign = _assign_join if use_join else _assign_inline
+    return cents_rows, assign(df, cent_local, None, id_col, vec_col, keep_quant)
+
+
+def ivf_persist(
+    df: DataFrame,
+    root: str,
+    n_lists: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 13,
+    centroid_join: bool | None = None,
+) -> None:
+    """Materialize the IVF index: ``<root>/centroids`` (n_lists rows) and
+    ``<root>/assigned`` — (id, n2, q) PARTITIONED BY list_id, so a probe
+    of nprobe lists is partition PRUNING at the file listing, never a scan
+    of the other n_lists-nprobe partitions. This is the at-scale shape
+    oval models with prefix-scoped LIST (never scan what you can prune,
+    ``internal/s3client/s3client.go:253-275``): assignment cost is paid
+    once per corpus, probes touch only the data they rank."""
+    cents_rows, assigned = ivf_assign(
+        df, n_lists, id_col, vec_col, seed, keep_quant=True, centroid_join=centroid_join
+    )
+    cents_rows.write.mode("overwrite").parquet(f"{root}/centroids")
+    (
+        assigned.repartition("list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(f"{root}/assigned")
+    )
+
+
+def ivf_topk_assigned(
+    spark,
+    root: str,
+    query: list[float],
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a persisted IVF index (``ivf_persist``): rank lists against
+    the query driver-side from the tiny centroids table, read ONLY the
+    nprobe matching partitions of the assigned table (partition pruning —
+    the plan's PartitionFilters carry list_id, asserted by
+    tests/test_plan_shape.py), re-rank by exact quantized cosine from the
+    STORED (q, n2) — the original vector table is never touched."""
+    cents = spark.read.parquet(f"{root}/centroids")
+    cent_local = sorted((int(r.list_id), list(r.q), int(r.n2)) for r in cents.collect())
+    probe = _rank_lists(cent_local, query)[:nprobe]
+    qn2 = _query_n2(query)
+    qarr = F.array(*[F.lit(v) for v in quant_py(query)])
+    cand = spark.read.parquet(f"{root}/assigned").filter(
+        F.col("list_id").isin(*[int(x) for x in probe])
+    )
+    dot = F.aggregate(
+        F.zip_with("q", qarr, lambda x, y: x * y), F.lit(0).cast("long"), lambda a, v: a + v
+    )
     return (
-        s.withColumn("list_id", (-best["neg_list_id"]).cast("int"))
-        .filter(F.col("list_id").isin(*[int(x) for x in probe]))
+        cand.select(F.col(id_col), cos_q_expr(dot, F.col("n2"), F.lit(qn2)).alias("cos_q"))
+        .orderBy(F.desc("cos_q"), id_col)
+        .limit(k)
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 13,
+    centroid_join: bool | None = None,
+) -> DataFrame:
+    """Single-shot IVF approximate top-k (assignment + probe in one job):
+    rank centroids by quantized cosine to the query, keep only vectors
+    assigned to the nprobe nearest lists, quantized-cosine re-rank.
+    For repeated queries over one corpus use ``ivf_persist`` +
+    ``ivf_topk_assigned`` — assignment there is paid once and each probe
+    is partition pruning instead of a full-corpus assignment pass."""
+    _, cent_local = _pick_centroids(df, n_lists, id_col, vec_col, seed)
+    probe = set(_rank_lists(cent_local, query)[:nprobe])
+    use_join = centroid_join if centroid_join is not None else len(cent_local) > INLINE_CENTROID_LIMIT
+    assign = _assign_join if use_join else _assign_inline
+    s = assign(df, cent_local, query, id_col, vec_col, keep_quant=False)
+    qn2 = _query_n2(query)
+    return (
+        s.filter(F.col("list_id").isin(*[int(x) for x in probe]))
         .select(F.col(id_col), cos_q_expr(F.col("dot"), F.col("n2"), F.lit(qn2)).alias("cos_q"))
         .orderBy(F.desc("cos_q"), id_col)
         .limit(k)

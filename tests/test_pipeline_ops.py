@@ -159,6 +159,97 @@ def test_ivf_topk_recall(spark, small_world):
     assert len(set(exact) & set(approx)) >= 4
 
 
+def _hash_embeddings(docs, n: int, dims: int = 16):
+    return docs.limit(n).select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dims - 1)),
+            lambda i: (F.pmod(F.xxhash64("doc_id", i), F.lit(1000)) / 500.0 - 1.0).cast("float"),
+        ).alias("embedding"),
+    )
+
+
+def test_multi_seed_near_dup_recall(spark):
+    """Multi-seed signatures must recall at least as many true near-dup
+    pairs as single-seed, and strictly more on this fixture: 60 planted
+    pairs at cos≈0.997, where one 16-bit signature splits ~1/3 of the
+    pairs (per-bit disagreement ≈ angle/π ≈ 2.5%, so P(all 16 agree) ≈
+    0.66) and three independent seeds recover nearly all of them."""
+    import numpy as np
+
+    from ovalspark.operators.similarity import near_duplicates_cosine
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(60, 24))
+    noisy = base + rng.normal(scale=0.08, size=base.shape)
+    rows = [(f"v{i:03d}", base[i].tolist()) for i in range(60)] + [
+        (f"w{i:03d}", noisy[i].tolist()) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>").cache()
+    truth = {(f"v{i:03d}", f"w{i:03d}") for i in range(60)}
+
+    def found(seeds):
+        pairs = near_duplicates_cosine(df, threshold=0.95, n_bits=16, dims=24, seeds=seeds)
+        return {(r.id_a, r.id_b) for r in pairs.collect()} & truth
+
+    single = found([7])
+    multi = found([7, 101, 202])
+    assert single <= multi  # monotone: seed-7 candidates are a subset
+    assert len(multi) > len(single)  # strict gain on this fixture
+    assert len(multi) >= 50  # near-full recall with 3 seeds
+
+
+def test_ivf_join_path_matches_inline(spark, small_world):
+    """The broadcast-joined centroid path (the plan-size-safe form for
+    n_lists past INLINE_CENTROID_LIMIT) must produce the identical
+    assignment and the identical top-k as the inline-literal form."""
+    from ovalspark.operators.similarity import ivf_assign, ivf_topk
+
+    _, _, docs, _ = small_world
+    emb = _hash_embeddings(docs, 300).cache()
+    _, ai = ivf_assign(emb, n_lists=16, centroid_join=False)
+    _, aj = ivf_assign(emb, n_lists=16, centroid_join=True)
+    ai, aj = ai.select("vec_id", "list_id", "n2"), aj.select("vec_id", "list_id", "n2")
+    assert ai.exceptAll(aj).count() == 0 and aj.exceptAll(ai).count() == 0
+
+    q = list(emb.first().embedding)
+    t_in = [(r.vec_id, r.cos_q) for r in ivf_topk(emb, q, k=10, n_lists=16, nprobe=6, centroid_join=False).collect()]
+    t_jn = [(r.vec_id, r.cos_q) for r in ivf_topk(emb, q, k=10, n_lists=16, nprobe=6, centroid_join=True).collect()]
+    assert t_in == t_jn
+
+
+def test_ivf_persisted_probe(spark, tmp_path, small_world):
+    """ivf_persist + ivf_topk_assigned: same ranking as the one-shot
+    ivf_topk, from ONLY the probed partitions (pruning is asserted by
+    test_plan_shape; correctness here)."""
+    from ovalspark.operators.similarity import ivf_persist, ivf_topk, ivf_topk_assigned
+
+    _, _, docs, _ = small_world
+    emb = _hash_embeddings(docs, 300).cache()
+    root = str(tmp_path / "ivf")
+    ivf_persist(emb, root, n_lists=16)
+    q = list(emb.first().embedding)
+    one_shot = [(r.vec_id, r.cos_q) for r in ivf_topk(emb, q, k=10, n_lists=16, nprobe=6).collect()]
+    probed = [(r.vec_id, r.cos_q) for r in ivf_topk_assigned(spark, root, q, k=10, nprobe=6).collect()]
+    assert probed == one_shot
+
+
+def test_ivf_recall_at_256_lists(spark, small_world):
+    """Real-IVF-scale shape: n_lists=256 forces the join path (auto) —
+    the inline form would be 256×16 literals in one expression tree.
+    Recall vs exact top-10 must hold with nprobe=32."""
+    from ovalspark.operators.similarity import INLINE_CENTROID_LIMIT, cosine_topk, ivf_topk
+
+    _, _, docs, _ = small_world
+    assert 256 > INLINE_CENTROID_LIMIT
+    emb = _hash_embeddings(docs, 800).cache()
+    q = list(emb.first().embedding)
+    exact = [r.vec_id for r in cosine_topk(emb, q, k=10).collect()]
+    approx = [r.vec_id for r in ivf_topk(emb, q, k=10, n_lists=256, nprobe=32).collect()]
+    assert approx[0] == exact[0]  # the query vector itself
+    assert len(set(exact) & set(approx)) >= 5
+
+
 def test_connected_components_transitive_groups(spark):
     """A~B, B~C must collapse into ONE group with the min id as canonical;
     a long path exercises multi-round convergence."""

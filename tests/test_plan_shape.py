@@ -131,6 +131,33 @@ def test_ivf_centroid_pick_is_takeordered(spark, small_world):
     assert "Exchange SinglePartition" not in head, plan
 
 
+def test_ivf_probe_is_partition_pruned(spark, tmp_path, small_world):
+    """Probing a persisted IVF index must be partition PRUNING: the scan's
+    PartitionFilters carry the list_id IN (...) predicate, so only nprobe
+    of n_lists partition directories are listed/read — oval's
+    prefix-scoped LIST re-expressed (s3client.go:253-275: never scan what
+    you can prune)."""
+    from ovalspark.operators.similarity import ivf_persist, ivf_topk_assigned
+
+    _, _, docs, _ = small_world
+    emb = docs.limit(200).select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: (F.pmod(F.xxhash64("doc_id", i), F.lit(1000)) / 500.0 - 1.0).cast("float"),
+        ).alias("embedding"),
+    )
+    root = str(tmp_path / "ivf")
+    ivf_persist(emb, root, n_lists=8)
+    q = list(emb.first().embedding)
+    plan = _plan(ivf_topk_assigned(spark, root, q, k=5, nprobe=2))
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "list_id" in pf[0] and " IN (" in pf[0], plan
+    # and the re-rank never touches the original vector table: the only
+    # scans are the persisted assigned partitions
+    assert "embedding" not in plan, plan
+
+
 def test_salted_uniqueness_two_phase(spark, small_world):
     """Salted path must contain the two-phase aggregate (partial on
     (key, salt), final on key)."""
