@@ -156,16 +156,60 @@ def extract_features(
     return assets.select("asset_id", "media_type", "payload").mapInPandas(run, FEATURE_SCHEMA)
 
 
+def pillow_available() -> bool:
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def resize_images(assets: DataFrame, max_side: int = 64) -> DataFrame:
-    """Thumbnail pipeline plumbing. Real decode needs an image codec that
-    is not in this container — the kernel raises NotImplementedError; the
-    filter/schema/batching around it is the production shape."""
+    """Thumbnail pipeline: decode → aspect-preserving resize → re-encode,
+    streamed through mapInPandas in constant memory. The codec is an
+    OPTIONAL dependency: with Pillow importable on the executors the real
+    kernel runs (decode bytes, thumbnail to ``max_side``, emit PNG bytes +
+    final dims); without it the kernel raises NotImplementedError
+    per-batch — loud, never a silent empty result. ``pillow_available()``
+    lets callers (and the skip-if-absent test) probe the driver side
+    first. The guarded import lives INSIDE the closure so it evaluates on
+    each executor and the closure stays self-contained (cloudpickles by
+    value — the repo's UDF contract)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for _pdf in batches:
+        import io
+
+        try:
+            from PIL import Image
+        except ImportError as e:
             raise NotImplementedError(
-                "image decode requires a codec library (e.g. Pillow) not present "
-                "in this environment; plug a kernel into resize_images"
+                "image decode requires the optional Pillow dependency on the "
+                "executors; install pillow or plug another kernel into resize_images"
+            ) from e
+        for pdf in batches:
+            rows: dict[str, list] = {"asset_id": [], "width": [], "height": [], "thumb": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                if not payload:
+                    continue
+                try:
+                    img = Image.open(io.BytesIO(payload))
+                    img.thumbnail((max_side, max_side))
+                    buf = io.BytesIO()
+                    img.save(buf, format="PNG")
+                except Exception:
+                    continue  # undecodable payload: drop, don't poison the batch
+                rows["asset_id"].append(aid)
+                rows["width"].append(img.width)
+                rows["height"].append(img.height)
+                rows["thumb"].append(buf.getvalue())
+            yield pd.DataFrame(rows) if rows["asset_id"] else pd.DataFrame(
+                {
+                    "asset_id": pd.Series(dtype="object"),
+                    "width": pd.Series(dtype="int64"),
+                    "height": pd.Series(dtype="int64"),
+                    "thumb": pd.Series(dtype="object"),
+                }
             )
 
     return assets.filter(F.col("media_type") == "image").select("asset_id", "meta", "payload").mapInPandas(

@@ -41,17 +41,33 @@ def validate_stream(
     checkpoint_dir: str,
     n_assets: int | None = None,
     trigger_once: bool = True,
+    mode: str = "spans",
 ):
     """Start a streaming query that validates every appended docs file.
 
     Returns the StreamingQuery; caller drives it (processAllAvailable for
     tests, awaitTermination in production). Violations are appended as
     parquet at ``out_path``.
+
+    ``mode="spans"`` runs the span-sequence validator per micro-batch.
+    ``mode="fused"`` runs the single-pass ``validate_all`` (operators/
+    fused.py) against the catalog SEMI-SCOPED to the batch's doc_ids —
+    adding SIZE/PHANTOM/DUP(within-batch) to the span checks from the
+    same one scan. Corpus-GLOBAL classes are out of reach of any
+    micro-batch and are excluded loudly rather than emitted wrong:
+    LOST_DOC cannot fire against a semi-scoped catalog (a batch not
+    containing doc X says nothing about X being lost), and per-partition
+    COUNT_MISMATCH would report partial counts whenever a partition
+    spans micro-batches. Those two remain the batch pass's job (or an
+    end-of-stream reconciliation over the accumulated sink).
     """
     from ovalspark.functions import spans as sp
     from ovalspark.operators import validate_spans
+    from ovalspark.operators.fused import validate_all
 
     na = n_assets if n_assets is not None else sp.DEFAULT_N_ASSETS
+    if mode not in ("spans", "fused"):
+        raise ValueError(f"mode must be spans|fused, got {mode!r}")
     stream = (
         spark.readStream.schema(DOCS_SCHEMA)
         .option("maxFilesPerTrigger", "64")
@@ -59,7 +75,14 @@ def validate_stream(
     )
 
     def run_batch(batch: DataFrame, epoch_id: int) -> None:
-        v = validate_spans(batch, catalog, na)
+        if mode == "fused":
+            batch = batch.localCheckpoint()  # feeds the join twice (scope + validate)
+            cat_b = catalog.join(batch.select("doc_id").distinct(), "doc_id", "left_semi")
+            v = validate_all(batch, cat_b, na).filter(
+                ~F.col("violation_class").isin("LOST_DOC", "COUNT_MISMATCH")
+            )
+        else:
+            v = validate_spans(batch, catalog, na)
         v.withColumn("epoch_id", F.lit(epoch_id)).write.mode("append").parquet(out_path)
 
     writer = stream.writeStream.foreachBatch(run_batch).option("checkpointLocation", checkpoint_dir)

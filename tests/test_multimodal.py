@@ -63,12 +63,43 @@ def test_sample_frames_only_video_and_exploded(spark, media):
     assert all(r.frame_idx % 60 == 0 and len(r.frame) > 0 for r in got)
 
 
-def test_resize_stub_raises_cleanly(spark, media):
-    from py4j.protocol import Py4JJavaError
+def test_resize_without_pillow_raises_cleanly(spark, media):
+    """Without the optional codec the kernel must fail LOUDLY per batch,
+    never return a silent empty frame."""
+    from ovalspark.operators.multimodal import pillow_available
 
+    if pillow_available():
+        pytest.skip("Pillow present — covered by test_resize_with_pillow")
     with pytest.raises(Exception) as ei:
         resize_images(media).collect()
-    assert "NotImplementedError" in str(ei.value) or "codec" in str(ei.value)
+    assert "NotImplementedError" in str(ei.value) or "Pillow" in str(ei.value)
+
+
+def test_resize_with_pillow(spark, media):
+    """With Pillow importable the real kernel decodes, thumbnails with
+    preserved aspect, and re-encodes PNG bytes."""
+    from ovalspark.operators.multimodal import pillow_available
+
+    if not pillow_available():
+        pytest.skip("Pillow not installed (optional dependency)")
+    import io
+
+    from PIL import Image
+
+    # synthetic payloads aren't decodable images: build one real PNG
+    img = Image.new("RGB", (128, 64), (200, 10, 10))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    df = spark.createDataFrame(
+        [("img-1", "image", None, bytearray(buf.getvalue()))],
+        "asset_id string, media_type string, meta struct<width:int,height:int>, payload binary",
+    )
+    got = resize_images(df, max_side=32).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.width, r.height) == (32, 16)  # aspect preserved
+    back = Image.open(io.BytesIO(bytes(r.thumb)))
+    assert back.size == (32, 16)
 
 
 def test_metadata_validation(spark, media):

@@ -41,6 +41,43 @@ def test_stream_validates_appended_batches(spark, world, tmp_path):
     assert got.count() == n_expected  # only the NEW files were validated
 
 
+def test_stream_fused_matches_batch_union(spark, world, tmp_path):
+    """Fused streaming mode: per micro-batch, validate_all over the
+    semi-scoped catalog must emit exactly the rows the BATCH fused
+    validator emits for the same docs (minus the corpus-global classes it
+    excludes by contract) — the streaming twin of test_fused's
+    equivalence assertion."""
+    spec, cat, docs = world
+    docs_dir, out_dir, ckpt = str(tmp_path / "docs"), str(tmp_path / "viol"), str(tmp_path / "ckpt")
+
+    bad, _ = inject_faults(
+        docs, cat, spec, {"WRONG_KIND": 0.1, "STALE_GENERATION": 0.1}, phantom_fraction=0.05
+    )
+    bad = bad.localCheckpoint()
+    # two sequential availableNow runs = two genuine micro-batches over
+    # doc-disjoint halves; doc-level checks are batch-local, so the union
+    # over epochs must equal one whole-input pass
+    half = F.pmod(F.xxhash64("doc_id"), F.lit(2))
+    for h in (0, 1):
+        bad.filter(half == h).write.mode("append").parquet(docs_dir)
+        q = validate_stream(spark, docs_dir, cat, out_dir, ckpt, spec.n_assets, mode="fused")
+        q.awaitTermination()
+    got = spark.read.parquet(out_dir).drop("epoch_id")
+    assert spark.read.parquet(out_dir).select("epoch_id").distinct().count() == 2
+
+    from ovalspark.operators.fused import validate_all
+
+    cat_scoped = cat.join(bad.select("doc_id").distinct(), "doc_id", "left_semi")
+    want = validate_all(bad, cat_scoped, spec.n_assets).filter(
+        ~F.col("violation_class").isin("LOST_DOC", "COUNT_MISMATCH")
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # the fused stream caught more than the spans-only mode would:
+    # phantom docs appear in the same pass
+    assert got.filter(F.col("violation_class") == "PHANTOM_DOC").count() > 0
+
+
 def test_stream_checkpoint_no_reprocess(spark, world, tmp_path):
     """Restarting the stream with the same checkpoint revalidates nothing."""
     spec, cat, docs = world
