@@ -95,40 +95,35 @@ def main() -> int:
                 "cpus": cpus,
                 "validation_docs_per_sec": docs_per_sec,
                 # measured offline on the 2.1M-doc bucketed world via
-                # tools/bench_validation.py (fresh JVM per point; full
-                # round-2 diagnosis chain — file explosion, G1 cliff,
-                # Formatter — plus ceilings in BASELINE.md). Efficiencies
-                # are keyed by methodology, each consistent with its own
-                # seconds series.
+                # tools/bench_validation.py (fresh JVM per width, 5
+                # GC-separated runs each, BEST reported: run 0 pays
+                # codegen/JIT compile and this VM's ambient throughput
+                # swings ±50% between moments — full methodology +
+                # per-run series in BASELINE.md round 3). The round-3
+                # single-leg validator (size check fused into the one
+                # posexplode pass; union legs previously re-executed the
+                # scan+join) is the big absolute mover.
                 "scaling": {
                     "docs": 2091405,
-                    "best_of_2_sessions": {
-                        "seconds": {"1": 56.42, "4": 21.48, "8": 16.27, "32": 18.03},
-                        "efficiency_1_to_4": 0.66,
-                        "efficiency_8_to_32": 0.23,
-                    },
-                    "session_matched": {
-                        "seconds": {"1": 80.85, "4": 27.63, "8": 21.15, "32": 21.02},
-                        "efficiency_1_to_4": 0.73,
-                        "efficiency_8_to_32": 0.25,
+                    "fused_best_of_5": {
+                        "seconds": {"1": 41.98, "2": 25.58, "4": 12.45, "8": 7.33, "32": 4.22},
+                        "efficiency_1_to_4": 0.84,
+                        "efficiency_2_to_8": 0.87,
+                        "efficiency_8_to_32": 0.43,
+                        "best_docs_per_sec_32": 495594,
                     },
                     "controls": {
-                        "compute_xxhash64_seconds": {"1": 34.79, "4": 9.21, "8": 4.91, "32": 2.09},
-                        "compute_efficiency_1_to_4": 0.94,
-                        "compute_efficiency_8_to_32": 0.59,
-                        "allocation_string_regen_efficiency_8_to_32": 0.41,
+                        "compute_xxhash64_seconds": {"1": 32.01, "2": 17.72, "4": 9.0, "8": 4.83, "32": 1.86},
+                        "compute_efficiency_1_to_4": 0.89,
+                        "compute_efficiency_2_to_8": 0.92,
+                        "compute_efficiency_8_to_32": 0.65,
                     },
+                    "engine_over_control_1_to_4": 0.94,
+                    "engine_over_control_2_to_8": 0.95,
+                    "engine_over_control_8_to_32": 0.66,
                     "round1_best_docs_per_sec": {"8": 55169, "32": 64904},
-                    "round2_best_docs_per_sec": {"8": 128541, "32": 116003},
-                    # single-pass fused validator (operators/fused.py):
-                    # identical violation rows from ONE docs⋈catalog scan
-                    "fused": {
-                        "seconds": {"1": 56.97, "2": 31.87, "4": 22.1, "8": 17.33, "32": 13.81},
-                        "efficiency_1_to_2": 0.89,
-                        "efficiency_1_to_4": 0.64,
-                        "efficiency_8_to_32": 0.31,
-                        "best_docs_per_sec_32": 151488,
-                    },
+                    "round2_best_docs_per_sec": {"8": 128541, "32": 151488},
+                    "round3_best_docs_per_sec": {"8": 285321, "32": 495594},
                 },
             }
         )

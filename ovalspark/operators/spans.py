@@ -130,52 +130,50 @@ def span_checks_joined(j: DataFrame, n_assets: int = sp.DEFAULT_N_ASSETS) -> Dat
     (partition_id, doc_id, spans, generation, n_spans, writer_id,
     written_at) — writer_id/generation/n_spans are the CATALOG's. Exposed
     so the fused single-pass validator (operators/fused.py) can run the
-    same expressions on its one outer-join output without a second join."""
-    n_actual = F.size("spans")
-    n_expected = F.col("n_spans")
+    same expressions on its one outer-join output without a second join.
 
-    # doc-level short-read / size check (pattern.go:123-127 analog)
-    size_viol = j.filter(n_actual != n_expected).select(
+    SINGLE-LEG plan (round 3): the doc-level size check rides the SAME
+    posexplode_outer pass as the span-field checks — the size violation is
+    emitted from each doc's first exploded row (i==0, or the null row an
+    empty array produces). The previous shape unioned a size leg with the
+    span leg, and union branches do NOT share subplans in Spark: the
+    scan+join executed TWICE (measured ~11 s of a ~40 s single-core run —
+    BASELINE.md round 3). One scan, one join, one explode now feeds every
+    check; clean spans are dropped by one codegen'd predicate before any
+    violation construction."""
+    e = j.select(
         "partition_id",
         "doc_id",
-        F.lit(None).cast("int").alias("span_idx"),
-        F.lit("n_spans").alias("field"),
-        n_expected.cast("string").alias("expected"),
-        n_actual.cast("string").alias("actual"),
-        F.lit("SIZE_MISMATCH").alias("violation_class"),
-        F.col("writer_id"),
+        "generation",
+        "writer_id",
         "written_at",
-    )
-
-    # span-level: explode the common prefix; all expressions flat/codegen
-    e = (
-        j.select(
-            "partition_id",
-            "doc_id",
-            "generation",
-            "writer_id",
-            "written_at",
-            n_expected.alias("n_expected"),
-            F.posexplode("spans").alias("i", "s"),
-        )
-        .filter(F.col("i") < F.col("n_expected"))
+        F.col("n_spans").alias("n_expected"),
+        F.size("spans").alias("n_actual"),
+        F.posexplode_outer("spans").alias("i", "s"),
     )
     i, s = F.col("i"), F.col("s")
     doc_id, gen, wid = F.col("doc_id"), F.col("generation"), F.col("writer_id")
+    n_expected, n_actual = F.col("n_expected"), F.col("n_actual")
     exp_kind = sp.span_kind(doc_id, i)
     exp_media = sp.span_media_ref(doc_id, i, exp_kind, n_assets)
     exp_offset = (i * sp.SPAN_UNIT).cast("int")
     exp_text = sp.span_text(doc_id, gen, wid, i)
 
-    # ONE codegen'd predicate drops every clean span right here
-    dirty = e.filter(
+    # span-field checks apply to the overlapping prefix only (a short read
+    # in oval aborts before the missing units are compared, :123-127)
+    in_range = i.isNotNull() & (i < n_expected)
+    dirty = in_range & (
         (~s["kind"].eqNullSafe(exp_kind))
         | (~s["media_ref"].eqNullSafe(exp_media))
         | (~s["offset"].eqNullSafe(exp_offset))
         | (~s["text"].eqNullSafe(exp_text))
     )
+    # doc-level short-read / size check, once per doc via its first row
+    # (posexplode_outer yields i=null for an empty/null array)
+    size_mismatch = (i.isNull() | (i == 0)) & (n_actual != n_expected)
 
-    # detailed per-field extraction — only evaluates on dirty spans
+    # detailed per-field extraction — the when() guards keep these
+    # evaluating only on rows that already failed a check
     seg = sp.text_segments(s["text"])
     text_fields = [
         _field_viol("key", doc_id, seg["key"]),
@@ -206,11 +204,24 @@ def span_checks_joined(j: DataFrame, n_assets: int = sp.DEFAULT_N_ASSETS) -> Dat
         ),
         lambda c: c.isNotNull(),
     )
-    flat = dirty.select(
+    empty = F.array().cast(_EMPTY_VIOLS)
+    size_arr = F.when(
+        size_mismatch,
+        F.array(
+            F.struct(
+                F.lit("n_spans").alias("field"),
+                n_expected.cast("string").alias("expected"),
+                n_actual.cast("string").alias("actual"),
+            )
+        ),
+    ).otherwise(empty)
+    span_arr = F.when(dirty, F.concat(struct_checks, text_checks)).otherwise(empty)
+
+    flat = e.filter(size_mismatch | dirty).select(
         "partition_id",
         "doc_id",
-        i.cast("int").alias("span_idx"),
-        F.explode(F.concat(struct_checks, text_checks)).alias("v"),
+        i.cast("int").alias("i"),
+        F.explode(F.concat(size_arr, span_arr)).alias("v"),
         "writer_id",
         "written_at",
     )
@@ -218,12 +229,14 @@ def span_checks_joined(j: DataFrame, n_assets: int = sp.DEFAULT_N_ASSETS) -> Dat
     cls = F.lit(None).cast("string")
     for fld, c in FIELD_CLASS.items():
         cls = F.when(F.col("v.field") == fld, F.lit(c)).otherwise(cls)
-    cls = F.coalesce(cls, F.lit("OFFSET_DISORDER"))  # offset_text
+    cls = F.when(F.col("v.field") == "n_spans", F.lit("SIZE_MISMATCH")).otherwise(
+        F.coalesce(cls, F.lit("OFFSET_DISORDER"))  # offset_text
+    )
 
-    span_viol = flat.select(
+    return flat.select(
         "partition_id",
         "doc_id",
-        "span_idx",
+        F.when(F.col("v.field") == "n_spans", F.lit(None).cast("int")).otherwise(F.col("i")).alias("span_idx"),
         F.col("v.field").alias("field"),
         F.col("v.expected").alias("expected"),
         F.col("v.actual").alias("actual"),
@@ -231,4 +244,3 @@ def span_checks_joined(j: DataFrame, n_assets: int = sp.DEFAULT_N_ASSETS) -> Dat
         "writer_id",
         "written_at",
     )
-    return size_viol.unionByName(span_viol)

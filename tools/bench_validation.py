@@ -79,6 +79,21 @@ def prepare() -> None:
     print(json.dumps({"prepared": WAREHOUSE, "docs": spark.table("bench_docs").count()}))
 
 
+def _repeat(spark, build, n: int = 5) -> list[float]:
+    """Time ``build()`` materialized via noop n times, GC between runs so
+    one run's localCheckpoint blocks don't burden the next."""
+    import gc
+
+    times = []
+    for _ in range(n):
+        t0 = time.perf_counter()
+        build().write.format("noop").mode("overwrite").save()
+        times.append(round(time.perf_counter() - t0, 2))
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+    return times
+
+
 def run(cpus: int) -> None:
     from ovalspark.operators import check_existence, check_partition_counts, check_uniqueness, validate_spans
     from ovalspark.sources import CATALOG_DDL, DOCS_DDL, register_bucketed
@@ -89,16 +104,24 @@ def run(cpus: int) -> None:
     n_docs = docs.count()
     spark.range(1000).selectExpr("sum(id)").collect()  # JVM warm
 
-    t0 = time.perf_counter()
-    v = (
-        validate_spans(docs, cat)
-        .unionByName(check_existence(docs, cat))
-        .unionByName(check_partition_counts(docs, cat))
-        .unionByName(check_uniqueness(docs, salted=False))  # bucketed layout → co-located keys
+    # Repeated in-session runs, explicit GC between them (checkpointed
+    # blocks from a previous run otherwise accumulate), BEST of the
+    # series reported: run 0 pays whole-stage-codegen compile + JIT
+    # (~6-12 s constant — it masquerades as "poor scaling" on short
+    # many-core runs) and this VM's ambient throughput swings ±50%
+    # between moments (BASELINE.md), so the best run is the closest
+    # observable to the machine's steady-state capability at each width.
+    times = _repeat(
+        spark,
+        lambda: (
+            validate_spans(docs, cat)
+            .unionByName(check_existence(docs, cat))
+            .unionByName(check_partition_counts(docs, cat))
+            .unionByName(check_uniqueness(docs, salted=False))  # bucketed layout → co-located keys
+        ),
     )
-    v.write.format("noop").mode("overwrite").save()
-    dt = time.perf_counter() - t0
-    print(json.dumps({"cpus": cpus, "seconds": round(dt, 2), "docs": n_docs, "docs_per_sec": round(n_docs / dt, 1)}))
+    dt = min(times)
+    print(json.dumps({"cpus": cpus, "seconds": times, "best": dt, "docs": n_docs, "docs_per_sec": round(n_docs / dt, 1)}))
 
 
 def run_fused(cpus: int) -> None:
@@ -112,10 +135,9 @@ def run_fused(cpus: int) -> None:
     cat = register_bucketed(spark, "bench_catalog", f"{WAREHOUSE}/bench_catalog", CATALOG_DDL, N_BUCKETS)
     n_docs = docs.count()
     spark.range(1000).selectExpr("sum(id)").collect()
-    t0 = time.perf_counter()
-    validate_all(docs, cat).write.format("noop").mode("overwrite").save()
-    dt = time.perf_counter() - t0
-    print(json.dumps({"cpus": cpus, "mode": "fused", "seconds": round(dt, 2), "docs": n_docs, "docs_per_sec": round(n_docs / dt, 1)}))
+    times = _repeat(spark, lambda: validate_all(docs, cat))  # see run()'s note
+    dt = min(times)
+    print(json.dumps({"cpus": cpus, "mode": "fused", "seconds": times, "best": dt, "docs": n_docs, "docs_per_sec": round(n_docs / dt, 1)}))
 
 
 def profile(cpus: int) -> None:
