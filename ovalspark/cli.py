@@ -63,6 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--faults", type=parse_fault_mix, default={}, metavar="CLASS=FRAC,...")
     g.add_argument("--phantom-fraction", type=float, default=0.0)
+    g.add_argument(
+        "--table-format",
+        choices=("parquet", "snapshot"),
+        default="parquet",
+        help="snapshot = versioned-manifest tables (sources/snapshots.py): overwrites keep history, validate --snapshot-id reads it",
+    )
 
     v = sub.add_parser("validate", help="run the validation plan")
     v.add_argument("--root", required=True)
@@ -77,6 +83,18 @@ def build_parser() -> argparse.ArgumentParser:
         help="single-pass mode: all core checks from one docs⋈catalog scan (throughput; resume is per-run — the fused constraint reruns whole unless it fully completed)",
     )
     v.add_argument("--run-id", default="run-0")
+    v.add_argument(
+        "--table-format",
+        choices=("auto", "parquet", "snapshot"),
+        default="auto",
+        help="how to read the world tables; snapshot enables --snapshot-id",
+    )
+    v.add_argument(
+        "--snapshot-id",
+        type=int,
+        default=None,
+        help="validate the DOCS table as of this snapshot (V8 read-before-overwrite; requires --table-format snapshot)",
+    )
     v.add_argument(
         "--spans",
         type=parse_span_range,
@@ -113,7 +131,8 @@ def main(argv: list[str] | None = None) -> int:
         if args.faults or args.phantom_fraction:
             docs, _ = inject_faults(docs, cat, spec, args.faults, args.phantom_fraction)
         log.info("generate.start", root=args.root, shards=spec.n_shards, docs_per_writer=spec.docs_per_writer)
-        TableSet(docs=docs, catalog=cat, assets=generate_assets(spark, spec)).save(args.root)
+        fmt = "snapshot" if args.table_format == "snapshot" else "auto"
+        TableSet(docs=docs, catalog=cat, assets=generate_assets(spark, spec)).save(args.root, fmt=fmt)
         log.info("generate.done", root=args.root)
         print(json.dumps({"generated": args.root, "shards": spec.n_shards}))
         return 0
@@ -129,7 +148,10 @@ def main(argv: list[str] | None = None) -> int:
         if os.path.exists(manifest) and not args.resume:
             print(f"manifest {manifest} exists; pass --resume to continue it", file=sys.stderr)
             return 2
-        ts = TableSet.load(spark, args.root)
+        if args.snapshot_id is not None and args.table_format != "snapshot":
+            print("--snapshot-id requires --table-format snapshot", file=sys.stderr)
+            return 2
+        ts = TableSet.load(spark, args.root, fmt=args.table_format, snapshot_id=args.snapshot_id)
         plan = default_plan(broadcast_catalog=args.broadcast_catalog, span_bounds=args.spans, fused=args.fused)
         try:
             res = run_plan(

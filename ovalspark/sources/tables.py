@@ -83,18 +83,29 @@ class TableSet:
     assets: DataFrame | None = None
 
     @classmethod
-    def load(cls, spark: SparkSession, root: str, with_assets: bool = True) -> "TableSet":
+    def load(
+        cls,
+        spark: SparkSession,
+        root: str,
+        with_assets: bool = True,
+        fmt: str = "auto",
+        snapshot_id: int | None = None,
+    ) -> "TableSet":
+        """``snapshot_id`` (with fmt="snapshot"/"iceberg") pins the DOCS
+        table to a past snapshot — validating pre-overwrite state (V8);
+        catalog/assets read latest (they describe expected state)."""
         return cls(
-            docs=read_table(spark, f"{root}/documents"),
-            catalog=read_table(spark, f"{root}/catalog"),
-            assets=read_table(spark, f"{root}/assets") if with_assets else None,
+            docs=read_table(spark, f"{root}/documents", fmt=fmt, snapshot_id=snapshot_id),
+            catalog=read_table(spark, f"{root}/catalog", fmt=fmt),
+            assets=read_table(spark, f"{root}/assets", fmt=fmt) if with_assets else None,
         )
 
-    def save(self, root: str) -> None:
-        write_table(self.docs, f"{root}/documents")
-        write_table(self.catalog, f"{root}/catalog")
+    def save(self, root: str, fmt: str = "auto") -> None:
+        pb = () if fmt == "snapshot" else ("partition_id",)
+        write_table(self.docs, f"{root}/documents", fmt=fmt, partition_by=pb)
+        write_table(self.catalog, f"{root}/catalog", fmt=fmt, partition_by=pb)
         if self.assets is not None:
-            write_table(self.assets, f"{root}/assets", partition_by=())
+            write_table(self.assets, f"{root}/assets", fmt=fmt, partition_by=())
 
 
 def write_bucketed(df: DataFrame, name: str, warehouse: str, n_buckets: int = 64, key: str = "doc_id") -> None:

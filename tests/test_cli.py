@@ -61,3 +61,32 @@ def test_cli_fail_fast(spark, tmp_path, capsys):
     rc = main(["validate", "--root", root, "--out", out, "--fail-fast"])
     line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 1 and "aborted" in line
+
+
+def test_cli_snapshot_time_travel_validate(spark, tmp_path, capsys):
+    """V8 through the CLI: generate a clean snapshot world, overwrite the
+    docs table with a corrupted generation, then validate --snapshot-id 1
+    (clean, passes) vs latest (fails)."""
+    root, out1, out2 = str(tmp_path / "w"), str(tmp_path / "r1"), str(tmp_path / "r2")
+    assert main(
+        ["generate", "--root", root, "--writers", "2", "--docs-per-writer", "80",
+         "--spans", "1-4", "--table-format", "snapshot"]
+    ) == 0
+    capsys.readouterr()
+    # overwrite docs with corruption = snapshot 2 (catalog untouched)
+    assert main(
+        ["generate", "--root", root, "--writers", "2", "--docs-per-writer", "80",
+         "--spans", "1-4", "--faults", "WRONG_KIND=0.1", "--table-format", "snapshot"]
+    ) == 0
+    capsys.readouterr()
+
+    rc = main(["validate", "--root", root, "--out", out1, "--table-format", "snapshot", "--snapshot-id", "1"])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and report["passed"] is True  # pre-overwrite state clean
+
+    rc = main(["validate", "--root", root, "--out", out2, "--table-format", "snapshot"])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and report["passed"] is False  # latest has the corruption
+
+    # --snapshot-id without the snapshot format is refused
+    assert main(["validate", "--root", root, "--out", out2, "--snapshot-id", "1"]) == 2
