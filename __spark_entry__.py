@@ -404,11 +404,12 @@ _Q24_ORACLE = """
 
 
 def _q25_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ovalspark.operators.dedup import minhash_signature, word_shingles
+    from ovalspark.operators.dedup import minhash_base, minhash_from_base, word_shingles
 
     docs = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     sh = docs.select("doc_id", word_shingles(F.col("text")).alias("sh")).filter(F.size("sh") > 0)
-    return sh.select("doc_id", *minhash_signature(F.col("sh"), 4)).orderBy("doc_id")
+    hb = sh.select("doc_id", minhash_base(F.col("sh")).alias("_hb"))
+    return hb.select("doc_id", *minhash_from_base(F.col("_hb"), 4)).orderBy("doc_id")
 
 
 def _q25_oracle() -> str:
