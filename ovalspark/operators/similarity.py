@@ -284,9 +284,10 @@ def ann_lsh_topk(
     whose hyperplane signature is within ``max_hamming`` bits of the
     query's (a driver-computed constant → one codegen'd bit_count
     predicate). Signature projections, n2 and the query dot all come out
-    of the single flat aggregation pass. At scale the signature is a
-    stored column and the filter becomes a bucket join on banded
-    signature prefixes."""
+    of the single flat aggregation pass. At scale use ``ann_lsh_persist``
+    + ``ann_lsh_topk_stored``: the signature becomes a stored column and
+    a probe reads only the band-matching partitions (exact-equivalent to
+    this one-shot form whenever max_hamming < bands)."""
     qsig = hyperplane_signature_py(query, len(query), n_bits, seed)
     s = embedding_scores(df, query, id_col, vec_col, n_bits=n_bits, seed=seed, dims=len(query))
     cands = s.filter(F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= max_hamming)
@@ -360,6 +361,92 @@ def _rank_hash(id_col: Column, seed: int) -> Column:
     return F.conv(
         F.substring(F.md5(F.concat(id_col.cast("string"), F.lit(f":{seed}"))), 1, 15), 16, 10
     ).cast("long")
+
+
+def ann_lsh_persist(
+    df: DataFrame,
+    root: str,
+    n_bits: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    dims: int | None = None,
+) -> None:
+    """Materialize the LSH index ``ann_lsh_topk``'s docstring promises:
+    ``<root>/vectors`` — (id, sig, n2, q) for hamming-filter + exact
+    re-rank from STORED data; ``<root>/bands`` — the banded signature in
+    long form (one row per (band_idx, band_val, id)), PARTITIONED BY
+    (band_idx, band_val) so a query probes exactly ``bands`` partition
+    directories. Size bands so band_val's arity stays in the thousands
+    (n_bits/bands bits per band → 2^(n_bits/bands) directories per band).
+    """
+    if n_bits % bands:
+        raise ValueError(f"bands={bands} must divide n_bits={n_bits}")
+    rb = n_bits // bands
+    s = embedding_scores(
+        df, None, id_col, vec_col, n_bits=n_bits, seed=seed, keep_quant=True, dims=dims
+    ).localCheckpoint()  # feeds two writes; don't run the scoring pass twice
+    s.select(id_col, "sig", "n2", "q").write.mode("overwrite").parquet(f"{root}/vectors")
+    banded = s.select(
+        id_col,
+        F.posexplode(
+            F.array(*[F.shiftrightunsigned(F.col("sig"), b * rb).bitwiseAND(F.lit((1 << rb) - 1)) for b in range(bands)])
+        ).alias("band_idx", "band_val"),
+    )
+    (
+        banded.repartition("band_idx", "band_val")
+        .write.mode("overwrite")
+        .partitionBy("band_idx", "band_val")
+        .parquet(f"{root}/bands")
+    )
+
+
+def ann_lsh_topk_stored(
+    spark,
+    root: str,
+    query: list[float],
+    k: int = 10,
+    n_bits: int = 16,
+    bands: int = 4,
+    max_hamming: int = 2,
+    seed: int = 7,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Probe a persisted LSH index (``ann_lsh_persist``): read the
+    ``bands`` partition directories matching the query signature's band
+    values (partition pruning — the scan's PartitionFilters carry
+    (band_idx, band_val)), hamming-filter the collided candidates against
+    the stored signature, exact quantized-cosine re-rank from the stored
+    components. The original vector table is never touched.
+
+    Exact-equivalent to the one-shot ``ann_lsh_topk`` whenever
+    ``max_hamming < bands``: a signature within hamming h of the query
+    must agree EXACTLY on at least one band once h < bands (pigeonhole),
+    so band collision is a lossless candidate filter there. With
+    ``max_hamming >= bands`` it becomes genuinely approximate (documented
+    recall/cost trade, like every banded LSH)."""
+    if n_bits % bands:
+        raise ValueError(f"bands={bands} must divide n_bits={n_bits}")
+    rb = n_bits // bands
+    qsig = hyperplane_signature_py(query, len(query), n_bits, seed)
+    probe = [(b, (qsig >> (b * rb)) & ((1 << rb) - 1)) for b in range(bands)]
+    cond = None
+    for b, v in probe:
+        c = (F.col("band_idx") == b) & (F.col("band_val") == v)
+        cond = c if cond is None else (cond | c)
+    cand_ids = spark.read.parquet(f"{root}/bands").filter(cond).select(id_col).distinct()
+    vecs = spark.read.parquet(f"{root}/vectors").join(cand_ids, id_col)
+    vecs = vecs.filter(F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= max_hamming)
+    qarr = F.array(*[F.lit(v) for v in quant_py(query)])
+    dot = F.aggregate(
+        F.zip_with("q", qarr, lambda x, y: x * y), F.lit(0).cast("long"), lambda a, v: a + v
+    )
+    return (
+        vecs.select(F.col(id_col), cos_q_expr(dot, F.col("n2"), F.lit(_query_n2(query))).alias("cos_q"))
+        .orderBy(F.desc("cos_q"), id_col)
+        .limit(k)
+    )
 
 
 # When n_lists exceeds this, ivf_assign/ivf_topk switch from inline

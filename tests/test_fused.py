@@ -48,6 +48,34 @@ def test_fused_clean_world_is_empty(small_world):
     assert validate_all(docs, cat, spec.n_assets).count() == 0
 
 
+def test_fused_counts_catch_misplaced_doc(spark, small_world):
+    """A doc stored under the WRONG partition_id (catalog says P, doc row
+    carries Q) must produce the same COUNT_MISMATCH rows in fused mode as
+    in check_partition_counts. The round-2 fused form grouped both sides
+    by the COALESCED partition_id, so the misplaced doc shifted expected
+    and actual together and the mismatch was masked; the fault injector
+    never moves partitions, so only this direct fixture exercises it."""
+    import pyspark.sql.functions as F
+
+    spec, cat, docs, _ = small_world
+    victim = docs.select("doc_id").orderBy("doc_id").limit(1).collect()[0][0]
+    wrong = F.when(F.col("doc_id") == victim, F.col("partition_id") + 1).otherwise(F.col("partition_id"))
+    moved = docs.withColumn("partition_id", wrong).localCheckpoint()
+
+    want = {
+        (r.partition_id, r.expected, r.actual)
+        for r in check_partition_counts(moved, cat).collect()
+    }
+    got = {
+        (r.partition_id, r.expected, r.actual)
+        for r in validate_all(moved, cat, spec.n_assets)
+        .filter(F.col("violation_class") == "COUNT_MISMATCH")
+        .collect()
+    }
+    assert want == got
+    assert len(want) == 2  # the source shard lost one, the target gained one
+
+
 def test_fused_plan_through_runner_matches_union_totals(corrupted, tmp_path):
     """run_plan with the fused plan produces the same total violation count
     and per-partition verdicts as the 4-constraint default plan."""

@@ -234,6 +234,24 @@ def test_ivf_persisted_probe(spark, tmp_path, small_world):
     assert probed == one_shot
 
 
+def test_lsh_stored_probe_matches_one_shot(spark, tmp_path, small_world):
+    """ann_lsh_persist + ann_lsh_topk_stored must return exactly the
+    one-shot ann_lsh_topk ranking when max_hamming < bands (pigeonhole:
+    any signature within hamming h agrees exactly on ≥1 of bands > h
+    bands, so band collision loses no candidate)."""
+    from ovalspark.operators.similarity import ann_lsh_persist, ann_lsh_topk, ann_lsh_topk_stored
+
+    _, _, docs, _ = small_world
+    emb = _hash_embeddings(docs, 400).cache()
+    root = str(tmp_path / "lsh")
+    ann_lsh_persist(emb, root, n_bits=16, bands=4, dims=16)
+    q = list(emb.first().embedding)
+    one_shot = [(r.vec_id, r.cos_q) for r in ann_lsh_topk(emb, q, k=10, n_bits=16, max_hamming=2).collect()]
+    stored = [(r.vec_id, r.cos_q) for r in ann_lsh_topk_stored(spark, root, q, k=10, n_bits=16, bands=4, max_hamming=2).collect()]
+    assert stored == one_shot
+    assert len(stored) > 0
+
+
 def test_ivf_recall_at_256_lists(spark, small_world):
     """Real-IVF-scale shape: n_lists=256 forces the join path (auto) —
     the inline form would be 256×16 literals in one expression tree.

@@ -158,6 +158,27 @@ def test_ivf_probe_is_partition_pruned(spark, tmp_path, small_world):
     assert "embedding" not in plan, plan
 
 
+def test_lsh_probe_is_partition_pruned(spark, tmp_path, small_world):
+    """Probing a persisted LSH index reads only the band-matching
+    partitions: PartitionFilters carry (band_idx, band_val)."""
+    from ovalspark.operators.similarity import ann_lsh_persist, ann_lsh_topk_stored
+
+    _, _, docs, _ = small_world
+    emb = docs.limit(150).select(
+        F.col("doc_id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda i: (F.pmod(F.xxhash64("doc_id", i), F.lit(1000)) / 500.0 - 1.0).cast("float"),
+        ).alias("embedding"),
+    )
+    root = str(tmp_path / "lsh")
+    ann_lsh_persist(emb, root, n_bits=16, bands=4, dims=16)
+    q = list(emb.first().embedding)
+    plan = _plan(ann_lsh_topk_stored(spark, root, q, k=5, n_bits=16, bands=4))
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln and "band_idx" in ln]
+    assert pf and "band_val" in pf[0], plan
+
+
 def test_salted_uniqueness_two_phase(spark, small_world):
     """Salted path must contain the two-phase aggregate (partial on
     (key, salt), final on key)."""
