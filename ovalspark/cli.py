@@ -84,6 +84,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     v.add_argument("--run-id", default="run-0")
     v.add_argument(
+        "--sink-format",
+        choices=("json", "parquet"),
+        default="json",
+        help="violation sink: json (debug-friendly) or parquet (cheaper encode for high-violation runs)",
+    )
+    v.add_argument(
         "--table-format",
         choices=("auto", "parquet", "snapshot"),
         default="auto",
@@ -157,6 +163,7 @@ def main(argv: list[str] | None = None) -> int:
             res = run_plan(
                 plan, ts.docs, ts.catalog, ts.assets, args.out, manifest,
                 run_id=args.run_id, fail_fast=args.fail_fast, logger=log,
+                sink_format=args.sink_format,
             )
         except ValidationFailure as e:
             print(json.dumps({"passed": False, "aborted": str(e)}))

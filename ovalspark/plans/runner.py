@@ -61,23 +61,29 @@ class RunResult:
         return all(self.verdicts.values())
 
 
-def _write_canonical(viol: DataFrame, out_dir: str) -> None:
-    """One sorted JSON-lines file per partition_id dir. repartition by
-    partition_id puts each shard in exactly one task; partitionBy then
-    emits exactly one file per shard; the full-column sort fixes row
-    order — byte-identical output regardless of task scheduling."""
+def _write_canonical(viol: DataFrame, out_dir: str, fmt: str = "json") -> None:
+    """One sorted file per partition_id dir. repartition by partition_id
+    puts each shard in exactly one task; partitionBy then emits exactly
+    one file per shard; the full-column sort fixes row order —
+    byte-identical output regardless of task scheduling (asserted for
+    both formats by tests/test_kill_resume.py / test_resume.py).
+
+    ``fmt="json"`` (default) is the human/debug-friendly sink;
+    ``fmt="parquet"`` cuts encode cost and bytes for high-violation runs
+    (violations are tiny by design, so json is fine on the happy path).
+    """
     spark = viol.sparkSession
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
-        (
+        w = (
             viol.select(*VCOLS)
             .repartition("partition_id")
             .sortWithinPartitions(*VCOLS)
             .write.mode("overwrite")
             .partitionBy("partition_id")
-            .json(out_dir)
         )
+        w.json(out_dir) if fmt == "json" else w.parquet(out_dir)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
@@ -92,6 +98,7 @@ def run_plan(
     run_id: str = "run-0",
     fail_fast: bool = False,
     logger=None,
+    sink_format: str = "json",
 ) -> RunResult:
     import time
 
@@ -155,19 +162,22 @@ def run_plan(
         viol = c.fn(d_in, c_in, assets)
         obs_out = Observation(f"{c.name}-viols")
         viol = viol.observe(obs_out, F.count(F.lit(1)).alias("violations_found"))
+        if sink_format not in ("json", "parquet"):
+            raise ValueError(f"sink_format must be json|parquet, got {sink_format!r}")
         cdir = f"{out_dir}/{c.name}"
-        _write_canonical(viol, cdir)
+        _write_canonical(viol, cdir, fmt=sink_format)
         # count per-partition violations from the WRITTEN output, not by
         # re-running the constraint: a second `viol.groupBy(...).count()`
         # would recompute the whole plan (a full extra pass over docs per
         # constraint); the written violation files are tiny by design.
         spark = viol.sparkSession
         try:
-            written = spark.read.schema(
+            reader = spark.read.schema(
                 "doc_id string, span_idx int, field string, expected string, "
                 "actual string, violation_class string, writer_id int, "
                 "written_at timestamp, partition_id int"
-            ).json(cdir)
+            )
+            written = reader.json(cdir) if sink_format == "json" else reader.parquet(cdir)
             vcounts = {
                 r.partition_id: r.n
                 for r in written.groupBy("partition_id").agg(F.count("*").alias("n")).collect()

@@ -130,3 +130,32 @@ def test_constraint_version_bump_invalidates(world, tmp_path):
     m = Manifest.load_or_create(man)
     assert m.done_partitions("span_sequence", "1") == set(range(spec.n_shards))
     assert m.done_partitions("span_sequence", "2") == set()  # new version → redo
+
+def test_parquet_sink_matches_json(world, tmp_path):
+    """The parquet violation sink must record the same totals/verdicts as
+    json, and be byte-deterministic across identical runs (the resume
+    byte-identity bar applies to both formats)."""
+    import glob
+    import hashlib
+
+    spec, cat, bad, assets = world
+    plan = default_plan(spec.n_assets, broadcast_catalog=True)
+    rj = run_plan(plan, bad, cat, assets, str(tmp_path / "oj"), str(tmp_path / "mj.json"))
+    rp = run_plan(plan, bad, cat, assets, str(tmp_path / "op"), str(tmp_path / "mp.json"), sink_format="parquet")
+    assert rp.totals == rj.totals
+    assert rp.verdicts == rj.verdicts
+
+    rp2 = run_plan(plan, bad, cat, assets, str(tmp_path / "op2"), str(tmp_path / "mp2.json"), sink_format="parquet")
+    assert rp2.totals == rp.totals
+
+    def digest(root):
+        # key by (constraint/partition dir, part index): parquet file
+        # names embed a per-write UUID, the BYTES are what must match
+        out = {}
+        for p in sorted(glob.glob(f"{root}/**/part-*", recursive=True)):
+            rel = p.split(str(tmp_path))[1].split("/", 2)[2]
+            d, base = rel.rsplit("/", 1)
+            out[f"{d}/{base.split('-')[1]}"] = hashlib.md5(open(p, "rb").read()).hexdigest()
+        return out
+
+    assert digest(str(tmp_path / "op")) == digest(str(tmp_path / "op2"))
