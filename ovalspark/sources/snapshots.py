@@ -108,6 +108,7 @@ def snapshot_write(
     df: DataFrame,
     root: str,
     mode: str = "overwrite",
+    target_file_mb: int | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot; returns the new snapshot id.
 
@@ -115,10 +116,33 @@ def snapshot_write(
     (previous files stay on disk, readable through older snapshot ids:
     the V8 guarantee). ``append`` — parent's files plus the new ones, by
     reference (no rewrite).
+
+    ``target_file_mb`` sizes output files (oval's multipart-threshold
+    analog, ``internal/s3client/s3client.go`` multipart sizing; Iceberg's
+    write.target-file-size-bytes): the incoming data is repartitioned to
+    ceil(estimated_bytes / target). The estimate comes from the previous
+    snapshot's bytes-per-row when available (metadata only), else from
+    the plan's sizeInBytes statistic — never from an extra data scan.
+    Without it, the upstream partitioning decides file count.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     parent = current_snapshot_id(root)
+    if target_file_mb is not None:
+        est_bytes = None
+        if parent is not None:
+            m = load_manifest(root, parent)
+            if m["total_rows"]:
+                try:
+                    n_rows = df.count()
+                except Exception:
+                    n_rows = None
+                if n_rows:
+                    est_bytes = int(m["total_bytes"] / m["total_rows"] * n_rows)
+        if est_bytes is None:
+            est_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        n_files = max(1, -(-est_bytes // (target_file_mb * 1024 * 1024)))
+        df = df.repartition(n_files)
     sid = 1 if parent is None else parent + 1
     data_dir = os.path.join(root, "data", f"snap-{sid}")
     if os.path.exists(data_dir) and not os.path.exists(_manifest_path(root, sid)):

@@ -81,6 +81,31 @@ def test_reconcile_counts_detects_torn_file(spark, tmp_path, small_world):
     assert int(v[0]["expected"]) == int(v[0]["actual"]) + 7
 
 
+def test_target_file_size_controls_file_count(spark, tmp_path, small_world):
+    """S2 file sizing: a huge target collapses the snapshot to one file; a
+    small target splits an inflated table into several (estimate via the
+    previous snapshot's bytes/row — metadata only, no extra data scan)."""
+    _, _, docs, _ = small_world
+    root = str(tmp_path / "sized")
+    s1 = snapshot_write(docs, root)  # seed metadata for the bytes/row estimate
+    m1 = load_manifest(root, s1)
+    assert m1["total_bytes"] > 0
+
+    s2 = snapshot_write(docs, root, mode="overwrite", target_file_mb=1024)
+    assert len(load_manifest(root, s2)["files"]) == 1
+
+    big = docs
+    for _ in range(5):  # 32× the rows → est = 32 × snapshot bytes
+        big = big.unionByName(big)
+    m2 = load_manifest(root, s2)  # the estimate reads the PARENT manifest
+    est_bytes = int(m2["total_bytes"] / m2["total_rows"] * big.count())
+    want_files = max(1, -(-est_bytes // (1024 * 1024)))  # ceil(est / 1 MB)
+    s3 = snapshot_write(big, root, mode="overwrite", target_file_mb=1)
+    n_files = len(load_manifest(root, s3)["files"])
+    assert n_files == want_files
+    assert n_files > 1  # 32× the fixture docs comfortably exceeds 1 MB
+
+
 def test_append_reuses_parent_files(spark, tmp_path, small_world):
     """Fast append: parent files referenced, not rewritten; history shows
     the lineage."""
