@@ -91,16 +91,104 @@ def connected_components(
     return labels
 
 
+def connected_components_star(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """(node, component) via alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) — converges in O(log n) rounds regardless of graph DIAMETER,
+    where plain min-label propagation (``connected_components``) needs
+    O(diameter) rounds and raises on chains longer than its budget.
+
+    Use this for adversarial/unknown shapes (long duplicate chains from
+    e.g. content drift A≈B≈C≈…); keep plain propagation for the typical
+    dense near-dup clusters (diameter ≤ ~3 — fewer shuffles per round).
+    Both return the identical (node, min-reachable-id) labeling (tested
+    against a driver-side union-find on random graphs).
+
+    Per round: large-star hangs every node's LARGER neighbors under its
+    neighborhood minimum (keeps every component's minimum reachable),
+    then small-star re-points the smaller-or-equal neighbors at it.
+    Each phase is one groupBy(node).min + one re-join — key-partitioned
+    shuffles, AQE-coalesced; edges are localCheckpoint'ed per round
+    (iterative-lineage trap, BASELINE.md).
+    """
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"),  # directed large → small
+            F.least("u", "v").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        # large-star: m(u) = min(Γ(u) ∪ {u}) over the SYMMETRIC
+        # neighborhood; emit (v, m(u)) for every larger neighbor v of u
+        sym = edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+        mins = mins.select("u", F.least("_mn", F.col("u")).alias("m"))
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: on the large→small edge set, m(u) = min(out(u) ∪ {u});
+        # re-point every out-neighbor and u itself at m
+        mins2 = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(mins2, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()
+        )
+        # converged when the edge set is a stable set of stars
+        changed = ss.exceptAll(edges).limit(1).count()
+        edges = ss
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iterations} "
+            "rounds — O(log n) bound exceeded; the graph is larger than the budget allows"
+        )
+    # edges now: every non-root points at its component root (the min id)
+    labels = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = labels.select(F.col("component").alias("node")).distinct().select(
+        "node", F.col("node").alias("component")
+    )
+    return labels.unionByName(roots)
+
+
+def _cc(pairs: DataFrame, src: str, dst: str, algorithm: str) -> DataFrame:
+    if algorithm == "label":
+        return connected_components(pairs, src, dst)
+    if algorithm == "star":
+        return connected_components_star(pairs, src, dst)
+    raise ValueError(f"algorithm must be label|star, got {algorithm!r}")
+
+
 def duplicate_groups(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
+    algorithm: str = "label",
 ) -> DataFrame:
     """Collapse near-dup pairs into groups: (component, n_members, members)
     — one row per transitive duplicate cluster, members sorted for
     deterministic output. The input is any (id_a, id_b) candidate-pair
-    table (minhash/simhash/embedding near-dups)."""
-    cc = connected_components(pairs, src, dst)
+    table (minhash/simhash/embedding near-dups). ``algorithm="star"``
+    switches to O(log n) star contraction for long-chain graphs."""
+    cc = _cc(pairs, src, dst, algorithm)
     return (
         cc.groupBy("component")
         .agg(
@@ -116,11 +204,12 @@ def dedup_keep_canonical(
     id_col: str = "doc_id",
     src: str = "id_a",
     dst: str = "id_b",
+    algorithm: str = "label",
 ) -> DataFrame:
     """Filter ``docs`` to one canonical row per duplicate group (the
     minimum id — the component label itself) plus every document that is
     in no group. Anti-join against the non-canonical members: output size
     = |docs| - (group members - groups), one broadcast-or-shuffle anti-join."""
-    cc = connected_components(pairs, src, dst)
+    cc = _cc(pairs, src, dst, algorithm)
     losers = cc.filter(F.col("node") != F.col("component")).select(F.col("node").alias(id_col))
     return docs.join(losers, id_col, "left_anti")

@@ -298,6 +298,68 @@ def test_connected_components_transitive_groups(spark):
     assert kept == ["a", "d", "z"]  # one canonical per group + untouched doc
 
 
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # normalize to min-of-component labels
+    comp = {}
+    for n in list(parent):
+        comp.setdefault(find(n), []).append(n)
+    return {n: root for root, ns in comp.items() for n in ns}
+
+
+def test_star_contraction_matches_propagation_and_union_find(spark):
+    """Large-star/small-star must produce the identical
+    (node → component-min) labeling as plain propagation AND a driver-side
+    union-find, on seeded random graphs of varying density."""
+    import random
+
+    from ovalspark.operators.components import connected_components, connected_components_star
+
+    rng = random.Random(11)
+    for n_nodes, n_edges in ((30, 20), (60, 90), (40, 40)):
+        edges = [
+            (f"n{rng.randrange(n_nodes):03d}", f"n{rng.randrange(n_nodes):03d}")
+            for _ in range(n_edges)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        truth = _union_find(edges)
+        df = spark.createDataFrame(edges, "id_a string, id_b string")
+        star = {r.node: r.component for r in connected_components_star(df).collect()}
+        prop = {r.node: r.component for r in connected_components(df, max_iterations=60).collect()}
+        assert star == truth
+        assert prop == truth
+
+
+def test_star_contraction_handles_long_chain(spark):
+    """A 200-node path has diameter 199: plain propagation raises at its
+    default 20-round budget (loud, per the round-3 convergence guard),
+    while star contraction converges in O(log n) rounds."""
+    import pytest as _pytest
+
+    from ovalspark.operators.components import connected_components, connected_components_star
+
+    pairs = spark.createDataFrame(
+        [(f"c{i:04d}", f"c{i + 1:04d}") for i in range(199)], "id_a string, id_b string"
+    )
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(pairs).collect()
+    star = {r.node: r.component for r in connected_components_star(pairs).collect()}
+    assert set(star.values()) == {"c0000"}
+    assert len(star) == 200
+
+
 def test_hash_sampling_deterministic_nested_stable(spark):
     """Content-hash sampling: partition-layout independent, nested rates
     are supersets, append-stable (old verdicts never change)."""
