@@ -50,12 +50,33 @@ def duplicate_doc_ids(docs: DataFrame, key: str = "doc_id", n_salts: int = 32, s
 
 
 def check_uniqueness(docs: DataFrame, n_salts: int = 32, salted: bool = True) -> DataFrame:
-    """Violation rows (one per duplicated doc_id) in the common schema."""
-    dups = duplicate_doc_ids(docs, n_salts=n_salts, salted=salted)
-    # re-attach one representative partition_id for forensics (min is
-    # deterministic regardless of task order)
-    part = docs.groupBy("doc_id").agg(F.min("partition_id").alias("partition_id"))
-    return dups.join(part, "doc_id").select(
+    """Violation rows (one per duplicated doc_id) in the common schema.
+
+    The forensic ``partition_id`` (min over the key's copies —
+    deterministic regardless of task order) rides the SAME two-phase
+    aggregation as the count: phase 1 carries (count, min_part) per
+    (key, salt), phase 2 folds both — one aggregation pipeline instead of
+    a second full groupBy + join (which re-scanned the input)."""
+    if salted:
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in docs.columns]), F.lit(n_salts))
+        partial = (
+            docs.withColumn("_salt", salt)
+            .select("doc_id", "_salt", "partition_id")
+            .groupBy("doc_id", "_salt")
+            .agg(F.count("*").alias("c"), F.min("partition_id").alias("p"))
+        )
+        dups = (
+            partial.groupBy("doc_id")
+            .agg(F.sum("c").alias("cnt"), F.min("p").alias("partition_id"))
+            .filter(F.col("cnt") > 1)
+        )
+    else:
+        dups = (
+            docs.groupBy("doc_id")
+            .agg(F.count("*").alias("cnt"), F.min("partition_id").alias("partition_id"))
+            .filter(F.col("cnt") > 1)
+        )
+    return dups.select(
         "partition_id",
         "doc_id",
         F.lit(None).cast("int").alias("span_idx"),
