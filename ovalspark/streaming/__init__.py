@@ -2,4 +2,5 @@ from ovalspark.streaming.validate_stream import (  # noqa: F401
     dedup_stream,
     monotonic_generation_stream,
     validate_stream,
+    windowed_violation_counts,
 )

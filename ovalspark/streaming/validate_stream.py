@@ -109,6 +109,41 @@ def dedup_stream(
     return fp.withWatermark(time_col, watermark).dropDuplicatesWithinWatermark(["_fp"]).drop("_fp")
 
 
+def windowed_violation_counts(
+    violations_stream: DataFrame,
+    time_col: str = "written_at",
+    window_dur: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Event-time windowed violation-rate aggregation with a watermark —
+    the monitoring surface over a violations stream (e.g. the sink
+    ``validate_stream`` appends to, re-read as a stream): per
+    (time window, violation_class) counts.
+
+    The watermark BOUNDS STATE (windows older than max_event_time -
+    watermark are finalized and their state dropped) and defines the
+    late-data contract: an event arriving after its window finalized is
+    dropped, not double-counted — with ``outputMode("append")`` each
+    window emits exactly once, when the watermark passes its end. Without
+    the watermark this aggregation would keep every window ever seen in
+    state forever (the unbounded-state failure at scale).
+    """
+    return (
+        violations_stream.withWatermark(time_col, watermark)
+        .groupBy(
+            F.window(time_col, window_dur).alias("w"),
+            "violation_class",
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "violation_class",
+            "n",
+        )
+    )
+
+
 MONO_OUT_SCHEMA = "doc_id string, prev_generation int, generation int, violation_class string"
 MONO_STATE_SCHEMA = "max_generation int"
 

@@ -152,3 +152,48 @@ def test_dedup_stream_drops_repeats_within_watermark(spark, tmp_path):
     texts = sorted(t for _, t in got)
     assert texts == ["alpha", "beta", "gamma"]  # one survivor per distinct text
     assert ("d3", "alpha") not in got  # the later copy was the one dropped
+
+
+def test_windowed_counts_finalize_and_drop_late(spark, tmp_path):
+    """Watermarked windowed aggregation: append-mode windows finalize once
+    the watermark passes their end, and an event arriving AFTER its
+    window finalized is dropped (bounded state, no double-count)."""
+    import datetime as dt
+
+    from ovalspark.streaming import windowed_violation_counts
+
+    src, out, ckpt = str(tmp_path / "v_src"), str(tmp_path / "v_out"), str(tmp_path / "v_ckpt")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def run_once():
+        stream = spark.readStream.schema("violation_class string, written_at timestamp").parquet(src)
+        agg = windowed_violation_counts(stream, window_dur="10 minutes", watermark="30 minutes")
+        q = (
+            agg.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def write(rows):
+        spark.createDataFrame(rows, "violation_class string, written_at timestamp").coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    # batch 1: 3 on-time events in [12:00,12:10) + one at 13:00 that
+    # pushes the watermark to 12:30 — the 12:00 window finalizes
+    write([("WRONG_KIND", t0), ("WRONG_KIND", t0 + dt.timedelta(minutes=5)),
+           ("LOST_DOC", t0 + dt.timedelta(minutes=9)), ("WRONG_KIND", t0 + dt.timedelta(minutes=60))])
+    run_once()
+    got = {(r.window_start.minute, r.violation_class): r.n for r in spark.read.parquet(out).collect()}
+    assert got[(0, "WRONG_KIND")] == 2 and got[(0, "LOST_DOC")] == 1
+    assert not any(m == 0 and c == "PHANTOM_DOC" for (m, c) in got)
+
+    # batch 2: a LATE event for the finalized 12:00 window — dropped
+    write([("WRONG_KIND", t0 + dt.timedelta(minutes=1))])
+    run_once()
+    got2 = {(r.window_start.minute, r.violation_class): r.n for r in spark.read.parquet(out).collect()}
+    assert got2[(0, "WRONG_KIND")] == 2  # unchanged: late row did not resurrect the window
