@@ -31,7 +31,12 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-WAREHOUSE = "/tmp/ovalspark_wh"
+#   WORLD=big python tools/bench_validation.py prepare|fused N ...
+# uses a 4× world (8.4M docs) — the standard 2.1M world finishes in ~4 s
+# at 32 cores, too short to amortize scheduling/JIT, which understates
+# wide-width scaling.
+_BIG = os.environ.get("WORLD") == "big"
+WAREHOUSE = "/tmp/ovalspark_wh_big" if _BIG else "/tmp/ovalspark_wh"
 SHUFFLE_DIR = "/dev/shm/spark-local"
 # A bucketed scan is one task per bucket (files don't split). Measured:
 # 256 buckets was SLOWER than 64 at both 8 and 32 cores (more task/file
@@ -41,7 +46,9 @@ N_BUCKETS = 64
 
 # 64 shards x 40k docs ≈ 2.6M keyspace slots → ~2.1M existing docs,
 # ~12M spans; full plan runs tens of seconds at local[8]
-SPEC_KW = dict(n_runners=8, n_writers=8, docs_per_writer=40000, max_spans=16, hot_shard_factor=2)
+SPEC_KW = dict(
+    n_runners=8, n_writers=8, docs_per_writer=160000 if _BIG else 40000, max_spans=16, hot_shard_factor=2
+)
 FAULTS = {"WRONG_KIND": 0.01, "STALE_GENERATION": 0.01, "SIZE_MISMATCH": 0.01, "LOST_DOC": 0.01, "DUP_DOC_ID": 0.01}
 
 
