@@ -1071,10 +1071,22 @@ def _q51_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = os.path.normpath(sf_dir)
     root = f"{_Q40_ROOT}/q51-{hashlib.md5(f'{_Q51_VERSION}:{norm}'.encode()).hexdigest()[:12]}"
     if current_snapshot_id(root) != 2:
-        shutil.rmtree(root, ignore_errors=True)
+        # q40's staging recipe: build the table in a pid-private dir and
+        # publish with one atomic rename — rmtree-ing the shared root in
+        # place would race a concurrent same-sf_dir driver mid-read
+        stage = f"{root}.tmp.{os.getpid()}"
+        shutil.rmtree(stage, ignore_errors=True)
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        snapshot_write(docs, root)
-        snapshot_write(docs.filter(F.col("lang") == "en"), root, mode="overwrite")
+        snapshot_write(docs, stage)
+        snapshot_write(docs.filter(F.col("lang") == "en"), stage, mode="overwrite")
+        if os.path.exists(root) and current_snapshot_id(root) != 2:
+            shutil.rmtree(root, ignore_errors=True)  # damaged root from an old crash
+        try:
+            os.rename(stage, root)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)
+            if current_snapshot_id(root) != 2:  # loser of a benign race is fine; anything else isn't
+                raise
     old = snapshot_read(spark, root, snapshot_id=1)
     return (
         old.groupBy("lang")

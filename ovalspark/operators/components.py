@@ -116,6 +116,15 @@ def connected_components_star(
     shuffles, AQE-coalesced; edges are localCheckpoint'ed per round
     (iterative-lineage trap, BASELINE.md).
     """
+    # all endpoint nodes, INCLUDING ones appearing only in self-pairs
+    # (u==v) — those contribute no edge but must still be labeled, like
+    # plain propagation labels them (singleton components)
+    all_nodes = (
+        pairs.select(F.col(src).alias("node"))
+        .unionByName(pairs.select(F.col(dst).alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
@@ -161,12 +170,13 @@ def connected_components_star(
             f"connected_components_star did not converge in {max_iterations} "
             "rounds — O(log n) bound exceeded; the graph is larger than the budget allows"
         )
-    # edges now: every non-root points at its component root (the min id)
+    # edges now: every non-root points at its component root (the min id);
+    # roots and edge-less singleton nodes label themselves
     labels = edges.select(F.col("u").alias("node"), F.col("v").alias("component"))
-    roots = labels.select(F.col("component").alias("node")).distinct().select(
+    singles = all_nodes.join(labels, "node", "left_anti").select(
         "node", F.col("node").alias("component")
     )
-    return labels.unionByName(roots)
+    return labels.unionByName(singles)
 
 
 def _cc(pairs: DataFrame, src: str, dst: str, algorithm: str) -> DataFrame:

@@ -174,14 +174,7 @@ def embedding_scores(
                 )
             ),
         )
-    ex = df.select(
-        F.col(id_col),
-        F.posexplode(vec_col).alias("_i", "_x"),
-    ).select(
-        id_col,
-        "_i",
-        F.floor(F.col("_x").cast("double") * Q_SCALE).cast("long").alias("_q"),
-    )
+    ex = _exploded_quant(df, id_col, vec_col)
     aggs = [F.sum(F.col("_q") * F.col("_q")).alias("n2")]
     if query is not None:
         qlit = F.element_at(F.array(*[F.lit(v) for v in quant_py(query)]), F.col("_i") + 1)
@@ -197,11 +190,7 @@ def embedding_scores(
             cmap = F.element_at(F.array(*[F.lit(v) for v in c]), F.col("_i") + 1)
             aggs.append(F.sum(F.col("_q") * cmap).alias(f"dot_c{k}"))
     if keep_quant:
-        aggs.append(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("_i", "_q"))), lambda s: s["_q"]
-            ).alias("q")
-        )
+        aggs.append(_collect_quant())
     out = ex.groupBy(id_col).agg(*aggs)
     if n_bits > 0:
         drop_cols = []
@@ -218,6 +207,26 @@ def embedding_scores(
 
 def _query_n2(query: list[float]) -> int:
     return sum(v * v for v in quant_py(query))
+
+
+def _exploded_quant(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, _i, _q): the vector posexploded and quantized — THE shared
+    entry to every flat-aggregation pass (embedding_scores and the IVF
+    join-assignment path). One definition: the quantizer recipe and the
+    inline-vs-join equivalence both depend on it."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(vec_col).alias("_i", "_x"),
+    ).select(
+        id_col,
+        "_i",
+        F.floor(F.col("_x").cast("double") * Q_SCALE).cast("long").alias("_q"),
+    )
+
+
+def _collect_quant() -> Column:
+    """Reassemble the quantized component array inside a groupBy(id) agg."""
+    return F.transform(F.sort_array(F.collect_list(F.struct("_i", "_q"))), lambda s: s["_q"]).alias("q")
 
 
 def cosine_topk(
@@ -557,17 +566,13 @@ def _assign_join(
         [(lid, i, v) for lid, cv, _ in cent_local for i, v in enumerate(cv)],
         "list_id int, _i int, cval long",
     )
-    ex = df.select(F.col(id_col), F.posexplode(vec_col).alias("_i", "_x")).select(
-        id_col, "_i", F.floor(F.col("_x").cast("double") * Q_SCALE).cast("long").alias("_q")
-    )
+    ex = _exploded_quant(df, id_col, vec_col)
     per_id_aggs = [F.sum(F.col("_q") * F.col("_q")).alias("n2")]
     if query is not None:
         qlit = F.element_at(F.array(*[F.lit(v) for v in quant_py(query)]), F.col("_i") + 1)
         per_id_aggs.append(F.sum(F.col("_q") * qlit).alias("dot"))
     if keep_quant:
-        per_id_aggs.append(
-            F.transform(F.sort_array(F.collect_list(F.struct("_i", "_q"))), lambda s: s["_q"]).alias("q")
-        )
+        per_id_aggs.append(_collect_quant())
     per_id = ex.groupBy(id_col).agg(*per_id_aggs)
     dots = (
         ex.join(F.broadcast(cent_tbl), "_i")

@@ -23,6 +23,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _row_salt(docs: DataFrame, n_salts: int):
+    """Content-derived salt (hash of the whole row): deterministic across
+    partitionings, spreads a hot key's distinct copies over n_salts
+    reducers. The ONE definition both entry points share — two inline
+    copies could silently drift."""
+    return F.pmod(F.xxhash64(*[F.col(c) for c in docs.columns]), F.lit(n_salts))
+
+
 def duplicate_doc_ids(docs: DataFrame, key: str = "doc_id", n_salts: int = 32, salted: bool = True) -> DataFrame:
     """(doc_id, cnt) for every key appearing more than once.
 
@@ -33,14 +41,9 @@ def duplicate_doc_ids(docs: DataFrame, key: str = "doc_id", n_salts: int = 32, s
     """
     if not salted:
         return docs.groupBy(key).agg(F.count("*").alias("cnt")).filter(F.col("cnt") > 1)
-    # Content-derived salt (hash of the whole row), matching the module
-    # docstring and salted_join's recipe: deterministic across
-    # partitionings/repartitionings, unlike monotonically_increasing_id.
-    # Copies of a hot key that differ anywhere in content spread over
-    # n_salts reducers; byte-identical copies co-locate, which only
-    # shifts work, never the exact phase-2 count.
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in docs.columns]), F.lit(n_salts))
-    salted_df = docs.withColumn("_salt", salt).select(key, "_salt")
+    # byte-identical copies co-locate on one salt, which only shifts
+    # work, never the exact phase-2 count
+    salted_df = docs.withColumn("_salt", _row_salt(docs, n_salts)).select(key, "_salt")
     partial = salted_df.groupBy(key, "_salt").agg(F.count("*").alias("c"))
     return (
         partial.groupBy(key)
@@ -58,9 +61,8 @@ def check_uniqueness(docs: DataFrame, n_salts: int = 32, salted: bool = True) ->
     (key, salt), phase 2 folds both — one aggregation pipeline instead of
     a second full groupBy + join (which re-scanned the input)."""
     if salted:
-        salt = F.pmod(F.xxhash64(*[F.col(c) for c in docs.columns]), F.lit(n_salts))
         partial = (
-            docs.withColumn("_salt", salt)
+            docs.withColumn("_salt", _row_salt(docs, n_salts))
             .select("doc_id", "_salt", "partition_id")
             .groupBy("doc_id", "_salt")
             .agg(F.count("*").alias("c"), F.min("partition_id").alias("p"))

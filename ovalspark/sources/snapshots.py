@@ -120,10 +120,11 @@ def snapshot_write(
     ``target_file_mb`` sizes output files (oval's multipart-threshold
     analog, ``internal/s3client/s3client.go`` multipart sizing; Iceberg's
     write.target-file-size-bytes): the incoming data is repartitioned to
-    ceil(estimated_bytes / target). The estimate comes from the previous
-    snapshot's bytes-per-row when available (metadata only), else from
-    the plan's sizeInBytes statistic — never from an extra data scan.
-    Without it, the upstream partitioning decides file count.
+    ceil(estimated_bytes / target). With a parent snapshot the estimate
+    is parent bytes-per-row × row count — the input is localCheckpoint'ed
+    so the count and the write share ONE upstream execution; a first
+    commit falls back to the plan's sizeInBytes statistic (metadata
+    only). Without it, the upstream partitioning decides file count.
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
@@ -133,24 +134,32 @@ def snapshot_write(
         if parent is not None:
             m = load_manifest(root, parent)
             if m["total_rows"]:
-                try:
-                    n_rows = df.count()
-                except Exception:
-                    n_rows = None
-                if n_rows:
-                    est_bytes = int(m["total_bytes"] / m["total_rows"] * n_rows)
+                # the row count needs one materialization of the incoming
+                # plan — checkpoint first so the count reads materialized
+                # blocks and the parquet write below reuses them (ONE
+                # upstream execution total, not two)
+                df = df.localCheckpoint()
+                est_bytes = int(m["total_bytes"] / m["total_rows"] * df.count())
         if est_bytes is None:
+            # first commit: no bytes/row history — fall back to the plan's
+            # size statistic (metadata only; accuracy depends on the source)
             est_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
         n_files = max(1, -(-est_bytes // (target_file_mb * 1024 * 1024)))
         df = df.repartition(n_files)
     sid = 1 if parent is None else parent + 1
-    data_dir = os.path.join(root, "data", f"snap-{sid}")
-    if os.path.exists(data_dir) and not os.path.exists(_manifest_path(root, sid)):
-        # debris from a commit that died before writing its manifest: no
-        # committed snapshot references these files (a manifest only ever
-        # references snap dirs of already-committed ids), so reclaim
-        import shutil
+    # Reclaim debris from torn commits. The commit point is the CURRENT
+    # flip, so anything at an id past CURRENT is uncommitted regardless of
+    # how far its writer got:
+    #  - data dir without manifest  → died mid-data-write
+    #  - manifest (± data dir)      → died between manifest and CURRENT;
+    #    the snapshot never became visible, so it is discarded, not
+    #    rolled forward (same choice as an Iceberg failed commit)
+    import shutil
 
+    data_dir = os.path.join(root, "data", f"snap-{sid}")
+    if os.path.exists(_manifest_path(root, sid)):
+        os.unlink(_manifest_path(root, sid))
+    if os.path.exists(data_dir):
         shutil.rmtree(data_dir)
     df.write.mode("error").parquet(data_dir)
     new_files = _footer_stats(glob.glob(os.path.join(data_dir, "part-*.parquet")))
@@ -230,7 +239,14 @@ def reconcile_counts(spark: SparkSession, root: str, snapshot_id: int | None = N
     snapshot's file list with per-file grouping), the expected from the
     commit-time footers."""
     m = load_manifest(root, snapshot_id)
-    expected = snapshot_files(spark, root, snapshot_id).select("path", F.col("rows").alias("expected_n"))
+    # join on the part-file BASENAME (globally unique — Spark embeds a
+    # per-write UUID), not the full path: the manifest stores OS paths
+    # while input_file_name() yields file: URIs whose root/encoding
+    # (relative roots, %20 for spaces) need not match textually
+    base = lambda c: F.element_at(F.split(c, "/"), -1)  # noqa: E731
+    expected = snapshot_files(spark, root, snapshot_id).select(
+        "path", base(F.col("path")).alias("_f"), F.col("rows").alias("expected_n")
+    )
     paths = [f["path"] for f in m["files"]]
     if not paths:
         return expected.limit(0).select(
@@ -249,11 +265,12 @@ def reconcile_counts(spark: SparkSession, root: str, snapshot_id: int | None = N
         .select(F.input_file_name().alias("_uri"))
         .groupBy("_uri")
         .agg(F.count("*").alias("actual_n"))
-        # input_file_name returns a URI (file:///...); manifests store paths
-        .select(F.regexp_replace("_uri", "^file:/*", "/").alias("path"), "actual_n")
+        # input_file_name yields a URI; URL-decode so %XX escapes match
+        # the raw basename stored in the manifest
+        .select(base(F.url_decode(F.col("_uri"))).alias("_f"), "actual_n")
     )
-    j = expected.join(actual, "path", "full_outer").select(
-        "path",
+    j = expected.join(actual, "_f", "full_outer").select(
+        F.coalesce("path", F.col("_f")).alias("path"),
         F.coalesce("expected_n", F.lit(0)).alias("expected_n"),
         F.coalesce("actual_n", F.lit(0)).alias("actual_n"),
     )

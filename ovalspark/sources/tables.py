@@ -60,7 +60,16 @@ def write_table(
     if fmt == "snapshot":
         from ovalspark.sources.snapshots import snapshot_write
 
-        snapshot_write(df, path_or_ident, mode="overwrite" if mode == "overwrite" else "append")
+        # the snapshot layer manages its own file layout and only knows
+        # overwrite/append commits — refuse silently-unhonorable asks
+        # instead of discarding them
+        if partition_by:
+            raise ValueError(
+                "fmt='snapshot' does not take partition_by (the manifest layer owns its layout); pass partition_by=()"
+            )
+        if mode not in ("overwrite", "append"):
+            raise ValueError(f"fmt='snapshot' supports mode overwrite|append, got {mode!r}")
+        snapshot_write(df, path_or_ident, mode=mode)
         return
     if fmt == "iceberg" or (fmt == "auto" and not path_or_ident.startswith("/") and _iceberg_available(spark)):
         w = df.writeTo(path_or_ident)

@@ -88,5 +88,8 @@ def test_cli_snapshot_time_travel_validate(spark, tmp_path, capsys):
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 1 and report["passed"] is False  # latest has the corruption
 
-    # --snapshot-id without the snapshot format is refused
-    assert main(["validate", "--root", root, "--out", out2, "--snapshot-id", "1"]) == 2
+    # --snapshot-id without the snapshot format is refused — FRESH out
+    # dir, or the earlier run's manifest-exists check returns 2 first and
+    # the guard under test never executes
+    out3 = str(tmp_path / "r3")
+    assert main(["validate", "--root", root, "--out", out3, "--snapshot-id", "1"]) == 2

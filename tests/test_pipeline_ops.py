@@ -333,7 +333,8 @@ def test_star_contraction_matches_propagation_and_union_find(spark):
             (f"n{rng.randrange(n_nodes):03d}", f"n{rng.randrange(n_nodes):03d}")
             for _ in range(n_edges)
         ]
-        edges = [(a, b) for a, b in edges if a != b]
+        # keep self-pairs (a==b): they carry no edge but their node must
+        # still be labeled a singleton by BOTH algorithms
         truth = _union_find(edges)
         df = spark.createDataFrame(edges, "id_a string, id_b string")
         star = {r.node: r.component for r in connected_components_star(df).collect()}

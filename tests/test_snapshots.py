@@ -175,3 +175,39 @@ def test_interrupted_commit_leaves_previous_snapshot(spark, tmp_path, small_worl
     # and the next real commit allocates past the debris cleanly
     s2 = snapshot_write(cat.limit(2), root)
     assert s2 == s1 + 1
+
+
+def test_interrupted_commit_after_manifest_before_current(spark, tmp_path, small_world):
+    """The OTHER torn window: writer died after writing v<id>.json but
+    BEFORE flipping CURRENT. The commit point is the CURRENT flip, so the
+    orphan snapshot is invisible, discarded on the next write, and must
+    never wedge the table."""
+    import json
+    import os
+
+    _, cat, _, _ = small_world
+    root = str(tmp_path / "crash2_tbl")
+    s1 = snapshot_write(cat, root)
+    # simulate: data + manifest for snap-2 exist, CURRENT still says 1
+    cat.limit(3).write.parquet(f"{root}/data/snap-2")
+    with open(os.path.join(root, "manifest", "v2.json"), "w") as f:
+        json.dump({"snapshot_id": 2, "parent_id": s1, "operation": "overwrite",
+                   "schema_ddl": "", "schema_json": "{}", "total_rows": 3,
+                   "total_bytes": 1, "files": []}, f)
+    assert current_snapshot_id(root) == s1
+    assert snapshot_read(spark, root).count() == cat.count()  # orphan invisible
+
+    s2 = snapshot_write(cat.limit(5), root)  # must not raise 'path exists'
+    assert s2 == s1 + 1
+    assert snapshot_read(spark, root).count() == 5
+    assert snapshot_read(spark, root, s1).count() == cat.count()
+
+
+def test_reconcile_handles_uri_unfriendly_roots(spark, tmp_path, small_world):
+    """Path-vs-URI robustness: a root containing a space (percent-encoded
+    by input_file_name) must reconcile cleanly — the join is on the
+    UUID-unique part-file basename, not the full path text."""
+    _, cat, _, _ = small_world
+    root = str(tmp_path / "with space" / "tbl")
+    sid = snapshot_write(cat.repartition(2), root)
+    assert reconcile_counts(spark, root, sid).count() == 0
