@@ -771,6 +771,27 @@ def _q47_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q52_dup_groups_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q47's transitive dup groups computed by the O(log n) star-contraction
+    algorithm instead of label propagation — the SAME oracle validates
+    both, so the gate proves the two algorithms agree on real pair data,
+    not just on the test fixtures."""
+    from ovalspark.operators.components import connected_components_star
+    from ovalspark.operators.dedup import minhash_duplicates
+
+    docs = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    pairs = minhash_duplicates(docs, "doc_id", "text", jaccard_threshold=0.5)
+    cc = connected_components_star(pairs)
+    return (
+        cc.groupBy("component")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.concat_ws(",", F.sort_array(F.collect_list("node"))).alias("members_csv"),
+        )
+        .orderBy("component")
+    )
+
+
 def _q47_oracle() -> str:
     """Recursive-CTE twin: the q42 pair pipeline feeds min-label
     propagation (every node's label set grows to its whole component via
@@ -1144,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q49_stratified_sample": _q49_stratified_sample,
             "q50_token_heavy_hitters": _q50_token_heavy_hitters,
             "q51_snapshot_time_travel": _q51_snapshot_time_travel,
+            "q52_dup_groups_star": _q52_dup_groups_star,
         }
     )
     return out
@@ -1175,6 +1197,7 @@ def oracle_sql() -> dict[str, str]:
             "q49_stratified_sample": _Q49_ORACLE,
             "q50_token_heavy_hitters": _Q50_ORACLE,
             "q51_snapshot_time_travel": _Q51_ORACLE,
+            "q52_dup_groups_star": _q47_oracle(),
         }
     )
     return out
