@@ -404,10 +404,14 @@ _Q24_ORACLE = """
 
 
 def _q25_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ovalspark.operators.dedup import minhash_base, minhash_from_base, word_shingles
+    from ovalspark.operators.dedup import minhash_base, minhash_from_base, word_shingles_from_words
 
     docs = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    sh = docs.select("doc_id", word_shingles(F.col("text")).alias("sh")).filter(F.size("sh") > 0)
+    sh = (
+        docs.select("doc_id", F.split(F.col("text"), " ").alias("_w"))
+        .select("doc_id", word_shingles_from_words(F.col("_w")).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
     hb = sh.select("doc_id", minhash_base(F.col("sh")).alias("_hb"))
     return hb.select("doc_id", *minhash_from_base(F.col("_hb"), 4)).orderBy("doc_id")
 

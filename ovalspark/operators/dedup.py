@@ -41,9 +41,13 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     )
 
 
-def word_shingles(text_col: Column, n: int = 2) -> Column:
-    """Distinct word n-gram shingles as an array column (no explode)."""
-    words = F.split(text_col, " ")
+def word_shingles_from_words(words: Column, n: int = 2) -> Column:
+    """Distinct word n-gram shingles from an ALREADY-SPLIT words array
+    column (no explode). Materialize the split as its own column before
+    calling — the shingle lambda references the words array per element,
+    and a non-trivial subexpression inside a HOF lambda body re-evaluates
+    per element (BASELINE.md trap #7; inlining the split measured ~35%
+    slower at sf0.1: 0.19 vs 0.13 s warm)."""
     k = F.greatest(F.size(words) - (n - 1), F.lit(0))
     grams = F.when(
         k > 0,
@@ -53,6 +57,13 @@ def word_shingles(text_col: Column, n: int = 2) -> Column:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
+
+
+def word_shingles(text_col: Column, n: int = 2) -> Column:
+    """Convenience single-expression form (splits inline). Job code should
+    materialize the split first and use ``word_shingles_from_words`` —
+    see its docstring for the per-element re-evaluation trap."""
+    return word_shingles_from_words(F.split(text_col, " "), n)
 
 
 _MH_P = (1 << 31) - 1  # Mersenne prime for the universal hash family
@@ -118,8 +129,10 @@ def minhash_signatures_flat(
     trades that for an explode + shuffle. Measured at sf0.1 (see
     BASELINE.md) to decide the default. Values are identical (same hash
     family); returns (id_col, mh0..mh{n-1})."""
-    sh = df.select(F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("_sh")).filter(
-        F.size("_sh") > 0
+    sh = (
+        df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_w"))
+        .select(id_col, word_shingles_from_words(F.col("_w"), shingle_n).alias("_sh"))
+        .filter(F.size("_sh") > 0)
     )
     ex = sh.select(id_col, F.explode("_sh").alias("_s"))
     base = F.pmod(F.conv(F.substring(F.md5(F.col("_s")), 1, 15), 16, 10).cast("long"), F.lit(_MH_P))
@@ -155,7 +168,10 @@ def minhash_duplicates(
     rows_per_band = n_hashes // bands
     sig = df.select(
         F.col(id_col).alias("_id"),
-        word_shingles(F.col(text_col), shingle_n).alias("_sh"),
+        F.split(F.col(text_col), " ").alias("_w"),
+    ).select(
+        "_id",
+        word_shingles_from_words(F.col("_w"), shingle_n).alias("_sh"),
     ).filter(F.size("_sh") > 0)
     sig = sig.withColumn("_hb", minhash_base(F.col("_sh")))
     sig = sig.select("_id", "_sh", *minhash_from_base(F.col("_hb"), n_hashes))
@@ -201,7 +217,9 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard for an arbitrary candidate-pair table
     (columns id_a, id_b). Join-fetch both shingle sets, compute in arrays.
     """
-    sh = df.select(F.col(id_col).alias("_id"), word_shingles(F.col(text_col), shingle_n).alias("_sh"))
+    sh = df.select(F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_w")).select(
+        "_id", word_shingles_from_words(F.col("_w"), shingle_n).alias("_sh")
+    )
     a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     return (
