@@ -87,21 +87,32 @@ def load_manifest(root: str, snapshot_id: int | None = None) -> dict[str, Any]:
         return json.load(f)
 
 
-def _footer_stats(files: list[str]) -> list[dict[str, Any]]:
+def _footer_stats(files: list[str], root: str) -> list[dict[str, Any]]:
     """(path, rows, bytes) per data file from parquet FOOTERS — metadata
-    reads only, like Iceberg collecting per-file stats at commit time."""
+    reads only, like Iceberg collecting per-file stats at commit time.
+
+    Paths are stored RELATIVE to the table root: manifests must survive
+    the table directory being moved or renamed (atomic staging publishes
+    do exactly that — build under <root>.tmp.<pid>, rename to <root>)."""
     import pyarrow.parquet as pq
 
     out = []
     for p in sorted(files):
         out.append(
             {
-                "path": p,
+                "path": os.path.relpath(p, root),
                 "rows": int(pq.ParquetFile(p).metadata.num_rows),
                 "bytes": int(os.path.getsize(p)),
             }
         )
     return out
+
+
+def _abs_path(root: str, path: str) -> str:
+    """Resolve a manifest file path: relative entries (current format)
+    join the root; absolute entries (pre-relocation manifests) pass
+    through."""
+    return path if os.path.isabs(path) else os.path.join(root, path)
 
 
 def snapshot_write(
@@ -162,7 +173,7 @@ def snapshot_write(
     if os.path.exists(data_dir):
         shutil.rmtree(data_dir)
     df.write.mode("error").parquet(data_dir)
-    new_files = _footer_stats(glob.glob(os.path.join(data_dir, "part-*.parquet")))
+    new_files = _footer_stats(glob.glob(os.path.join(data_dir, "part-*.parquet")), root)
     files = list(new_files)
     if mode == "append" and parent is not None:
         files = load_manifest(root, parent)["files"] + files
@@ -188,7 +199,7 @@ def snapshot_read(spark: SparkSession, root: str, snapshot_id: int | None = None
     read-before-overwrite verification re-expressed as time travel
     (worker.go:43-75: verify the pre-state, then write)."""
     m = load_manifest(root, snapshot_id)
-    paths = [f["path"] for f in m["files"]]
+    paths = [_abs_path(root, f["path"]) for f in m["files"]]
     if not paths:
         from pyspark.sql.types import StructType
 
@@ -202,7 +213,7 @@ def snapshot_files(spark: SparkSession, root: str, snapshot_id: int | None = Non
     count data, s3client.go:253-275) without scanning any data."""
     m = load_manifest(root, snapshot_id)
     return spark.createDataFrame(
-        [(f["path"], f["rows"], f["bytes"]) for f in m["files"]],
+        [(_abs_path(root, f["path"]), f["rows"], f["bytes"]) for f in m["files"]],
         "path string, rows long, bytes long",
     )
 
@@ -247,7 +258,7 @@ def reconcile_counts(spark: SparkSession, root: str, snapshot_id: int | None = N
     expected = snapshot_files(spark, root, snapshot_id).select(
         "path", base(F.col("path")).alias("_f"), F.col("rows").alias("expected_n")
     )
-    paths = [f["path"] for f in m["files"]]
+    paths = [_abs_path(root, f["path"]) for f in m["files"]]
     if not paths:
         return expected.limit(0).select(
             F.lit(None).cast("int").alias("partition_id"),

@@ -77,7 +77,8 @@ def test_reconcile_counts_detects_torn_file(spark, tmp_path, small_world):
     v = reconcile_counts(spark, root, sid).collect()
     assert len(v) == 1
     assert v[0]["violation_class"] == "COUNT_MISMATCH"
-    assert v[0]["doc_id"] == m["files"][0]["path"]
+    # manifests store root-relative paths; the violation reports resolved
+    assert v[0]["doc_id"] == os.path.join(root, m["files"][0]["path"])
     assert int(v[0]["expected"]) == int(v[0]["actual"]) + 7
 
 
@@ -159,6 +160,17 @@ def test_table_io_snapshot_format(spark, tmp_path, small_world):
     assert read_table(spark, root, fmt="snapshot", snapshot_id=1).count() == cat.count()
     with pytest.raises(ValueError, match="snapshot_id"):
         read_table(spark, str(tmp_path / "nope"), fmt="auto", snapshot_id=1)
+
+
+def test_table_io_snapshot_refuses_unhonorable_asks(spark, tmp_path, small_world):
+    """fmt='snapshot' must refuse partition_by and unknown modes loudly —
+    silently discarding either request corrupts caller expectations."""
+    _, cat, _, _ = small_world
+    root = str(tmp_path / "refuse_tbl")
+    with pytest.raises(ValueError, match="partition_by"):
+        write_table(cat, root, fmt="snapshot", partition_by=("partition_id",))
+    with pytest.raises(ValueError, match="mode"):
+        write_table(cat, root, fmt="snapshot", partition_by=(), mode="error")
 
 
 def test_interrupted_commit_leaves_previous_snapshot(spark, tmp_path, small_world):
