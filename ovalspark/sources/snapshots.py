@@ -15,13 +15,25 @@ metadata tree — with nothing but parquet and JSON:
     <root>/manifest/v<id>.json               snapshot manifest (file list)
     <root>/manifest/CURRENT                  pointer to latest id (atomic)
 
-Commit protocol (single-writer per table, like a Hadoop-catalog Iceberg
-table): write the new data files under a NEW snap dir (never touching
-previous files), write ``v<id>.json`` (tmp + rename), then flip CURRENT
-(tmp + rename). A reader resolving any committed snapshot id sees an
-immutable file list; a writer killed mid-commit leaves CURRENT pointing
-at the previous complete snapshot — same guarantee oval relies on when a
-killed run resumes (``internal/runner/runner.go:71-104``).
+Commit protocol (optimistic, first-wins — the guarantee an Iceberg
+catalog CAS gives): write the new data files under a writer-PRIVATE snap
+dir (never touching previous files and never colliding with a concurrent
+writer's), then enter a short metadata critical section guarded by an
+``O_CREAT|O_EXCL`` lock file: re-read CURRENT, and if another writer
+committed since this one resolved its parent, raise
+``ConcurrentCommitError`` (the loser's data dir is removed; the caller
+retries against the new state). Otherwise write ``v<id>.json`` (tmp +
+rename) and flip CURRENT (tmp + rename). The lock covers only the
+metadata flip — milliseconds — never the data write; a lock holder that
+died is detected by pid-liveness and the lock is stolen. A reader
+resolving any committed snapshot id sees an immutable file list; a
+writer killed mid-commit leaves CURRENT pointing at the previous
+complete snapshot — same guarantee oval relies on when a killed run
+resumes (``internal/runner/runner.go:71-104``). The CURRENT flip is the
+single visibility boundary: ``load_manifest`` refuses ids past it and
+``snapshot_history`` lists only committed snapshots, so a torn commit's
+manifest is never readable and can never "vanish from history" (it was
+never in it).
 
 Scale: the manifest holds file-level metadata only (path, rows, bytes —
 collected from parquet footers, never by scanning data), so it stays
@@ -43,8 +55,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed between this writer resolving its parent
+    snapshot and attempting its own commit. The write was NOT applied and
+    its data files were removed; re-run the write to retry against the
+    new table state (the retry re-reads CURRENT, so an append lands on
+    the winner's snapshot and an overwrite replaces it)."""
+
+
 def _manifest_dir(root: str) -> str:
     return os.path.join(root, "manifest")
+
+
+def _lock_path(root: str) -> str:
+    return os.path.join(_manifest_dir(root), "COMMIT_LOCK")
 
 
 def _current_path(root: str) -> str:
@@ -68,6 +92,61 @@ def _atomic_write(path: str, payload: str) -> None:
             os.unlink(tmp)
 
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+    except OSError:
+        return False
+    return True
+
+
+def _acquire_commit_lock(root: str, timeout_s: float = 30.0) -> None:
+    """O_EXCL lock file holding the owner pid. A live holder means another
+    writer is inside the (milliseconds-long) metadata flip — spin briefly;
+    a dead holder's lock is stolen. Raises TimeoutError if the lock stays
+    held past ``timeout_s`` (a wedged writer — surface it, don't hang)."""
+    import time
+
+    path = _lock_path(root)
+    os.makedirs(_manifest_dir(root), exist_ok=True)
+    deadline = time.monotonic() + timeout_s
+    while True:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            with os.fdopen(fd, "w") as f:
+                f.write(str(os.getpid()))
+            return
+        except FileExistsError:
+            try:
+                holder = int(open(path).read().strip() or "0")
+            except (OSError, ValueError):
+                holder = 0
+            if holder and not _pid_alive(holder):
+                # dead holder: steal. unlink may race another stealer —
+                # whoever loops back to O_EXCL first wins; both are safe.
+                try:
+                    os.unlink(path)
+                except FileNotFoundError:
+                    pass
+                continue
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"commit lock at {path} held by live pid {holder} past {timeout_s}s"
+                ) from None
+            time.sleep(0.005)
+
+
+def _release_commit_lock(root: str) -> None:
+    try:
+        os.unlink(_lock_path(root))
+    except FileNotFoundError:
+        pass
+
+
 def current_snapshot_id(root: str) -> int | None:
     """Latest committed snapshot id, or None for an uninitialized table."""
     p = _current_path(root)
@@ -77,9 +156,15 @@ def current_snapshot_id(root: str) -> int | None:
 
 
 def load_manifest(root: str, snapshot_id: int | None = None) -> dict[str, Any]:
-    sid = snapshot_id if snapshot_id is not None else current_snapshot_id(root)
+    cur = current_snapshot_id(root)
+    sid = snapshot_id if snapshot_id is not None else cur
     if sid is None:
         raise FileNotFoundError(f"no committed snapshot at {root}")
+    # The CURRENT flip is the commit point: a manifest past it belongs to
+    # an in-flight or torn commit and must never resolve — otherwise an id
+    # becomes readable, then vanishes when the debris is reclaimed.
+    if cur is None or sid > cur:
+        raise FileNotFoundError(f"snapshot {sid} not committed at {root} (CURRENT={cur})")
     p = _manifest_path(root, sid)
     if not os.path.exists(p):
         raise FileNotFoundError(f"snapshot {sid} not found at {root}")
@@ -115,6 +200,41 @@ def _abs_path(root: str, path: str) -> str:
     return path if os.path.isabs(path) else os.path.join(root, path)
 
 
+def _plan_size_estimate(df: DataFrame) -> int | None:
+    """Catalyst's sizeInBytes statistic for the plan — metadata only, but
+    reached through private ``_jdf`` internals that shift across Spark
+    versions, so failures degrade to None (caller falls back to a sampled
+    estimate) instead of breaking the commit."""
+    try:
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+
+
+def _sampled_size_estimate(df: DataFrame, sample_rows: int = 1024) -> int:
+    """Count-based fallback: parquet-encode a small sample to measure real
+    bytes/row, scale by the row count. The input must already be
+    localCheckpoint'ed (the caller's count/write share that
+    materialization; the sample write here reads the same blocks)."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    rows = df.count()
+    if rows == 0:
+        return 1
+    d = tempfile.mkdtemp(prefix="ovalsnap-est-")
+    try:
+        df.limit(min(rows, sample_rows)).coalesce(1).write.mode("overwrite").parquet(f"{d}/s")
+        parts = glob.glob(f"{d}/s/part-*.parquet")
+        sbytes = sum(os.path.getsize(p) for p in parts)
+        srows = sum(pq.ParquetFile(p).metadata.num_rows for p in parts)
+        return max(1, int(sbytes / max(srows, 1) * rows))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def snapshot_write(
     df: DataFrame,
     root: str,
@@ -128,15 +248,26 @@ def snapshot_write(
     the V8 guarantee). ``append`` — parent's files plus the new ones, by
     reference (no rewrite).
 
+    Concurrency: optimistic first-wins (module doc). The data write goes
+    to a writer-private dir; the commit itself is a CAS on CURRENT under
+    a short pid-liveness lock. If another writer committed first, this
+    raises ``ConcurrentCommitError`` after removing this writer's data
+    files — retry to re-resolve the parent. A loser can therefore never
+    silently overwrite a winner's manifest (the round-3 last-wins hole).
+
     ``target_file_mb`` sizes output files (oval's multipart-threshold
     analog, ``internal/s3client/s3client.go`` multipart sizing; Iceberg's
     write.target-file-size-bytes): the incoming data is repartitioned to
     ceil(estimated_bytes / target). With a parent snapshot the estimate
     is parent bytes-per-row × row count — the input is localCheckpoint'ed
     so the count and the write share ONE upstream execution; a first
-    commit falls back to the plan's sizeInBytes statistic (metadata
-    only). Without it, the upstream partitioning decides file count.
+    commit uses the plan's sizeInBytes statistic (metadata only) and, if
+    that private API is unavailable, a parquet-encoded sample's bytes/row
+    × row count. Without it, the upstream partitioning decides file count.
     """
+    import shutil
+    import uuid
+
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     parent = current_snapshot_id(root)
@@ -152,26 +283,18 @@ def snapshot_write(
                 df = df.localCheckpoint()
                 est_bytes = int(m["total_bytes"] / m["total_rows"] * df.count())
         if est_bytes is None:
-            # first commit: no bytes/row history — fall back to the plan's
-            # size statistic (metadata only; accuracy depends on the source)
-            est_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+            est_bytes = _plan_size_estimate(df)
+        if est_bytes is None:
+            df = df.localCheckpoint()
+            est_bytes = _sampled_size_estimate(df)
         n_files = max(1, -(-est_bytes // (target_file_mb * 1024 * 1024)))
         df = df.repartition(n_files)
     sid = 1 if parent is None else parent + 1
-    # Reclaim debris from torn commits. The commit point is the CURRENT
-    # flip, so anything at an id past CURRENT is uncommitted regardless of
-    # how far its writer got:
-    #  - data dir without manifest  → died mid-data-write
-    #  - manifest (± data dir)      → died between manifest and CURRENT;
-    #    the snapshot never became visible, so it is discarded, not
-    #    rolled forward (same choice as an Iceberg failed commit)
-    import shutil
-
-    data_dir = os.path.join(root, "data", f"snap-{sid}")
-    if os.path.exists(_manifest_path(root, sid)):
-        os.unlink(_manifest_path(root, sid))
-    if os.path.exists(data_dir):
-        shutil.rmtree(data_dir)
+    # Private data dir: concurrent writers racing toward the same sid write
+    # disjoint dirs, so the loser's files never alias the winner's. A torn
+    # commit leaves an unreferenced dir — harmless (never resolvable once
+    # load_manifest refuses ids past CURRENT); ``vacuum`` reclaims them.
+    data_dir = os.path.join(root, "data", f"snap-{sid}-{uuid.uuid4().hex[:8]}")
     df.write.mode("error").parquet(data_dir)
     new_files = _footer_stats(glob.glob(os.path.join(data_dir, "part-*.parquet")), root)
     files = list(new_files)
@@ -187,9 +310,54 @@ def snapshot_write(
         "total_bytes": sum(f["bytes"] for f in files),
         "files": files,
     }
-    _atomic_write(_manifest_path(root, sid), json.dumps(manifest, indent=1, sort_keys=True))
-    _atomic_write(_current_path(root), str(sid))
+    _acquire_commit_lock(root)
+    try:
+        if current_snapshot_id(root) != parent:
+            raise ConcurrentCommitError(
+                f"snapshot {sid} at {root}: parent moved from {parent} to "
+                f"{current_snapshot_id(root)} — another writer committed first"
+            )
+        # a manifest already at sid is debris from a torn commit (its
+        # writer died pre-flip; a LIVE writer would be holding this lock)
+        if os.path.exists(_manifest_path(root, sid)):
+            os.unlink(_manifest_path(root, sid))
+        _atomic_write(_manifest_path(root, sid), json.dumps(manifest, indent=1, sort_keys=True))
+        _atomic_write(_current_path(root), str(sid))
+    except ConcurrentCommitError:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise
+    finally:
+        _release_commit_lock(root)
     return sid
+
+
+def vacuum(root: str) -> list[str]:
+    """Reclaim commit debris: data dirs not referenced by any committed
+    manifest, and manifests past CURRENT (torn commits). Run only while no
+    writer is active — a writer's pre-commit data dir is indistinguishable
+    from a dead writer's debris. Returns the removed paths."""
+    import shutil
+
+    cur = current_snapshot_id(root)
+    removed: list[str] = []
+    live_dirs: set[str] = set()
+    if cur is not None:
+        for sid in range(1, cur + 1):
+            p = _manifest_path(root, sid)
+            if os.path.exists(p):
+                with open(p) as f:
+                    for fe in json.load(f)["files"]:
+                        live_dirs.add(os.path.dirname(os.path.normpath(_abs_path(root, fe["path"]))))
+    for mp in glob.glob(os.path.join(_manifest_dir(root), "v*.json")):
+        sid = int(os.path.basename(mp)[1:-5])
+        if cur is None or sid > cur:
+            os.unlink(mp)
+            removed.append(mp)
+    for dd in glob.glob(os.path.join(root, "data", "snap-*")):
+        if os.path.normpath(dd) not in live_dirs:
+            shutil.rmtree(dd, ignore_errors=True)
+            removed.append(dd)
+    return sorted(removed)
 
 
 def snapshot_read(spark: SparkSession, root: str, snapshot_id: int | None = None) -> DataFrame:
@@ -219,12 +387,17 @@ def snapshot_files(spark: SparkSession, root: str, snapshot_id: int | None = Non
 
 
 def snapshot_history(spark: SparkSession, root: str) -> DataFrame:
-    """The ``.snapshots`` metadata table: one row per committed snapshot."""
+    """The ``.snapshots`` metadata table: one row per COMMITTED snapshot.
+    Manifests past CURRENT (in-flight or torn commits) are excluded — an
+    id that appears in history must stay resolvable, and only the CURRENT
+    flip makes that durable."""
     rows = []
     sid = current_snapshot_id(root)
     for p in sorted(glob.glob(os.path.join(_manifest_dir(root), "v*.json"))):
         with open(p) as f:
             m = json.load(f)
+        if sid is None or m["snapshot_id"] > sid:
+            continue
         rows.append(
             (
                 m["snapshot_id"],

@@ -223,3 +223,169 @@ def test_reconcile_handles_uri_unfriendly_roots(spark, tmp_path, small_world):
     root = str(tmp_path / "with space" / "tbl")
     sid = snapshot_write(cat.repartition(2), root)
     assert reconcile_counts(spark, root, sid).count() == 0
+
+
+def test_concurrent_commit_cas_loser_raises(spark, tmp_path, small_world, monkeypatch):
+    """First-wins CAS, deterministic: a writer whose parent moved under it
+    (a winner commits between its parent read and its in-lock CAS check)
+    must raise ConcurrentCommitError, clean up its data files, and leave
+    the winner's snapshot intact."""
+    import glob as g
+    import os
+
+    from ovalspark.sources import snapshots as sn
+
+    _, cat, _, _ = small_world
+    root = str(tmp_path / "cas_tbl")
+    snapshot_write(cat, root)  # sid 1
+
+    # inject the winner exactly into the race window: the loser has read
+    # parent=1 and written its data; just before it takes the commit lock,
+    # the winner commits sid 2
+    real_acquire = sn._acquire_commit_lock
+    fired = {"done": False}
+
+    def winner_sneaks_in(r, timeout_s=30.0):
+        if not fired["done"]:
+            fired["done"] = True
+            monkeypatch.setattr(sn, "_acquire_commit_lock", real_acquire)
+            snapshot_write(cat.limit(3), r)  # winner: sid 2
+        real_acquire(r, timeout_s)
+
+    monkeypatch.setattr(sn, "_acquire_commit_lock", winner_sneaks_in)
+    with pytest.raises(sn.ConcurrentCommitError):
+        snapshot_write(cat.limit(7), root)
+
+    assert current_snapshot_id(root) == 2
+    assert snapshot_read(spark, root).count() == 3  # winner's content intact
+    # loser's data dir was removed: only snap dirs referenced by manifests remain
+    referenced = set()
+    for sid in (1, 2):
+        for f in load_manifest(root, sid)["files"]:
+            referenced.add(os.path.dirname(f["path"]))
+    on_disk = {os.path.relpath(d, root) for d in g.glob(f"{root}/data/snap-*")}
+    assert on_disk == referenced
+
+
+def test_concurrent_commit_two_thread_race(spark, tmp_path, small_world):
+    """Genuine two-thread race on one table: every outcome must preserve
+    the invariants — ≥1 success, failures only ConcurrentCommitError, the
+    final CURRENT readable, and every committed id resolvable."""
+    import threading
+
+    from ovalspark.sources.snapshots import ConcurrentCommitError
+
+    _, cat, _, _ = small_world
+    root = str(tmp_path / "race_tbl")
+    snapshot_write(cat, root)
+
+    start = threading.Barrier(2)
+    results: list = [None, None]
+
+    def writer(i):
+        try:
+            start.wait(timeout=30)
+            results[i] = ("ok", snapshot_write(cat.limit(10 + i), root, mode="append"))
+        except ConcurrentCommitError as e:
+            results[i] = ("lost", e)
+        except Exception as e:  # pragma: no cover - should not happen
+            results[i] = ("err", e)
+
+    ts = [threading.Thread(target=writer, args=(i,)) for i in range(2)]
+    [t.start() for t in ts]
+    [t.join(timeout=120) for t in ts]
+
+    kinds = sorted(k for k, _ in results)
+    assert "err" not in kinds
+    assert kinds.count("ok") >= 1
+    cur = current_snapshot_id(root)
+    for sid in range(1, cur + 1):
+        assert snapshot_read(spark, root, sid).count() > 0
+    n_ok = kinds.count("ok")
+    assert cur == 1 + n_ok  # each success advanced CURRENT exactly once
+
+
+def test_stale_commit_lock_is_stolen(tmp_path, small_world):
+    """A lock left by a dead writer (dead pid) must not wedge the table."""
+    import os
+
+    _, cat, _, _ = small_world
+    root = str(tmp_path / "stale_lock_tbl")
+    os.makedirs(f"{root}/manifest", exist_ok=True)
+    with open(f"{root}/manifest/COMMIT_LOCK", "w") as f:
+        f.write("999999999")  # beyond pid_max: guaranteed dead
+    sid = snapshot_write(cat.limit(5), root)
+    assert sid == 1
+    assert not os.path.exists(f"{root}/manifest/COMMIT_LOCK")
+
+
+def test_torn_manifest_invisible_everywhere(spark, tmp_path, small_world):
+    """ADVICE: a manifest past CURRENT must not appear in history and must
+    not resolve through load_manifest/snapshot_read — the CURRENT flip is
+    the single visibility boundary."""
+    import json
+    import os
+
+    _, cat, _, _ = small_world
+    root = str(tmp_path / "torn_vis_tbl")
+    s1 = snapshot_write(cat, root)
+    with open(os.path.join(root, "manifest", "v2.json"), "w") as f:
+        json.dump({"snapshot_id": 2, "parent_id": s1, "operation": "overwrite",
+                   "schema_ddl": "", "schema_json": "{}", "total_rows": 1,
+                   "total_bytes": 1, "files": []}, f)
+
+    hist = snapshot_history(spark, root)
+    assert [r["snapshot_id"] for r in hist.collect()] == [s1]
+    with pytest.raises(FileNotFoundError, match="not committed"):
+        load_manifest(root, 2)
+    with pytest.raises(FileNotFoundError, match="not committed"):
+        snapshot_read(spark, root, snapshot_id=2)
+
+
+def test_vacuum_reclaims_debris_keeps_committed(spark, tmp_path, small_world):
+    """vacuum removes torn manifests and unreferenced data dirs; every
+    committed snapshot stays byte-identical."""
+    import json
+    import os
+
+    from ovalspark.sources.snapshots import vacuum
+
+    _, cat, _, _ = small_world
+    root = str(tmp_path / "vac_tbl")
+    s1 = snapshot_write(cat, root)
+    s2 = snapshot_write(cat.limit(4), root, mode="overwrite")
+    # debris: an orphan data dir + a torn manifest at CURRENT+1
+    cat.limit(1).write.parquet(f"{root}/data/snap-3-deadbeef")
+    with open(os.path.join(root, "manifest", "v3.json"), "w") as f:
+        json.dump({"snapshot_id": 3, "parent_id": s2, "operation": "overwrite",
+                   "schema_ddl": "", "schema_json": "{}", "total_rows": 1,
+                   "total_bytes": 1, "files": []}, f)
+
+    removed = vacuum(root)
+    assert any("v3.json" in p for p in removed)
+    assert any("snap-3-deadbeef" in p for p in removed)
+    assert not os.path.exists(f"{root}/data/snap-3-deadbeef")
+    # committed snapshots untouched, including the OLD overwritten one
+    assert snapshot_read(spark, root, s1).count() == cat.count()
+    assert snapshot_read(spark, root, s2).count() == 4
+
+
+def test_first_commit_sizing_with_sampled_fallback(spark, tmp_path, small_world, monkeypatch):
+    """S2 sizing on a FIRST commit with the private-API plan statistic
+    unavailable: the sampled bytes/row estimate must still honor
+    target_file_mb (huge target → one file; tiny target → several)."""
+    from ovalspark.sources import snapshots as sn
+
+    _, _, docs, _ = small_world
+    monkeypatch.setattr(sn, "_plan_size_estimate", lambda df: None)
+
+    root1 = str(tmp_path / "fallback_one")
+    s = snapshot_write(docs, root1, target_file_mb=1024)
+    assert len(load_manifest(root1, s)["files"]) == 1
+
+    big = docs
+    for _ in range(5):
+        big = big.unionByName(big)
+    root2 = str(tmp_path / "fallback_many")
+    s = snapshot_write(big.localCheckpoint(), root2, target_file_mb=1)
+    assert len(load_manifest(root2, s)["files"]) > 1
