@@ -617,16 +617,19 @@ def _q40_span_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("partition_id", "doc_id", "span_idx", "field")
 
 
-def _q40_oracle() -> str:
+def _q40_oracle(d: str | None = None) -> str:
     """Independent DuckDB recomputation of the q40 violation rows from the
     parquet the query materializes (see _q40_span_validation). Mirrors
     ovalspark/operators/spans.py: size check on the doc level, field-by-
     field span comparison on the common prefix (struct fields + fixed-width
     text segments + whole-text fallback) and the existence anti-joins.
 
-    Reads the hash-keyed dir for GATE_SF_DIR — the sf the driver's gate
-    runs at; check_oracle.py overrides the module attribute for other sfs."""
-    d = _q40_dir(GATE_SF_DIR)
+    ``d`` points at a dir holding catalog/actual/expected parquet; the
+    default is q40's own materialization for GATE_SF_DIR — the sf the
+    driver's gate runs at; check_oracle.py overrides the module attribute
+    for other sfs. q53 reuses the same SQL over its delta-scoped dir."""
+    if d is None:
+        d = _q40_dir(GATE_SF_DIR)
     seg = {
         "key": ("substr({t}, 1, 12)", "WRONG_TEXT"),
         "generation": ("substr({t}, 14, 8)", "STALE_GENERATION"),
@@ -1132,6 +1135,113 @@ _Q51_ORACLE = """
 """
 
 
+_Q53_VERSION = "v1"
+
+
+def _q53_dir(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    norm = os.path.normpath(sf_dir)
+    return f"{_Q40_ROOT}/q53-{hashlib.md5(f'{_Q53_VERSION}:{norm}'.encode()).hexdigest()[:12]}"
+
+
+def _q53_delta_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental validation as a value-checked gate row: a snapshot table
+    is built with a clean base commit plus a corrupted APPEND; the query
+    validates ONLY the files the append added (manifest diff →
+    validate_snapshot_delta) — the batch analog of oval validating each
+    PUT's read-back (worker.go:100-118). The oracle recomputes the full
+    violation set from materialized (delta catalog, actual, expected)
+    parquet with the SAME SQL as q40 — so a delta validator that scanned
+    the wrong files, or missed rows the full validator would have found
+    on the added docs, hash-mismatches."""
+    import os
+    import shutil
+
+    from ovalspark.datagen import GenSpec, catalog_from_flat, generate_documents, inject_faults
+    from ovalspark.functions import spans as sp
+    from ovalspark.operators.incremental import validate_snapshot_delta
+    from ovalspark.sources.snapshots import snapshot_write
+
+    flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spec = GenSpec(max_spans=8)
+    cat = catalog_from_flat(flat, spec)
+    is_delta = F.pmod(F.xxhash64("doc_id", F.lit(53)), F.lit(5)) == 0
+    cat_delta = cat.filter(is_delta).localCheckpoint()
+    docs_base = generate_documents(cat.filter(~is_delta), spec).localCheckpoint()
+    docs_delta = generate_documents(cat_delta, spec)
+    bad_delta, _ = inject_faults(
+        docs_delta, cat_delta, spec,
+        {"WRONG_KIND": 0.05, "STALE_GENERATION": 0.05, "SIZE_MISMATCH": 0.05, "LOST_DOC": 0.05},
+    )
+    bad_delta = bad_delta.localCheckpoint()
+
+    final = _q53_dir(sf_dir)
+    if not os.path.isdir(final):
+        # q40's publish recipe: build table + oracle inputs in a
+        # pid-private staging dir, one atomic rename
+        stage = f"{final}.tmp.{os.getpid()}"
+        shutil.rmtree(stage, ignore_errors=True)
+        snapshot_write(docs_base, f"{stage}/table")
+        snapshot_write(bad_delta, f"{stage}/table", mode="append")
+        cat_delta.write.mode("overwrite").parquet(f"{stage}/oracle/catalog")
+        bad_delta.select(
+            "partition_id",
+            "doc_id",
+            F.col("writer_id").alias("doc_writer_id"),
+            "written_at",
+            F.size("spans").alias("n_actual"),
+            F.posexplode_outer("spans").alias("span_idx", "s"),
+        ).select(
+            "partition_id",
+            "doc_id",
+            "doc_writer_id",
+            "written_at",
+            "n_actual",
+            "span_idx",
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.offset").alias("span_offset"),
+        ).write.mode("overwrite").parquet(f"{stage}/oracle/actual")
+        erows = cat_delta.filter(F.col("exists")).select(
+            "doc_id",
+            "generation",
+            "writer_id",
+            F.posexplode(F.sequence(F.lit(0), F.col("n_spans") - 1)).alias("_", "span_idx"),
+        )
+        i = F.col("span_idx")
+        ekind = sp.span_kind(F.col("doc_id"), i)
+        erows.select(
+            "doc_id",
+            i.cast("int").alias("span_idx"),
+            ekind.alias("kind"),
+            sp.span_text(F.col("doc_id"), F.col("generation"), F.col("writer_id"), i).alias("text"),
+            sp.span_media_ref(F.col("doc_id"), i, ekind, spec.n_assets).alias("media_ref"),
+            (i * sp.SPAN_UNIT).cast("int").alias("span_offset"),
+        ).write.mode("overwrite").parquet(f"{stage}/oracle/expected")
+        try:
+            os.rename(stage, final)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)  # concurrent driver won; identical bytes
+
+    v = validate_snapshot_delta(
+        spark, f"{final}/table", cat_delta, spec.n_assets, from_id=1, to_id=2
+    )
+    return v.select(
+        "partition_id",
+        "doc_id",
+        "span_idx",
+        "field",
+        "expected",
+        "actual",
+        "violation_class",
+        "writer_id",
+        F.date_format("written_at", "yyyy-MM-dd HH:mm:ss").alias("written_at"),
+    ).orderBy("partition_id", "doc_id", "span_idx", "field")
+
+
 def _shared(name: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _load(spark, sf_dir, *_TABLES)
@@ -1170,6 +1280,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q50_token_heavy_hitters": _q50_token_heavy_hitters,
             "q51_snapshot_time_travel": _q51_snapshot_time_travel,
             "q52_dup_groups_star": _q52_dup_groups_star,
+            "q53_delta_validation": _q53_delta_validation,
         }
     )
     return out
@@ -1202,6 +1313,7 @@ def oracle_sql() -> dict[str, str]:
             "q50_token_heavy_hitters": _Q50_ORACLE,
             "q51_snapshot_time_travel": _Q51_ORACLE,
             "q52_dup_groups_star": _q47_oracle(),
+            "q53_delta_validation": _q40_oracle(_q53_dir(GATE_SF_DIR) + "/oracle"),
         }
     )
     return out

@@ -375,6 +375,19 @@ def snapshot_read(spark: SparkSession, root: str, snapshot_id: int | None = None
     return spark.read.parquet(*paths)
 
 
+def manifest_diff(root: str, from_id: int | None, to_id: int | None = None) -> list[str]:
+    """Absolute paths of the data files ADDED between two snapshots: in
+    ``to_id``'s file list (default: CURRENT) but not ``from_id``'s
+    (``from_id=None`` → everything in ``to_id``). Pure manifest metadata —
+    no data is listed or scanned; this is what lets incremental validation
+    scope a plan to O(new data) instead of O(corpus) per commit."""
+    to_m = load_manifest(root, to_id)
+    base: set[str] = set()
+    if from_id is not None:
+        base = {f["path"] for f in load_manifest(root, from_id)["files"]}
+    return [_abs_path(root, f["path"]) for f in to_m["files"] if f["path"] not in base]
+
+
 def snapshot_files(spark: SparkSession, root: str, snapshot_id: int | None = None) -> DataFrame:
     """The ``.files`` metadata table: (path, rows, bytes) per data file of
     a snapshot — the reconciliation source for V9 (count manifests vs

@@ -1,0 +1,104 @@
+"""Delta-scoped incremental validation (operators/incremental.py) — the
+batch analog of oval validating every PUT's read-back immediately
+(``internal/runner/worker.go:100-118``): after an append commits, validate
+ONLY the files that snapshot added, never re-scanning the corpus."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from ovalspark.operators.incremental import validate_snapshot_delta
+from ovalspark.sources.snapshots import load_manifest, manifest_diff, snapshot_write
+
+
+def _split_world(spark, small_world, tmp_path, fault_fractions):
+    """Base snapshot (clean docs) + appended delta snapshot (corrupted
+    docs), split ~20/80 from the shared world by a doc_id hash."""
+    from ovalspark.datagen import inject_faults
+
+    spec, cat, docs, _ = small_world
+    is_delta = F.pmod(F.xxhash64("doc_id", F.lit(53)), F.lit(5)) == 0
+    cat_delta = cat.filter(is_delta).localCheckpoint()
+    cat_base = cat.filter(~is_delta)
+    docs_base = docs.filter(is_delta == False)  # noqa: E712 - same predicate on docs
+    docs_delta = docs.filter(is_delta)
+    bad_delta, _ = inject_faults(docs_delta, cat_delta, spec, fault_fractions)
+    bad_delta = bad_delta.localCheckpoint()
+
+    root = str(tmp_path / "delta_tbl")
+    s1 = snapshot_write(docs_base.localCheckpoint(), root)
+    s2 = snapshot_write(bad_delta, root, mode="append")
+    return spec, cat, cat_base, cat_delta, bad_delta, root, s1, s2
+
+
+def _basenames(paths):
+    return {os.path.basename(p) for p in paths}
+
+
+def test_delta_validation_catches_fault_and_scans_only_added_files(
+    spark, tmp_path, small_world
+):
+    spec, cat, cat_base, cat_delta, bad_delta, root, s1, s2 = _split_world(
+        spark, small_world, tmp_path, {"WRONG_KIND": 0.10, "LOST_DOC": 0.05}
+    )
+    added = manifest_diff(root, s1, s2)
+    base_files = [f["path"] for f in load_manifest(root, s1)["files"]]
+    assert added and _basenames(added).isdisjoint(_basenames(base_files))
+
+    v = validate_snapshot_delta(spark, root, cat_delta, spec.n_assets, from_id=s1, to_id=s2)
+    rows = v.collect()
+    classes = {r["violation_class"] for r in rows}
+    assert "WRONG_KIND" in classes and "LOST_DOC" in classes
+
+    # every flagged doc belongs to the delta, never the base
+    delta_ids = {r["doc_id"] for r in cat_delta.select("doc_id").collect()}
+    assert all(r["doc_id"] in delta_ids for r in rows)
+
+    # the PLAN proves pre-existing files were never opened: its parquet
+    # inputs are exactly the added files
+    scanned = _basenames(v.inputFiles())
+    assert scanned == _basenames(added)
+    assert scanned.isdisjoint(_basenames(base_files))
+
+
+def test_delta_equals_full_validation_restricted_to_added_docs(spark, tmp_path, small_world):
+    """Correctness contract: delta validation == full validation of the
+    whole snapshot restricted to the delta's documents (the gate-query
+    q53 shape, asserted here row-for-row within one session)."""
+    from ovalspark.operators import check_existence, validate_spans
+    from ovalspark.sources.snapshots import snapshot_read
+
+    spec, cat, cat_base, cat_delta, bad_delta, root, s1, s2 = _split_world(
+        spark, small_world, tmp_path, {"STALE_GENERATION": 0.10, "SIZE_MISMATCH": 0.05}
+    )
+    v_delta = validate_snapshot_delta(spark, root, cat_delta, spec.n_assets, from_id=s1, to_id=s2)
+
+    all_docs = snapshot_read(spark, root, s2)
+    v_full = validate_spans(all_docs, cat, spec.n_assets).unionByName(
+        check_existence(all_docs, cat)
+    )
+    delta_ids = cat_delta.select("doc_id")
+    v_full_restricted = v_full.join(delta_ids, "doc_id").select(*v_delta.columns)
+
+    assert v_delta.exceptAll(v_full_restricted).count() == 0
+    assert v_full_restricted.exceptAll(v_delta).count() == 0
+    assert v_delta.count() > 0
+
+
+def test_empty_diff_reports_expected_docs_lost(spark, tmp_path, small_world):
+    """from_id == to_id adds nothing: a catalog expecting docs sees them
+    all LOST; an empty catalog sees zero rows."""
+    spec, cat, docs, _ = small_world
+    root = str(tmp_path / "empty_diff_tbl")
+    s1 = snapshot_write(docs.localCheckpoint(), root)
+
+    few = cat.filter(F.col("exists")).limit(7).localCheckpoint()
+    v = validate_snapshot_delta(spark, root, few, spec.n_assets, from_id=s1, to_id=s1)
+    rows = v.collect()
+    assert len(rows) == 7
+    assert {r["violation_class"] for r in rows} == {"LOST_DOC"}
+
+    none = cat.limit(0)
+    assert validate_snapshot_delta(spark, root, none, spec.n_assets, from_id=s1, to_id=s1).count() == 0
