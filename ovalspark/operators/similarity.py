@@ -107,6 +107,60 @@ def hyperplane_signature_py(vec: list[float], dims: int, n_bits: int = 16, seed:
     return sig
 
 
+# When dims × n_bits × n_seeds exceeds this, embedding_scores switches
+# the signature projections from inline ±1 literals (one element_at(array)
+# map + SUM per (seed, bit) in the single aggregation — fastest at toy
+# dims, but the expression tree carries dims×n_bits×seeds literals: at
+# real embedding dims (768–1536) × 16 bits × 3 seeds that is ~50k literal
+# nodes and stops being a plan) to a broadcast-joined (seed, bit, idx,
+# sign) table against the exploded components — plan size O(1) in dims
+# and n_bits, the same escape hatch _assign_join gives the centroids.
+INLINE_SIGN_LIMIT = 4096
+
+
+def _signature_join(
+    ex: DataFrame, id_col: str, sig_seeds: list[int], n_bits: int, dims: int, multi: bool
+) -> DataFrame:
+    """Hyperplane signatures from the exploded-quantized frame via a
+    broadcast sign table: (id, sig[_j] per seed). Exact-integer identical
+    to the inline-literal form (both compute the same Σ sign_pd·q_d; the
+    bit is its sign) — asserted by tests/test_pipeline_ops.py equivalence.
+
+    Shape: one broadcast hash join (the sign table is n_seeds×n_bits×dims
+    rows of four ints — ~70k rows at 1536×16×3, built driver-side once),
+    then three key-partitioned aggregations with map-side combine:
+    (id, seed, bit) projections → (id, seed) signature → (id) pivot. The
+    join output is dims×n_bits×seeds rows per vector, the same
+    multiply-adds the inline form runs inside its single aggregation."""
+    spark = ex.sparkSession
+    rows = []
+    for j, sd in enumerate(sig_seeds):
+        signs = hyperplane_signs(n_bits, dims, sd)
+        for p in range(n_bits):
+            for i, s in enumerate(signs[p]):
+                rows.append((j, p, i, s))
+    tbl = spark.createDataFrame(rows, "_j int, _p int, _i int, _sign int")
+    proj = (
+        ex.join(F.broadcast(tbl), "_i")
+        .groupBy(id_col, "_j", "_p")
+        .agg(F.sum(F.col("_q") * F.col("_sign")).alias("_proj"))
+    )
+    sig = proj.groupBy(id_col, "_j").agg(
+        F.sum(
+            F.when(F.col("_proj") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), _p)"))
+            .otherwise(F.lit(0).cast("long"))
+        ).alias("_sig")
+    )
+    return sig.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("_j") == j, F.col("_sig"))).alias(
+                f"sig_{j}" if multi else "sig"
+            )
+            for j in range(len(sig_seeds))
+        ]
+    )
+
+
 def embedding_scores(
     df: DataFrame,
     query: list[float] | None = None,
@@ -119,6 +173,7 @@ def embedding_scores(
     dims: int | None = None,
     validate_dims: bool = False,
     seeds: list[int] | None = None,
+    sig_join: bool | None = None,
 ) -> DataFrame:
     """The ONE flat pass every quantized operator shares: posexplode the
     vector, quantize per component, and hash-aggregate per vector id —
@@ -129,6 +184,11 @@ def embedding_scores(
       is the sign of one more SUM in the same aggregation. With
       ``seeds=[s0, s1, ...]`` one signature per seed comes out of the SAME
       pass as ``sig_0, sig_1, ...`` (multi-seed candidate recall).
+      ``sig_join`` picks the physical form: inline ±1 literals (None/auto
+      up to ``INLINE_SIGN_LIMIT`` = dims×n_bits×seeds) or the broadcast
+      sign-table join (``_signature_join``) past it — bit-identical
+      outputs, plan size O(1) in dims×n_bits for the join form, which is
+      what survives real embedding dims (768–1536).
     - ``dot_c{k}``: Σ q_i·centroid_k_i per centroid (when given) — the IVF
       assignment scores, again in the same aggregation
     - ``q``: the quantized component array itself (when ``keep_quant`` —
@@ -174,12 +234,15 @@ def embedding_scores(
                 )
             ),
         )
+    use_sig_join = sig_join
+    if use_sig_join is None:
+        use_sig_join = n_bits > 0 and dims * n_bits * len(sig_seeds) > INLINE_SIGN_LIMIT
     ex = _exploded_quant(df, id_col, vec_col)
     aggs = [F.sum(F.col("_q") * F.col("_q")).alias("n2")]
     if query is not None:
         qlit = F.element_at(F.array(*[F.lit(v) for v in quant_py(query)]), F.col("_i") + 1)
         aggs.append(F.sum(F.col("_q") * qlit).alias("dot"))
-    if n_bits > 0:
+    if n_bits > 0 and not use_sig_join:
         for j, sd in enumerate(sig_seeds):
             signs = hyperplane_signs(n_bits, dims, sd)
             for p in range(n_bits):
@@ -192,7 +255,7 @@ def embedding_scores(
     if keep_quant:
         aggs.append(_collect_quant())
     out = ex.groupBy(id_col).agg(*aggs)
-    if n_bits > 0:
+    if n_bits > 0 and not use_sig_join:
         drop_cols = []
         for j in range(len(sig_seeds)):
             sig = F.lit(0).cast("long")
@@ -202,6 +265,11 @@ def embedding_scores(
             out = out.withColumn(name, sig)
             drop_cols += [f"_proj{j}_{p}" for p in range(n_bits)]
         out = out.drop(*drop_cols)
+    elif n_bits > 0:
+        out = out.join(
+            _signature_join(ex, id_col, sig_seeds, n_bits, dims, multi=seeds is not None),
+            id_col,
+        )
     return out
 
 

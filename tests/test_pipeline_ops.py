@@ -394,3 +394,74 @@ def test_token_frequencies_topk(spark):
     )
     top = [(r.token, r.freq) for r in token_frequencies(df, "text", k=3).collect()]
     assert top == [("a", 4), ("b", 3), ("c", 1)]  # freq desc, token tie-break
+
+
+def test_signature_join_matches_inline(spark, small_world):
+    """The broadcast sign-table signature path (plan-size-safe past
+    INLINE_SIGN_LIMIT) must produce bit-identical signatures to the
+    inline-literal form — single- and multi-seed, with and without the
+    other aggregates in the pass."""
+    from ovalspark.operators.similarity import embedding_scores
+
+    _, _, docs, _ = small_world
+    emb = _hash_embeddings(docs, 200, dims=16).cache()
+
+    a = embedding_scores(emb, n_bits=12, dims=16, sig_join=False)
+    b = embedding_scores(emb, n_bits=12, dims=16, sig_join=True)
+    cols = ["vec_id", "n2", "sig"]
+    assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+    assert b.select(cols).exceptAll(a.select(cols)).count() == 0
+
+    q = list(emb.first().embedding)
+    am = embedding_scores(emb, q, n_bits=8, dims=16, seeds=[3, 9], sig_join=False)
+    bm = embedding_scores(emb, q, n_bits=8, dims=16, seeds=[3, 9], sig_join=True)
+    cols = ["vec_id", "n2", "dot", "sig_0", "sig_1"]
+    assert am.select(cols).exceptAll(bm.select(cols)).count() == 0
+    assert bm.select(cols).exceptAll(am.select(cols)).count() == 0
+
+
+def test_signature_join_at_real_dims(spark, small_world):
+    """dims=768 × 16 bits: auto-switch must pick the join path, the run
+    must be green, the signatures must match the driver-side reference
+    bit-for-bit, and the plan must stay O(1) in dims (no dims-sized
+    literal arrays in the aggregate expressions)."""
+    from ovalspark.operators.similarity import (
+        INLINE_SIGN_LIMIT,
+        embedding_scores,
+        hyperplane_signature_py,
+    )
+
+    _, _, docs, _ = small_world
+    dims, n_bits = 768, 16
+    assert dims * n_bits > INLINE_SIGN_LIMIT  # auto picks the join form
+    emb = _hash_embeddings(docs, 20, dims=dims).cache()
+
+    s = embedding_scores(emb, n_bits=n_bits, dims=dims)  # sig_join=None → auto
+    plan = s._jdf.queryExecution().optimizedPlan().toString()
+    # the inline form would embed dims×n_bits ±1 literals; the join form's
+    # plan must not grow with dims — a coarse but effective ceiling
+    assert len(plan) < 200_000
+
+    got = {r.vec_id: r.sig for r in s.collect()}
+    ref = {
+        r.vec_id: hyperplane_signature_py(list(r.embedding), dims, n_bits, seed=7)
+        for r in emb.collect()
+    }
+    assert got == ref
+
+
+def test_near_duplicates_cosine_sig_join_auto(spark):
+    """near_duplicates_cosine at high dims (auto join path) still verifies
+    candidates exactly: the planted near-identical pair survives."""
+    import math
+
+    dims = 512
+    base = [math.sin(0.1 * i) for i in range(dims)]
+    near = list(base)
+    near[0] += 1e-4
+    far = [math.cos(0.3 * i + 1.0) for i in range(dims)]
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "vec_id long, embedding array<float>"
+    )
+    pairs = near_duplicates_cosine(df, threshold=0.95, n_bits=16, dims=dims).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
