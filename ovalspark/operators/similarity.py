@@ -660,6 +660,45 @@ def _assign_join(
     return best.join(per_id, id_col)
 
 
+def _refine_centroids_once(
+    df: DataFrame,
+    cent_local: list[tuple[int, list[int], int]],
+    id_col: str,
+    vec_col: str,
+    centroid_join: bool | None,
+) -> list[tuple[int, list[int], int]]:
+    """One Lloyd iteration, DataFrame-native: assign every vector to its
+    nearest current centroid (the existing inline/join path), then the new
+    centroid is the per-list per-component mean — computed as exact
+    integer floor(Σq / n) from ONE groupBy(list_id, _i) over the exploded
+    frame (sums of |q|≤1e6 components stay < 2^63 up to ~9e12 rows per
+    list). The n_lists×dims mean rows are collected to the driver — the
+    same order of driver-side data as the centroid table itself (the one
+    documented collect in this module). A list that lost all members keeps
+    its previous centroid, so n_lists never shrinks and the pick stays
+    deterministic."""
+    use_join = centroid_join if centroid_join is not None else len(cent_local) > INLINE_CENTROID_LIMIT
+    assign = _assign_join if use_join else _assign_inline
+    assigned = assign(df, cent_local, None, id_col, vec_col, keep_quant=False).select(
+        id_col, "list_id"
+    )
+    sums = (
+        _exploded_quant(df, id_col, vec_col)
+        .join(assigned, id_col)
+        .groupBy("list_id", "_i")
+        .agg(F.sum("_q").alias("_s"), F.count("*").alias("_c"))
+    )
+    dims = len(cent_local[0][1])
+    by_list: dict[int, list[int]] = {}
+    for r in sums.collect():
+        by_list.setdefault(int(r["list_id"]), [0] * dims)[int(r["_i"])] = int(r["_s"]) // int(r["_c"])
+    out = []
+    for lid, old_q, _ in cent_local:
+        q = by_list.get(lid, old_q)
+        out.append((lid, q, sum(v * v for v in q)))
+    return out
+
+
 def ivf_assign(
     df: DataFrame,
     n_lists: int = 64,
@@ -668,6 +707,7 @@ def ivf_assign(
     seed: int = 13,
     keep_quant: bool = False,
     centroid_join: bool | None = None,
+    refine_iters: int = 0,
 ) -> tuple[DataFrame, DataFrame]:
     """IVF coarse quantizer: pick n_lists centroids deterministically,
     assign every vector to its nearest centroid by quantized cosine.
@@ -680,8 +720,23 @@ def ivf_assign(
     which stops being a plan at real IVF scale). ``keep_quant`` carries
     the quantized component array into the assignment — what
     ``ivf_persist`` stores so probes re-rank without the original table.
-    """
+
+    ``refine_iters=N`` runs N Lloyd rounds (assign → per-list mean →
+    re-assign) before the final assignment: a seeded uniform sample is an
+    unbiased but unrefined quantizer, and on CLUSTERED embedding
+    distributions (the realistic case) unlucky picks skew list sizes and
+    nprobe recall; each refinement round moves centroids toward their
+    members' mean, balancing lists (tested: strict skew reduction +
+    recall ≥ unrefined on a clustered fixture). Everything stays
+    deterministic: exact integer means, seeded pick, default 0 keeps the
+    round-3 behavior (q46's oracle twin)."""
     cents_rows, cent_local = _pick_centroids(df, n_lists, id_col, vec_col, seed)
+    for _ in range(refine_iters):
+        cent_local = _refine_centroids_once(df, cent_local, id_col, vec_col, centroid_join)
+    if refine_iters:
+        cents_rows = df.sparkSession.createDataFrame(
+            cent_local, "list_id int, q array<bigint>, n2 bigint"
+        )
     use_join = centroid_join if centroid_join is not None else len(cent_local) > INLINE_CENTROID_LIMIT
     assign = _assign_join if use_join else _assign_inline
     return cents_rows, assign(df, cent_local, None, id_col, vec_col, keep_quant)
@@ -695,6 +750,7 @@ def ivf_persist(
     vec_col: str = "embedding",
     seed: int = 13,
     centroid_join: bool | None = None,
+    refine_iters: int = 0,
 ) -> None:
     """Materialize the IVF index: ``<root>/centroids`` (n_lists rows) and
     ``<root>/assigned`` — (id, n2, q) PARTITIONED BY list_id, so a probe
@@ -704,7 +760,8 @@ def ivf_persist(
     ``internal/s3client/s3client.go:253-275``): assignment cost is paid
     once per corpus, probes touch only the data they rank."""
     cents_rows, assigned = ivf_assign(
-        df, n_lists, id_col, vec_col, seed, keep_quant=True, centroid_join=centroid_join
+        df, n_lists, id_col, vec_col, seed, keep_quant=True, centroid_join=centroid_join,
+        refine_iters=refine_iters,
     )
     cents_rows.write.mode("overwrite").parquet(f"{root}/centroids")
     (
