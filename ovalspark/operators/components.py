@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 
 def connected_components(
@@ -135,6 +136,7 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
+    prev_fingerprint: tuple | None = None
     for _ in range(max_iterations):
         # large-star: m(u) = min(Γ(u) ∪ {u}) over the SYMMETRIC
         # neighborhood; emit (v, m(u)) for every larger neighbor v of u
@@ -160,8 +162,21 @@ def connected_components_star(
             .distinct()
             .localCheckpoint()
         )
-        # converged when the edge set is a stable set of stars
-        changed = ss.exceptAll(edges).limit(1).count()
+        # converged when the edge set is a stable set of stars. The exact
+        # check (exceptAll) is a full two-sided shuffle compare — pay it
+        # ONLY when a cheap monotone fingerprint (count + content hashsum,
+        # one scan of the already-checkpointed ss, no join) says the sets
+        # might be equal; a spurious fingerprint match just costs that one
+        # confirm, never a wrong early stop.
+        stats = ss.agg(
+            F.count("*"),
+            F.sum(F.pmod(F.xxhash64(F.col("u").cast("string"), F.col("v").cast("string")), F.lit(1 << 40))),
+        ).first()
+        fingerprint = (stats[0], stats[1])
+        changed = 1
+        if fingerprint == prev_fingerprint:
+            changed = ss.exceptAll(edges).limit(1).count()
+        prev_fingerprint = fingerprint
         edges = ss
         if changed == 0:
             break
@@ -192,19 +207,50 @@ def duplicate_groups(
     src: str = "id_a",
     dst: str = "id_b",
     algorithm: str = "label",
+    max_members: int | None = None,
+    include_members: bool = True,
 ) -> DataFrame:
-    """Collapse near-dup pairs into groups: (component, n_members, members)
-    — one row per transitive duplicate cluster, members sorted for
-    deterministic output. The input is any (id_a, id_b) candidate-pair
-    table (minhash/simhash/embedding near-dups). ``algorithm="star"``
-    switches to O(log n) star contraction for long-chain graphs."""
+    """Collapse near-dup pairs into groups: (component, n_members, members
+    [, members_truncated]) — one row per transitive duplicate cluster,
+    members sorted for deterministic output. The input is any (id_a, id_b)
+    candidate-pair table (minhash/simhash/embedding near-dups).
+    ``algorithm="star"`` switches to O(log n) star contraction for
+    long-chain graphs.
+
+    Web corpora routinely contain boilerplate mega-clusters (10⁶–10⁷
+    near-identical docs); an unbounded ``collect_list`` builds that whole
+    cluster as ONE array in one aggregation row — task OOM. ``max_members``
+    caps the reported array (the FIRST ``max_members`` member ids in sort
+    order, selected by a per-component row_number BEFORE any collect, so
+    no task ever materializes more than the cap) while ``n_members`` stays
+    exact and ``members_truncated`` flags capped rows.
+    ``include_members=False`` skips member arrays entirely — one
+    hash aggregation, nothing collected."""
     cc = _cc(pairs, src, dst, algorithm)
-    return (
-        cc.groupBy("component")
-        .agg(
+    if not include_members:
+        return cc.groupBy("component").agg(F.count("*").alias("n_members"))
+    if max_members is None:
+        return cc.groupBy("component").agg(
             F.count("*").alias("n_members"),
             F.sort_array(F.collect_list("node")).alias("members"),
         )
+    if max_members < 1:
+        raise ValueError(f"max_members must be >= 1, got {max_members}")
+    # rank members inside each component, collect ONLY rank <= cap: the
+    # window and the aggregation shuffle on the same key (component), and
+    # the collected array is bounded by construction — never built then
+    # sliced. count("*") still sees every row, so n_members stays exact.
+    w = Window.partitionBy("component").orderBy("node")
+    ranked = cc.withColumn("_rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("component")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("_rk") <= max_members, F.col("node")))
+            ).alias("members"),
+        )
+        .withColumn("members_truncated", F.col("n_members") > max_members)
     )
 
 

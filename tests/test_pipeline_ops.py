@@ -298,6 +298,47 @@ def test_connected_components_transitive_groups(spark):
     assert kept == ["a", "d", "z"]  # one canonical per group + untouched doc
 
 
+def test_duplicate_groups_member_cap(spark):
+    """A boilerplate mega-cluster must not materialize its whole member
+    list in one aggregation row: max_members caps the reported array
+    (first N in sort order, selected BEFORE collect) while n_members
+    stays exact; small groups are reported in full and not flagged."""
+    from ovalspark.operators.components import duplicate_groups
+
+    # one 500-member star + one 2-member pair
+    pairs = spark.createDataFrame(
+        [("m0000", f"m{i:04d}") for i in range(1, 500)] + [("x1", "x2")],
+        "id_a string, id_b string",
+    ).repartition(8)
+
+    capped = {
+        r.component: r for r in duplicate_groups(pairs, max_members=10).collect()
+    }
+    big = capped["m0000"]
+    assert big.n_members == 500  # exact despite the cap
+    assert list(big.members) == [f"m{i:04d}" for i in range(10)]  # first 10, sorted
+    assert big.members_truncated
+    small = capped["x1"]
+    assert (small.n_members, list(small.members), small.members_truncated) == (
+        2,
+        ["x1", "x2"],
+        False,
+    )
+
+    # include_members=False: pure hash aggregation, no arrays at all
+    counts_only = duplicate_groups(pairs, include_members=False)
+    assert counts_only.columns == ["component", "n_members"]
+    assert {r.component: r.n_members for r in counts_only.collect()} == {
+        "m0000": 500,
+        "x1": 2,
+    }
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_members"):
+        duplicate_groups(pairs, max_members=0)
+
+
 def _union_find(edges):
     parent = {}
 
