@@ -41,7 +41,7 @@ FEATURE_SCHEMA = (
     "mean_byte double, byte_entropy double, feature array<float>"
 )
 
-THUMB_SCHEMA = "asset_id string, width int, height int, thumb binary"
+THUMB_SCHEMA = "asset_id string, width int, height int, thumb binary, status string"
 
 FRAME_SCHEMA = "asset_id string, frame_idx int, frame binary"
 
@@ -175,7 +175,14 @@ def resize_images(assets: DataFrame, max_side: int = 64) -> DataFrame:
     lets callers (and the skip-if-absent test) probe the driver side
     first. The guarded import lives INSIDE the closure so it evaluates on
     each executor and the closure stays self-contained (cloudpickles by
-    value — the repo's UDF contract)."""
+    value — the repo's UDF contract).
+
+    Every input image-row yields exactly ONE output row: ``status`` is
+    ``ok`` (thumb populated), ``empty`` (null/zero-byte payload), or
+    ``undecodable:<ExceptionName>`` (decode/encode failure; width/height/
+    thumb null). A corrupted asset is therefore a visible, filterable row
+    — the same loud-failure convention as the validators — never a silent
+    disappearance, and a count of non-ok rows is one groupBy away."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -188,27 +195,41 @@ def resize_images(assets: DataFrame, max_side: int = 64) -> DataFrame:
                 "executors; install pillow or plug another kernel into resize_images"
             ) from e
         for pdf in batches:
-            rows: dict[str, list] = {"asset_id": [], "width": [], "height": [], "thumb": []}
+            rows: dict[str, list] = {
+                "asset_id": [],
+                "width": [],
+                "height": [],
+                "thumb": [],
+                "status": [],
+            }
+
+            def emit(aid, w, h, t, st):
+                rows["asset_id"].append(aid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["thumb"].append(t)
+                rows["status"].append(st)
+
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 if not payload:
+                    emit(aid, None, None, None, "empty")
                     continue
                 try:
                     img = Image.open(io.BytesIO(payload))
                     img.thumbnail((max_side, max_side))
                     buf = io.BytesIO()
                     img.save(buf, format="PNG")
-                except Exception:
-                    continue  # undecodable payload: drop, don't poison the batch
-                rows["asset_id"].append(aid)
-                rows["width"].append(img.width)
-                rows["height"].append(img.height)
-                rows["thumb"].append(buf.getvalue())
+                except Exception as exc:  # undecodable: surface, don't poison the batch
+                    emit(aid, None, None, None, f"undecodable:{type(exc).__name__}")
+                    continue
+                emit(aid, img.width, img.height, buf.getvalue(), "ok")
             yield pd.DataFrame(rows) if rows["asset_id"] else pd.DataFrame(
                 {
                     "asset_id": pd.Series(dtype="object"),
-                    "width": pd.Series(dtype="int64"),
-                    "height": pd.Series(dtype="int64"),
+                    "width": pd.Series(dtype="float64"),
+                    "height": pd.Series(dtype="float64"),
                     "thumb": pd.Series(dtype="object"),
+                    "status": pd.Series(dtype="object"),
                 }
             )
 

@@ -75,6 +75,62 @@ def test_resize_without_pillow_raises_cleanly(spark, media):
     assert "NotImplementedError" in str(ei.value) or "Pillow" in str(ei.value)
 
 
+def test_resize_status_accounting_with_fake_codec(spark):
+    """The status contract (ok / empty / undecodable:<Exc>) must hold:
+    one output row per input image, corrupted assets surfaced, never
+    dropped. Pillow is optional and absent in CI, so ship a minimal fake
+    PIL to the executors via addPyFile; when real Pillow exists this is
+    covered (stronger) by test_resize_with_pillow, and injecting a fake
+    would shadow it for the rest of the session — skip then."""
+    from ovalspark.operators.multimodal import pillow_available
+
+    if pillow_available():
+        pytest.skip("real Pillow present — fake would shadow it session-wide")
+    import os
+    import tempfile
+    import zipfile
+
+    fake_pil = (
+        "import io\n"
+        "class _Img:\n"
+        "    def __init__(self, data):\n"
+        "        if not data.startswith(b'FAKEPNG'):\n"
+        "            raise ValueError('not a fake png')\n"
+        "        self.width, self.height = 128, 64\n"
+        "    def thumbnail(self, size):\n"
+        "        self.width, self.height = size[0], size[1] // 2\n"
+        "    def save(self, buf, format=None):\n"
+        "        buf.write(b'THUMB')\n"
+        "def open(fp):\n"
+        "    return _Img(fp.read())\n"
+    )
+    d = tempfile.mkdtemp()
+    zpath = os.path.join(d, "fakepil.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        z.writestr("PIL/__init__.py", "")
+        z.writestr("PIL/Image.py", fake_pil)
+    spark.sparkContext.addPyFile(zpath)
+
+    df = spark.createDataFrame(
+        [
+            ("img-ok", "image", None, bytearray(b"FAKEPNG....")),
+            ("img-corrupt", "image", None, bytearray(b"\x00garbage\xff")),
+            ("img-empty", "image", None, bytearray(b"")),
+        ],
+        "asset_id string, media_type string, meta struct<width:int,height:int>, payload binary",
+    )
+    got = {r.asset_id: r for r in resize_images(df, max_side=32).collect()}
+    assert set(got) == {"img-ok", "img-corrupt", "img-empty"}  # nothing vanishes
+    ok = got["img-ok"]
+    assert ok.status == "ok" and bytes(ok.thumb) == b"THUMB" and (ok.width, ok.height) == (32, 16)
+    bad = got["img-corrupt"]
+    assert bad.status == "undecodable:ValueError" and bad.thumb is None and bad.width is None
+    assert got["img-empty"].status == "empty"
+    # a per-status count is one groupBy away — the loud-failure contract
+    counts = {r.status: r["count"] for r in resize_images(df).groupBy("status").count().collect()}
+    assert counts == {"ok": 1, "undecodable:ValueError": 1, "empty": 1}
+
+
 def test_resize_with_pillow(spark, media):
     """With Pillow importable the real kernel decodes, thumbnails with
     preserved aspect, and re-encodes PNG bytes."""
@@ -86,20 +142,33 @@ def test_resize_with_pillow(spark, media):
 
     from PIL import Image
 
-    # synthetic payloads aren't decodable images: build one real PNG
+    if not hasattr(Image, "new"):
+        pytest.skip("fake test codec shadows PIL (addPyFile is session-wide)")
+
+    # synthetic payloads aren't decodable images: build one real PNG, plus
+    # a corrupted payload and an empty one — both must surface as status
+    # rows, never silently vanish from the output
     img = Image.new("RGB", (128, 64), (200, 10, 10))
     buf = io.BytesIO()
     img.save(buf, format="PNG")
     df = spark.createDataFrame(
-        [("img-1", "image", None, bytearray(buf.getvalue()))],
+        [
+            ("img-1", "image", None, bytearray(buf.getvalue())),
+            ("img-corrupt", "image", None, bytearray(b"\x00not-a-png\xff" * 5)),
+            ("img-empty", "image", None, bytearray(b"")),
+        ],
         "asset_id string, media_type string, meta struct<width:int,height:int>, payload binary",
     )
-    got = resize_images(df, max_side=32).collect()
-    assert len(got) == 1
-    r = got[0]
+    got = {r.asset_id: r for r in resize_images(df, max_side=32).collect()}
+    assert set(got) == {"img-1", "img-corrupt", "img-empty"}  # one row per input
+    r = got["img-1"]
+    assert r.status == "ok"
     assert (r.width, r.height) == (32, 16)  # aspect preserved
     back = Image.open(io.BytesIO(bytes(r.thumb)))
     assert back.size == (32, 16)
+    bad = got["img-corrupt"]
+    assert bad.status.startswith("undecodable:") and bad.thumb is None
+    assert got["img-empty"].status == "empty"
 
 
 def test_metadata_validation(spark, media):
