@@ -47,15 +47,22 @@ def word_shingles_from_words(words: Column, n: int = 2) -> Column:
     calling — the shingle lambda references the words array per element,
     and a non-trivial subexpression inside a HOF lambda body re-evaluates
     per element (BASELINE.md trap #7; inlining the split measured ~35%
-    slower at sf0.1: 0.19 vs 0.13 s warm)."""
+    slower at sf0.1: 0.19 vs 0.13 s warm).
+
+    Built as n-1 chained ``zip_with`` over shifted slices rather than
+    ``transform(sequence(...), i -> element_at(words, i+j))``: zip_with
+    walks the slice pair linearly while the indexed form pays per-element
+    array indexing through the interpreter — measured 5.8× at sf0.1
+    (shingle pass 1.65 → 0.28 s warm; full 4-hash minhash job 1.77 →
+    0.51 s). Output values and order are identical (first-occurrence
+    order preserved by array_distinct in both forms)."""
     k = F.greatest(F.size(words) - (n - 1), F.lit(0))
-    grams = F.when(
-        k > 0,
-        F.transform(
-            F.sequence(F.lit(0), k - 1),
-            lambda i: F.concat_ws(" ", *[F.element_at(words, i + j + 1) for j in range(n)]),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = F.slice(words, 1, k)
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams, F.slice(words, 1 + j, k), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    grams = F.when(k > 0, grams).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
 
 
