@@ -121,12 +121,15 @@ def rolling_hash(text: Column, mod: int = (1 << 61) - 1) -> Column:
     Order-sensitive (anagram texts differ), incremental-friendly, and
     portable SQL."""
     toks = tokens(text)
-    idx = F.sequence(F.lit(0), F.size(toks) - 1)
+    # two-arg transform (element, index): the interpreter hands each token
+    # straight to the lambda. The indexed form — transform(sequence(...),
+    # i -> element_at(toks, i+1)) — re-resolves the toks expression per
+    # element (trap #7) and pays per-element array indexing: measured 2.5×
+    # slower at sf0.1 (0.95 vs 0.38 s warm), identical values.
     terms = F.transform(
-        idx,
-        lambda i: F.pmod(
-            (i + 1)
-            * F.conv(F.substring(F.md5(F.element_at(toks, i + 1)), 1, 13), 16, 10).cast("long"),
+        toks,
+        lambda x, i: F.pmod(
+            (i + 1) * F.conv(F.substring(F.md5(x), 1, 13), 16, 10).cast("long"),
             F.lit(mod),
         ),
     )
