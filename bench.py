@@ -138,6 +138,20 @@ def main() -> int:
                     "round1_best_docs_per_sec": {"8": 55169, "32": 64904},
                     "round2_best_docs_per_sec": {"8": 128541, "32": 151488},
                     "round3_best_docs_per_sec": {"8": 285321, "32": 755011},
+                    # round-4 re-run of the SAME campaign (2026-08-16,
+                    # noisier ambient: within-series swings 4.4-26 s at a
+                    # fixed width; round-3 numbers above remain the
+                    # cross-session best — BASELINE.md round 4)
+                    "round4_rerun": {
+                        "std_world_seconds": {"2": 20.27, "8": 6.15, "32": 4.44},
+                        "std_efficiency_2_to_8": 0.82,
+                        "std_engine_over_control_2_to_8": 0.95,
+                        "big_world_seconds": {"2": 75.06, "8": 23.81, "32": 17.27},
+                        "big_efficiency_2_to_8": 0.79,
+                        "big_engine_over_control_2_to_8": 0.93,
+                        "control_seconds": {"2": 18.39, "8": 5.27, "32": 2.07},
+                        "best_docs_per_sec_32": 484396,
+                    },
                 },
             }
         )
