@@ -1242,6 +1242,54 @@ def _q53_delta_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("partition_id", "doc_id", "span_idx", "field")
 
 
+def _q54_dup_groups_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q47's transitive dup groups through the BOUNDED reporting shape
+    (``max_members``): the member array is capped to the first 2 ids in
+    sort order (rank-before-collect — no task materializes more), while
+    n_members stays exact and members_truncated flags capped rows. The
+    oracle recomputes the cap with list_slice over the full sorted list,
+    so a cap that dropped the wrong members, miscounted, or mis-flagged
+    hash-mismatches."""
+    from ovalspark.operators.components import duplicate_groups
+    from ovalspark.operators.dedup import minhash_duplicates
+
+    docs = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    pairs = minhash_duplicates(docs, "doc_id", "text", jaccard_threshold=0.5)
+    return (
+        duplicate_groups(pairs, max_members=2)
+        .select(
+            "component",
+            "n_members",
+            F.concat_ws(",", "members").alias("members_csv"),
+            "members_truncated",
+        )
+        .orderBy("component")
+    )
+
+
+def _q54_oracle(cap: int = 2) -> str:
+    """q47's recursive-CTE component twin with the cap recomputed
+    independently: full sorted member list → list_slice(1, cap)."""
+    pairs_body = _q42_oracle().replace("ORDER BY id_a, id_b", "")
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs_body}),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs),
+    nodes AS (SELECT DISTINCT u AS node FROM edges),
+    reach AS (
+      SELECT node, node AS lbl FROM nodes
+      UNION
+      SELECT e.v AS node, r.lbl FROM reach r JOIN edges e ON e.u = r.node),
+    comp AS (SELECT node, MIN(lbl) AS component FROM reach GROUP BY node)
+    SELECT component, COUNT(*) AS n_members,
+           array_to_string(list_slice(list(node ORDER BY node), 1, {cap}), ',') AS members_csv,
+           COUNT(*) > {cap} AS members_truncated
+    FROM comp GROUP BY component ORDER BY component
+"""
+
+
 def _shared(name: str) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         _load(spark, sf_dir, *_TABLES)
@@ -1281,6 +1329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q51_snapshot_time_travel": _q51_snapshot_time_travel,
             "q52_dup_groups_star": _q52_dup_groups_star,
             "q53_delta_validation": _q53_delta_validation,
+            "q54_dup_groups_capped": _q54_dup_groups_capped,
         }
     )
     return out
@@ -1314,6 +1363,7 @@ def oracle_sql() -> dict[str, str]:
             "q51_snapshot_time_travel": _Q51_ORACLE,
             "q52_dup_groups_star": _q47_oracle(),
             "q53_delta_validation": _q40_oracle(_q53_dir(GATE_SF_DIR) + "/oracle"),
+            "q54_dup_groups_capped": _q54_oracle(),
         }
     )
     return out
