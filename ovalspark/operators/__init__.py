@@ -4,5 +4,9 @@ from ovalspark.operators.counts import check_partition_counts  # noqa: F401
 from ovalspark.operators.uniqueness import check_uniqueness  # noqa: F401
 from ovalspark.operators.stats import column_profile  # noqa: F401
 from ovalspark.operators.referential import check_referential  # noqa: F401
-from ovalspark.operators.incremental import validate_snapshot_delta  # noqa: F401
+from ovalspark.operators.incremental import (  # noqa: F401
+    iter_committed_snapshots,
+    validate_snapshot_delta,
+    validate_snapshot_tail,
+)
 from ovalspark.operators.drift import ks_drift, chi_square_drift  # noqa: F401

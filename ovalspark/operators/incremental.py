@@ -75,3 +75,88 @@ def validate_snapshot_delta(
     return validate_spans(docs, catalog, n_assets, broadcast_catalog).unionByName(
         check_existence(docs, catalog)
     )
+
+
+def iter_committed_snapshots(
+    root: str,
+    after_id: int = 0,
+    timeout_s: float = 10.0,
+    poll_interval_s: float = 0.2,
+):
+    """Yield committed snapshot ids after ``after_id`` in commit order,
+    polling CURRENT until no new commit lands within ``timeout_s``.
+
+    The CURRENT pointer is the single visibility boundary (the same
+    contract ``load_manifest`` enforces), so a torn commit — a manifest
+    file at CURRENT+1 whose writer died before the flip — is never
+    yielded: this only ever walks ids ≤ CURRENT. The poll is one small
+    file read; no Spark work happens here.
+    """
+    import time as _time
+
+    from ovalspark.sources.snapshots import current_snapshot_id
+
+    last = after_id
+    deadline = _time.monotonic() + timeout_s
+    while True:
+        cur = current_snapshot_id(root)
+        if cur is not None and cur > last:
+            for sid in range(last + 1, cur + 1):
+                yield sid
+            last = cur
+            deadline = _time.monotonic() + timeout_s  # activity resets the clock
+            continue
+        if _time.monotonic() >= deadline:
+            return
+        _time.sleep(poll_interval_s)
+
+
+def validate_snapshot_tail(
+    spark: SparkSession,
+    root: str,
+    catalog_for,
+    n_assets: int = sp.DEFAULT_N_ASSETS,
+    after_id: int = 0,
+    timeout_s: float = 10.0,
+    poll_interval_s: float = 0.2,
+    broadcast_catalog: bool = True,
+):
+    """Continuously validate a snapshot table as commits land — the living
+    form of oval's validate-every-PUT loop (worker.go:100-118: each worker
+    verifies what it just wrote before moving on). Yields
+    ``(snapshot_id, violations)`` for every snapshot committed after
+    ``after_id``, in commit order, where ``violations`` is the
+    delta-scoped validation of exactly the files that snapshot added
+    (``validate_snapshot_delta`` — the plan is O(new data) per commit,
+    pre-existing files are never re-opened).
+
+    ``catalog_for(snapshot_id)`` supplies the expected-state catalog for
+    that commit's delta — the writer-side knowledge oval's worker has
+    about its own PUTs. Each delta validates against ITS OWN snapshot's
+    parent (read from the manifest), so a tailer that starts at
+    ``after_id > 0`` resumes mid-table without re-validating history:
+    persist the last yielded id and pass it back as ``after_id`` —
+    commit-id lineage, the same resume contract as the batch runner's
+    checkpoint manifest.
+
+    The generator ends when no commit lands within ``timeout_s`` (pass
+    ``float("inf")`` for a true daemon). Laziness caveat: consume each
+    yielded DataFrame (collect/write) before advancing if you need
+    results ordered with respect to later overwrites — the yielded plan
+    reads the delta's immutable file list, so it stays byte-stable even
+    after subsequent commits, but vacuum of overwritten files invalidates
+    plans held across an overwrite.
+    """
+    from ovalspark.sources.snapshots import load_manifest
+
+    for sid in iter_committed_snapshots(root, after_id, timeout_s, poll_interval_s):
+        parent = load_manifest(root, sid)["parent_id"]
+        yield sid, validate_snapshot_delta(
+            spark,
+            root,
+            catalog_for(sid),
+            n_assets,
+            from_id=parent if parent else None,
+            to_id=sid,
+            broadcast_catalog=broadcast_catalog,
+        )

@@ -102,3 +102,76 @@ def test_empty_diff_reports_expected_docs_lost(spark, tmp_path, small_world):
 
     none = cat.limit(0)
     assert validate_snapshot_delta(spark, root, none, spec.n_assets, from_id=s1, to_id=s1).count() == 0
+
+
+def test_snapshot_tail_validates_each_commit_as_it_lands(spark, tmp_path, small_world):
+    """The living form of validate-every-PUT: a writer thread appends two
+    snapshots (one clean, one corrupted) while the tailer polls; the
+    tailer must yield each commit in order, catch the fault ONLY in the
+    corrupted delta, scope each plan to that delta's files, and terminate
+    once no commit lands within the timeout."""
+    import threading
+    import time
+
+    from ovalspark.datagen import inject_faults
+    from ovalspark.operators.incremental import validate_snapshot_tail
+
+    spec, cat, docs, _ = small_world
+    bucket = F.pmod(F.xxhash64("doc_id", F.lit(97)), F.lit(3))
+    parts = [docs.filter(bucket == i).localCheckpoint() for i in range(3)]
+    cats = [cat.join(p.select("doc_id"), "doc_id", "semi").localCheckpoint() for p in parts]
+    bad2, _ = inject_faults(parts[2], cats[2], spec, {"WRONG_KIND": 0.15})
+    bad2 = bad2.localCheckpoint()
+
+    root = str(tmp_path / "tail_tbl")
+    s1 = snapshot_write(parts[0], root)
+
+    def writer():
+        time.sleep(0.5)
+        snapshot_write(parts[1], root, mode="append")  # clean append
+        time.sleep(0.5)
+        snapshot_write(bad2, root, mode="append")  # corrupted append
+
+    t = threading.Thread(target=writer)
+    t.start()
+    got = []
+    for sid, v in validate_snapshot_tail(
+        spark, root, lambda sid: cats[sid - 1], spec.n_assets, after_id=s1, timeout_s=5.0
+    ):
+        added = _basenames(manifest_diff(root, sid - 1, sid))
+        assert _basenames(v.inputFiles()) <= added  # plan scoped to this delta only
+        got.append((sid, v.collect()))
+    t.join()
+
+    assert [sid for sid, _ in got] == [s1 + 1, s1 + 2]  # commit order, both seen
+    assert got[0][1] == []  # clean append: zero violations
+    classes = {r["violation_class"] for r in got[1][1]}
+    assert classes == {"WRONG_KIND"}
+    delta2_ids = {r["doc_id"] for r in cats[2].select("doc_id").collect()}
+    assert all(r["doc_id"] in delta2_ids for r in got[1][1])
+
+
+def test_snapshot_tail_never_yields_torn_commit(spark, tmp_path, small_world):
+    """A manifest at CURRENT+1 whose writer died before the flip is not a
+    commit: the tailer must not surface it (CURRENT is the single
+    visibility boundary), and a resumed tailer (after_id=N) sees only
+    what committed after N."""
+    import json as _json
+    import os as _os
+
+    from ovalspark.operators.incremental import iter_committed_snapshots
+
+    spec, cat, docs, _ = small_world
+    root = str(tmp_path / "torn_tail_tbl")
+    s1 = snapshot_write(docs.localCheckpoint(), root)
+
+    # fabricate a torn commit: manifest file exists, CURRENT never flipped
+    torn_path = _os.path.join(root, "manifest", f"v{s1 + 1}.json")
+    m = _json.load(open(_os.path.join(root, "manifest", f"v{s1}.json")))
+    m["snapshot_id"], m["parent_id"] = s1 + 1, s1
+    with open(torn_path, "w") as f:
+        _json.dump(m, f)
+
+    assert list(iter_committed_snapshots(root, after_id=s1, timeout_s=1.0)) == []
+    # resume semantics: from 0, only the real commit appears
+    assert list(iter_committed_snapshots(root, after_id=0, timeout_s=1.0)) == [s1]
