@@ -8,5 +8,6 @@ from ovalspark.operators.incremental import (  # noqa: F401
     iter_committed_snapshots,
     validate_snapshot_delta,
     validate_snapshot_tail,
+    validate_snapshot_tail_checkpointed,
 )
 from ovalspark.operators.drift import ks_drift, chi_square_drift  # noqa: F401

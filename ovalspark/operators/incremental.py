@@ -160,3 +160,100 @@ def validate_snapshot_tail(
             to_id=sid,
             broadcast_catalog=broadcast_catalog,
         )
+
+
+class TailState:
+    """Durable tail checkpoint: the commit-id lineage of a continuous
+    validation loop — which snapshot ids have been validated, with what
+    result (violation count, files read), so a killed tailer resumes at
+    the exact next commit and never re-validates or skips one. The same
+    atomic tmp+rename recipe as the batch runner's checkpoint manifest
+    (``plans/manifest.py``) and the snapshot layer itself: a torn state
+    write leaves the previous state intact."""
+
+    def __init__(self, path: str):
+        import json
+        import os
+
+        self.path = path
+        self.snapshots: dict[str, dict] = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                self.snapshots = json.load(f)["snapshots"]
+
+    @property
+    def last_validated_id(self) -> int:
+        return max((int(k) for k in self.snapshots), default=0)
+
+    def record(self, snapshot_id: int, n_violations: int, files: list[str]) -> None:
+        import json
+        import os
+        import tempfile
+
+        self.snapshots[str(snapshot_id)] = {
+            "n_violations": int(n_violations),
+            "n_files": len(files),
+            "files": sorted(os.path.basename(p) for p in files),
+        }
+        d = os.path.dirname(self.path) or "."
+        os.makedirs(d, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=d, prefix=".tailstate-")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump({"snapshots": self.snapshots}, f, indent=1)
+            os.replace(tmp, self.path)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+
+
+def validate_snapshot_tail_checkpointed(
+    spark: SparkSession,
+    root: str,
+    catalog_for,
+    state_path: str,
+    sink_dir: str | None = None,
+    n_assets: int = sp.DEFAULT_N_ASSETS,
+    timeout_s: float = 10.0,
+    poll_interval_s: float = 0.2,
+    broadcast_catalog: bool = True,
+):
+    """``validate_snapshot_tail`` with durable resume: the tail's position
+    and per-snapshot results live in a ``TailState`` checkpoint, written
+    atomically AFTER each snapshot's violations are fully materialized —
+    so a tailer killed mid-snapshot re-validates that snapshot on restart
+    (at-least-once, same as the batch runner re-running a partition whose
+    mark never committed) and a tailer killed between snapshots resumes
+    at exactly the next commit. With ``sink_dir`` the violations are also
+    written to ``<sink_dir>/snapshot=<id>`` parquet BEFORE the state
+    records the snapshot — the sink is idempotent per snapshot id
+    (overwrite), so the crash-recovery rerun converges to the same bytes.
+
+    Yields ``(snapshot_id, n_violations)`` after each durable step.
+    """
+    state = TailState(state_path)
+    for sid, v in validate_snapshot_tail(
+        spark,
+        root,
+        catalog_for,
+        n_assets,
+        after_id=state.last_validated_id,
+        timeout_s=timeout_s,
+        poll_interval_s=poll_interval_s,
+        broadcast_catalog=broadcast_catalog,
+    ):
+        from ovalspark.sources.snapshots import load_manifest, manifest_diff
+
+        parent = load_manifest(root, sid)["parent_id"]
+        files = manifest_diff(root, parent if parent else None, sid)
+        if sink_dir is not None:
+            v = v.localCheckpoint()  # one execution feeds sink AND count
+            v.write.mode("overwrite").parquet(f"{sink_dir}/snapshot={sid}")
+            n = v.count()
+        else:
+            n = v.count()
+        state.record(sid, n, files)
+        yield sid, n

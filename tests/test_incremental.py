@@ -175,3 +175,60 @@ def test_snapshot_tail_never_yields_torn_commit(spark, tmp_path, small_world):
     assert list(iter_committed_snapshots(root, after_id=s1, timeout_s=1.0)) == []
     # resume semantics: from 0, only the real commit appears
     assert list(iter_committed_snapshots(root, after_id=0, timeout_s=1.0)) == [s1]
+
+
+def test_snapshot_tail_checkpoint_resume_is_exact_and_idempotent(spark, tmp_path, small_world):
+    """Kill-between-snapshots resume: a first tailer validates commits 2-3
+    and dies (we stop consuming); a second tailer with the same state file
+    must resume at exactly 4 — never re-validating 2-3, never skipping —
+    and the sink + state must equal an uninterrupted run's."""
+    import json
+
+    from ovalspark.datagen import inject_faults
+    from ovalspark.operators.incremental import TailState, validate_snapshot_tail_checkpointed
+
+    spec, cat, docs, _ = small_world
+    bucket = F.pmod(F.xxhash64("doc_id", F.lit(131)), F.lit(4))
+    parts = [docs.filter(bucket == i).localCheckpoint() for i in range(4)]
+    cats = [cat.join(p.select("doc_id"), "doc_id", "semi").localCheckpoint() for p in parts]
+    bad3, _ = inject_faults(parts[3], cats[3], spec, {"WRONG_KIND": 0.2})
+    bad3 = bad3.localCheckpoint()
+
+    root = str(tmp_path / "ckpt_tail_tbl")
+    state_path = str(tmp_path / "tail_state.json")
+    sink = str(tmp_path / "tail_sink")
+    snapshot_write(parts[0], root)
+    snapshot_write(parts[1], root, mode="append")
+    snapshot_write(parts[2], root, mode="append")
+
+    def catalog_for(sid):
+        return cats[sid - 1] if sid < 4 else cats[3]
+
+    # first tailer: consume only the two pending commits, then "die"
+    it = validate_snapshot_tail_checkpointed(
+        spark, root, catalog_for, state_path, sink_dir=sink, n_assets=spec.n_assets, timeout_s=0.5
+    )
+    first = [next(it), next(it), next(it)]
+    it.close()
+    assert [s for s, _ in first] == [1, 2, 3]  # fresh state: base commit too
+    assert TailState(state_path).last_validated_id == 3
+
+    # a corrupted commit lands while no tailer runs
+    snapshot_write(bad3, root, mode="append")
+
+    second = list(
+        validate_snapshot_tail_checkpointed(
+            spark, root, catalog_for, state_path, sink_dir=sink, n_assets=spec.n_assets, timeout_s=0.5
+        )
+    )
+    assert [s for s, _ in second] == [4]  # resumed exactly after 3
+    assert second[0][1] > 0  # fault caught
+
+    st = json.load(open(state_path))["snapshots"]
+    assert set(st) == {"1", "2", "3", "4"}
+    assert all(st[k]["n_violations"] == 0 for k in ("1", "2", "3"))
+    assert st["4"]["n_violations"] == second[0][1]
+    # sink holds exactly the per-snapshot violation sets
+    v4 = spark.read.parquet(f"{sink}/snapshot=4")
+    assert v4.count() == second[0][1]
+    assert {r.violation_class for r in v4.collect()} == {"WRONG_KIND"}
