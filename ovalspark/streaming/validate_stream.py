@@ -171,3 +171,91 @@ def monotonic_generation_stream(docs_stream: DataFrame):
         .groupBy("doc_id")
         .applyInPandasWithState(step, MONO_OUT_SCHEMA, MONO_STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout)
     )
+
+
+def windowed_distribution_drift(
+    docs_stream: DataFrame,
+    min_spans: int,
+    max_spans: int,
+    time_col: str = "written_at",
+    window_dur: str = "10 minutes",
+    watermark: str = "30 minutes",
+    chi2_threshold: float = 30.0,
+) -> DataFrame:
+    """Event-time windowed DIST_DRIFT: the batch KS + chi-square tests
+    (``operators/drift.py``) re-expressed for a document stream — per
+    window, is the span-count distribution still the generator's
+    truncated-exponential law and the kind mix still 70/15/10/5?
+
+    Streaming shape: Structured Streaming allows ONE stateful aggregation
+    per query, so both tests ride a single watermarked groupBy(window)
+    whose aggregates are conditional sums — the span-count histogram
+    (bounded support: max_spans-min_spans+1 values, counted per doc with
+    ``size(spans) == v``) and the kind histogram (4 lanes, counted per
+    doc with ``size(filter(spans, kind==k))`` — no explode, the stream
+    stays one row per doc). KS and chi-square then derive from those
+    sums with flat post-aggregation expressions: the ECDF is a running
+    sum over ≤16 histogram lanes and the KS statistic a ``greatest``
+    over their |ECDF − model-CDF| gaps (model CDF values are driver-side
+    literals — the law is closed-form), so no applyInPandas and no
+    second aggregation. State is watermark-bounded; each window emits
+    once in append mode.
+
+    Returns (window_start, window_end, n_docs, n_spans, ks_stat,
+    ks_drifted, chi2, chi2_drifted). KS uses the 1.63/sqrt(n) critical
+    value (α≈0.01), matching the batch default.
+    """
+    import math
+
+    from ovalspark.functions.spans import KIND_CUM_PCT, KINDS
+
+    width = max_spans - min_spans + 1
+
+    def model_cdf(k: int) -> float:
+        x = (k - min_spans + 1) / width
+        x = min(max(x, 0.0), 1.0)
+        return 2.0 * (1.0 - 2.0 ** (-x)) if x < 1.0 else 1.0
+
+    n_sp = F.size("spans")
+    aggs = [F.count("*").alias("n_docs"), F.sum(n_sp).alias("n_spans")]
+    support = list(range(min_spans, max_spans + 1))
+    for v in support:
+        aggs.append(F.sum((n_sp == v).cast("long")).alias(f"_c{v}"))
+    for k in KINDS:
+        aggs.append(
+            F.sum(F.size(F.filter("spans", lambda s: s["kind"] == k))).alias(f"_k{k}")
+        )
+    agg = (
+        docs_stream.withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, window_dur).alias("w"))
+        .agg(*aggs)
+    )
+
+    # KS: running ECDF over the bounded support vs closed-form model CDF
+    cum = F.lit(0).cast("long")
+    gaps = []
+    for v in support:
+        cum = cum + F.col(f"_c{v}")
+        gaps.append(F.abs(cum / F.col("n_docs") - F.lit(model_cdf(v))))
+    ks = F.greatest(*gaps) if len(gaps) > 1 else gaps[0]
+
+    # chi-square over the 4 kind lanes vs the generator's categorical law
+    probs, lo = {}, 0
+    for k, hi in zip(KINDS, KIND_CUM_PCT):
+        probs[k] = (hi - lo) / 100.0
+        lo = hi
+    chi2 = F.lit(0.0)
+    for k in KINDS:
+        exp = F.col("n_spans") * F.lit(probs[k])
+        chi2 = chi2 + F.when(exp > 0, (F.col(f"_k{k}") - exp) ** 2 / exp).otherwise(F.lit(0.0))
+
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "n_docs",
+        "n_spans",
+        ks.alias("ks_stat"),
+        (ks > 1.63 / F.sqrt(F.col("n_docs"))).alias("ks_drifted"),
+        chi2.alias("chi2"),
+        (chi2 > F.lit(chi2_threshold)).alias("chi2_drifted"),
+    )

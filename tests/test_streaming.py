@@ -197,3 +197,71 @@ def test_windowed_counts_finalize_and_drop_late(spark, tmp_path):
     run_once()
     got2 = {(r.window_start.minute, r.violation_class): r.n for r in spark.read.parquet(out).collect()}
     assert got2[(0, "WRONG_KIND")] == 2  # unchanged: late row did not resurrect the window
+
+
+def test_windowed_distribution_drift_flags_skewed_window(spark, tmp_path, small_world):
+    """Windowed DIST_DRIFT: a window of generator-law docs must NOT flag
+    (the stream ECDF/kind-mix match the closed-form model); a window of
+    skewed docs (all 1-span, all-video) must flag BOTH tests with the
+    exact KS/chi-square values recomputed independently in the test."""
+    import datetime as dt
+    import math
+
+    from ovalspark.streaming.validate_stream import windowed_distribution_drift
+
+    spec, cat, docs, _ = small_world
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    clean = docs.select(
+        "spans", F.lit(t0 + dt.timedelta(minutes=3)).alias("written_at")
+    )
+    skewed = docs.limit(100).select(
+        F.transform(
+            F.slice("spans", 1, 1),
+            lambda s: s.withField("kind", F.lit("video")),
+        ).alias("spans"),
+        F.lit(t0 + dt.timedelta(minutes=23)).alias("written_at"),
+    )
+    pusher = docs.limit(1).select(
+        "spans", F.lit(t0 + dt.timedelta(minutes=90)).alias("written_at")
+    )
+
+    src, out, ckpt = str(tmp_path / "d_src"), str(tmp_path / "d_out"), str(tmp_path / "d_ckpt")
+    clean.unionByName(skewed).unionByName(pusher).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(clean.schema).parquet(src)
+    agg = windowed_distribution_drift(
+        stream, spec.min_spans, spec.max_spans, window_dur="10 minutes", watermark="30 minutes"
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = {r.window_start.minute: r for r in spark.read.parquet(out).collect()}
+    assert set(rows) == {0, 20}  # the 90-min pusher window has not finalized
+
+    n_docs = docs.count()
+    a = rows[0]
+    assert a.n_docs == n_docs
+    assert not a.ks_drifted and not a.chi2_drifted  # law-conforming window
+
+    b = rows[20]
+    assert b.n_docs == 100 and b.n_spans == 100
+    # independent recomputation: all docs 1 span -> ECDF(1)=1, KS = 1-F(1)
+    width = spec.max_spans - spec.min_spans + 1
+    x = 1 / width
+    ks_expected = 1.0 - 2.0 * (1.0 - 2.0 ** (-x))
+    assert math.isclose(b.ks_stat, ks_expected, rel_tol=1e-9)
+    # all-video: chi2 = sum over kinds of (obs - n*p)^2 / (n*p)
+    probs = {"text": 0.70, "image": 0.15, "audio": 0.10, "video": 0.05}
+    chi2_expected = sum(
+        ((100 if k == "video" else 0) - 100 * p) ** 2 / (100 * p) for k, p in probs.items()
+    )
+    assert math.isclose(b.chi2, chi2_expected, rel_tol=1e-9)
+    assert b.ks_drifted and b.chi2_drifted
