@@ -166,41 +166,74 @@ class TailState:
     """Durable tail checkpoint: the commit-id lineage of a continuous
     validation loop — which snapshot ids have been validated, with what
     result (violation count, files read), so a killed tailer resumes at
-    the exact next commit and never re-validates or skips one. The same
-    atomic tmp+rename recipe as the batch runner's checkpoint manifest
-    (``plans/manifest.py``) and the snapshot layer itself: a torn state
-    write leaves the previous state intact."""
+    the exact next commit and never re-validates or skips one.
+
+    Write shape is O(1) per commit, not O(history): the per-snapshot
+    lineage records go to an APPEND-ONLY ``<path>.lineage.jsonl`` (one
+    line per validated snapshot) and only a tiny position file at
+    ``path`` is atomically rewritten (tmp+rename, the batch runner's
+    checkpoint-manifest recipe) — a tail that has followed 10⁶ commits
+    appends one line and rewrites ~60 bytes, it does not re-serialize a
+    million-entry dict. Ordering makes the crash contract: the lineage
+    line is flushed BEFORE the position flip, so a torn record at the
+    jsonl tail belongs to a snapshot the position file does not yet
+    claim — it is re-validated and re-appended on resume, and
+    ``snapshots`` keeps the last record per id (later lines win)."""
 
     def __init__(self, path: str):
         import json
         import os
 
         self.path = path
-        self.snapshots: dict[str, dict] = {}
+        self.lineage_path = path + ".lineage.jsonl"
+        self.last_validated_id = 0
         if os.path.exists(path):
             with open(path) as f:
-                self.snapshots = json.load(f)["snapshots"]
+                self.last_validated_id = json.load(f)["last_validated_id"]
 
     @property
-    def last_validated_id(self) -> int:
-        return max((int(k) for k in self.snapshots), default=0)
+    def snapshots(self) -> dict[str, dict]:
+        """Lineage records keyed by snapshot id (read path only — loads
+        the full log; the write path never does)."""
+        import json
+        import os
+
+        out: dict[str, dict] = {}
+        if os.path.exists(self.lineage_path):
+            with open(self.lineage_path) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        rec = json.loads(line)
+                    except ValueError:
+                        continue  # torn tail line: unclaimed, superseded on resume
+                    if rec["snapshot_id"] <= self.last_validated_id:
+                        out[str(rec["snapshot_id"])] = rec
+        return out
 
     def record(self, snapshot_id: int, n_violations: int, files: list[str]) -> None:
         import json
         import os
         import tempfile
 
-        self.snapshots[str(snapshot_id)] = {
+        rec = {
+            "snapshot_id": int(snapshot_id),
             "n_violations": int(n_violations),
             "n_files": len(files),
             "files": sorted(os.path.basename(p) for p in files),
         }
         d = os.path.dirname(self.path) or "."
         os.makedirs(d, exist_ok=True)
+        with open(self.lineage_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
         fd, tmp = tempfile.mkstemp(dir=d, prefix=".tailstate-")
         try:
             with os.fdopen(fd, "w") as f:
-                json.dump({"snapshots": self.snapshots}, f, indent=1)
+                json.dump({"last_validated_id": int(snapshot_id)}, f)
             os.replace(tmp, self.path)
         except BaseException:
             try:
@@ -208,6 +241,7 @@ class TailState:
             except OSError:
                 pass
             raise
+        self.last_validated_id = int(snapshot_id)
 
 
 def validate_snapshot_tail_checkpointed(

@@ -224,10 +224,15 @@ def test_snapshot_tail_checkpoint_resume_is_exact_and_idempotent(spark, tmp_path
     assert [s for s, _ in second] == [4]  # resumed exactly after 3
     assert second[0][1] > 0  # fault caught
 
-    st = json.load(open(state_path))["snapshots"]
+    st = TailState(state_path).snapshots
     assert set(st) == {"1", "2", "3", "4"}
     assert all(st[k]["n_violations"] == 0 for k in ("1", "2", "3"))
     assert st["4"]["n_violations"] == second[0][1]
+    # a torn lineage tail line (crash mid-append) is unclaimed and ignored
+    with open(state_path + ".lineage.jsonl", "a") as f:
+        f.write('{"snapshot_id": 5, "n_viol')
+    st2 = TailState(state_path)
+    assert st2.last_validated_id == 4 and set(st2.snapshots) == {"1", "2", "3", "4"}
     # sink holds exactly the per-snapshot violation sets
     v4 = spark.read.parquet(f"{sink}/snapshot=4")
     assert v4.count() == second[0][1]
