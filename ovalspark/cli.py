@@ -108,6 +108,18 @@ def build_parser() -> argparse.ArgumentParser:
         metavar="MIN-MAX",
         help="generator span bounds; enables the DIST_DRIFT distribution constraint",
     )
+
+    t = sub.add_parser(
+        "tail",
+        help="continuously validate a snapshot-format world as commits land "
+        "(delta-scoped per commit; durable resume via --state)",
+    )
+    t.add_argument("--root", required=True, help="TableSet root written with --table-format snapshot")
+    t.add_argument("--out", required=True, help="violations sink dir (parquet, one subdir per snapshot)")
+    t.add_argument("--state", default=None, help="tail checkpoint path (default: <out>/tail_state.json)")
+    t.add_argument("--timeout", type=float, default=10.0, help="stop after this many idle seconds")
+    t.add_argument("--poll", type=float, default=0.5, help="CURRENT poll interval (seconds)")
+    t.add_argument("--broadcast-catalog", action="store_true")
     return p
 
 
@@ -175,6 +187,46 @@ def main(argv: list[str] | None = None) -> int:
         }
         print(json.dumps(report, sort_keys=True))
         return 0 if res.passed else 1
+
+    if args.cmd == "tail":
+        from ovalspark.operators.incremental import validate_snapshot_tail_checkpointed
+        from ovalspark.sources import read_table
+        from ovalspark.sources.snapshots import manifest_diff, load_manifest
+
+        docs_root = f"{args.root}/documents"
+        catalog = read_table(spark, f"{args.root}/catalog", fmt="snapshot").localCheckpoint()
+
+        def catalog_for(sid: int):
+            # Scope the stored catalog to the doc_ids the commit actually
+            # added (one column-pruned read of the delta files). This
+            # catches every span/field violation and PHANTOM_DOC in the
+            # delta; LOST_DOC needs writer-supplied per-commit expected
+            # sets (API: validate_snapshot_tail(catalog_for=...)) or a
+            # full batch `validate` — a stored catalog cannot say which
+            # of its entries THIS append was supposed to carry.
+            parent = load_manifest(docs_root, sid)["parent_id"]
+            added = manifest_diff(docs_root, parent if parent else None, sid)
+            ids = spark.read.parquet(*added).select("doc_id")
+            return catalog.join(ids, "doc_id", "semi")
+
+        log.info("tail.start", root=args.root, out=args.out)
+        n_snapshots = 0
+        state = args.state or f"{args.out}/tail_state.json"
+        for sid, n in validate_snapshot_tail_checkpointed(
+            spark,
+            docs_root,
+            catalog_for,
+            state,
+            sink_dir=args.out,
+            timeout_s=args.timeout,
+            poll_interval_s=args.poll,
+            broadcast_catalog=args.broadcast_catalog,
+        ):
+            n_snapshots += 1
+            log.info("tail.snapshot", snapshot_id=sid, violations=n)
+            print(json.dumps({"snapshot_id": sid, "violations": n}))
+        print(json.dumps({"tailed": n_snapshots, "state": state}))
+        return 0
     return 2
 
 

@@ -93,3 +93,36 @@ def test_cli_snapshot_time_travel_validate(spark, tmp_path, capsys):
     # the guard under test never executes
     out3 = str(tmp_path / "r3")
     assert main(["validate", "--root", root, "--out", out3, "--snapshot-id", "1"]) == 2
+
+
+def test_cli_tail_validates_commits_and_resumes(spark, tmp_path, capsys):
+    """`tail` through the CLI: a snapshot world with two commits (clean
+    base, corrupted overwrite) is tailed from scratch — both commits
+    validated, corruption surfaced in the second, and a rerun with the
+    same state is a no-op (durable resume)."""
+    root, out = str(tmp_path / "tw"), str(tmp_path / "tout")
+    assert main(
+        ["generate", "--root", root, "--writers", "2", "--docs-per-writer", "80",
+         "--spans", "1-4", "--table-format", "snapshot"]
+    ) == 0
+    capsys.readouterr()
+    assert main(
+        ["generate", "--root", root, "--writers", "2", "--docs-per-writer", "80",
+         "--spans", "1-4", "--faults", "WRONG_KIND=0.1", "--table-format", "snapshot"]
+    ) == 0
+    capsys.readouterr()
+
+    assert main(["tail", "--root", root, "--out", out, "--timeout", "1"]) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    per_snap = {d["snapshot_id"]: d["violations"] for d in lines if "snapshot_id" in d}
+    assert set(per_snap) == {1, 2}
+    assert per_snap[1] == 0 and per_snap[2] > 0  # corruption caught in commit 2
+    assert lines[-1]["tailed"] == 2
+    # the sink holds the per-snapshot violations
+    v2 = spark.read.parquet(f"{out}/snapshot=2")
+    assert v2.count() == per_snap[2]
+
+    # durable resume: nothing new committed -> nothing re-validated
+    assert main(["tail", "--root", root, "--out", out, "--timeout", "1"]) == 0
+    lines2 = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert lines2[-1]["tailed"] == 0
