@@ -1267,6 +1267,107 @@ def _q54_dup_groups_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q55_windowed_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time windowed DIST_DRIFT (KS + chi-square per 60-minute
+    window) over the q40 interleaved world, exercised through the SAME
+    aggregation the streaming monitor uses (batch mode of
+    ``streaming.windowed_distribution_drift`` — watermark is a no-op on a
+    batch frame, every expression identical). The oracle recomputes both
+    statistics from q40's materialized flat span parquet with the same
+    IEEE operation sequence, so a wrong histogram lane, ECDF step, model
+    CDF constant, or drift flag hash-mismatches."""
+    from ovalspark.datagen import GenSpec, catalog_from_flat, generate_documents, inject_faults
+    from ovalspark.streaming.validate_stream import windowed_distribution_drift
+
+    _q40_span_validation(spark, sf_dir)  # ensure the oracle's parquet exists (lazy result discarded)
+    flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spec = GenSpec(max_spans=8)
+    cat = catalog_from_flat(flat, spec)
+    docs = generate_documents(cat, spec)
+    bad, _ = inject_faults(docs, cat, spec, {"WRONG_KIND": 0.02, "STALE_GENERATION": 0.02, "LOST_DOC": 0.02})
+    bad = bad.localCheckpoint()
+    d = windowed_distribution_drift(
+        bad, spec.min_spans, spec.max_spans, window_dur="60 minutes"
+    )
+    return d.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "n_docs",
+        "n_spans",
+        "ks_stat",
+        "ks_drifted",
+        "chi2",
+        "chi2_drifted",
+    ).orderBy("window_start")
+
+
+def _q55_oracle(d: str | None = None) -> str:
+    """DuckDB twin over q40's materialized flat spans: same window
+    bucketing (epoch floor), same bounded-support histograms, same ECDF /
+    model-CDF gaps and chi-square term order — double-for-double."""
+    import math
+
+    from ovalspark.functions.spans import KIND_CUM_PCT, KINDS
+
+    if d is None:
+        d = _q40_dir(GATE_SF_DIR)
+    min_spans, max_spans = 1, 8
+    width = max_spans - min_spans + 1
+
+    def model_cdf(k: int) -> float:
+        x = min(max((k - min_spans + 1) / width, 0.0), 1.0)
+        return 2.0 * (1.0 - 2.0 ** (-x)) if x < 1.0 else 1.0
+
+    support = list(range(min_spans, max_spans + 1))
+    c_cols = ",\n         ".join(
+        f"SUM(CASE WHEN n_actual = {v} THEN 1 ELSE 0 END) AS c{v}" for v in support
+    )
+    k_cols = ",\n         ".join(
+        f"SUM(CASE WHEN kind = '{k}' THEN 1 ELSE 0 END) AS k_{k}" for k in KINDS
+    )
+    gaps = []
+    cum_terms: list[str] = []
+    for v in support:
+        cum_terms.append(f"c{v}")
+        gaps.append(
+            f"abs(CAST({' + '.join(cum_terms)} AS DOUBLE) / n_docs"
+            f" - CAST('{model_cdf(v)!r}' AS DOUBLE))"
+        )
+    ks = f"greatest({', '.join(gaps)})"
+    probs, lo = {}, 0
+    for k, hi in zip(KINDS, KIND_CUM_PCT):
+        probs[k] = (hi - lo) / 100.0
+        lo = hi
+    chi2 = "CAST(0.0 AS DOUBLE)"
+    for k in KINDS:
+        exp = f"(n_spans * CAST({probs[k]!r} AS DOUBLE))"
+        diff = f"(k_{k} - {exp})"
+        chi2 = f"{chi2} + (CASE WHEN {exp} > 0.0 THEN {diff} * {diff} / {exp} ELSE CAST(0.0 AS DOUBLE) END)"
+    return f"""
+    WITH sp AS (SELECT * FROM read_parquet('{d}/actual/*.parquet')),
+    doc AS (SELECT DISTINCT doc_id, written_at, n_actual FROM sp),
+    dh AS (
+      SELECT to_timestamp(floor(epoch(written_at) / 3600) * 3600) AS ws,
+             COUNT(*) AS n_docs,
+             CAST(SUM(n_actual) AS BIGINT) AS n_spans,
+         {c_cols}
+      FROM doc GROUP BY 1),
+    kh AS (
+      SELECT to_timestamp(floor(epoch(written_at) / 3600) * 3600) AS ws,
+         {k_cols}
+      FROM sp WHERE span_idx IS NOT NULL GROUP BY 1),
+    j AS (
+      SELECT dh.*, {', '.join(f'COALESCE(k_{k}, 0) AS kk_{k}' for k in KINDS)}
+      FROM dh LEFT JOIN kh USING (ws))
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+           n_docs, n_spans,
+           {ks} AS ks_stat,
+           {ks} > CAST(1.63 AS DOUBLE) / sqrt(n_docs) AS ks_drifted,
+           {chi2.replace('k_', 'kk_')} AS chi2,
+           ({chi2.replace('k_', 'kk_')}) > 30.0 AS chi2_drifted
+    FROM j ORDER BY window_start
+"""
+
+
 def _q54_oracle(cap: int = 2) -> str:
     """q47's recursive-CTE component twin with the cap recomputed
     independently: full sorted member list → list_slice(1, cap)."""
@@ -1330,6 +1431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q52_dup_groups_star": _q52_dup_groups_star,
             "q53_delta_validation": _q53_delta_validation,
             "q54_dup_groups_capped": _q54_dup_groups_capped,
+            "q55_windowed_drift": _q55_windowed_drift,
         }
     )
     return out
@@ -1364,6 +1466,7 @@ def oracle_sql() -> dict[str, str]:
             "q52_dup_groups_star": _q47_oracle(),
             "q53_delta_validation": _q40_oracle(_q53_dir(GATE_SF_DIR) + "/oracle"),
             "q54_dup_groups_capped": _q54_oracle(),
+            "q55_windowed_drift": _q55_oracle(),
         }
     )
     return out

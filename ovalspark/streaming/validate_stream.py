@@ -247,7 +247,11 @@ def windowed_distribution_drift(
     chi2 = F.lit(0.0)
     for k in KINDS:
         exp = F.col("n_spans") * F.lit(probs[k])
-        chi2 = chi2 + F.when(exp > 0, (F.col(f"_k{k}") - exp) ** 2 / exp).otherwise(F.lit(0.0))
+        diff = F.col(f"_k{k}") - exp
+        # diff*diff, not **2: POWER() rounding differs across engines and
+        # the DuckDB oracle twin (q55) must reproduce these doubles bit-
+        # for-bit with the same IEEE mul/div/add sequence
+        chi2 = chi2 + F.when(exp > 0, diff * diff / exp).otherwise(F.lit(0.0))
 
     return agg.select(
         F.col("w.start").alias("window_start"),
