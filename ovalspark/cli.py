@@ -194,7 +194,6 @@ def main(argv: list[str] | None = None) -> int:
         from ovalspark.sources.snapshots import manifest_diff, load_manifest
 
         docs_root = f"{args.root}/documents"
-        catalog = read_table(spark, f"{args.root}/catalog", fmt="snapshot").localCheckpoint()
 
         def catalog_for(sid: int):
             # Scope the stored catalog to the doc_ids the commit actually
@@ -204,8 +203,20 @@ def main(argv: list[str] | None = None) -> int:
             # sets (API: validate_snapshot_tail(catalog_for=...)) or a
             # full batch `validate` — a stored catalog cannot say which
             # of its entries THIS append was supposed to carry.
+            #
+            # The catalog is re-read PER COMMIT, never frozen at startup:
+            # a long-running tailer that cached it would validate later
+            # commits against a stale catalog — their legitimately new
+            # docs all false-PHANTOM and their span checks silently
+            # skipped (the validator's catalog join would drop them).
+            catalog = read_table(spark, f"{args.root}/catalog", fmt="snapshot")
             parent = load_manifest(docs_root, sid)["parent_id"]
             added = manifest_diff(docs_root, parent if parent else None, sid)
+            if not added:
+                # empty commit (no-op append): nothing claimed, nothing
+                # expected — validate_snapshot_delta handles the empty
+                # scope; spark.read.parquet() with zero paths would not
+                return catalog.limit(0)
             ids = spark.read.parquet(*added).select("doc_id")
             return catalog.join(ids, "doc_id", "semi")
 

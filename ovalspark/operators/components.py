@@ -168,9 +168,14 @@ def connected_components_star(
         # one scan of the already-checkpointed ss, no join) says the sets
         # might be equal; a spurious fingerprint match just costs that one
         # confirm, never a wrong early stop.
+        # modulus 2^20 keeps the ANSI-mode SUM overflow-free out to ~2^43
+        # edges (mean summand 2^19 vs the 2^63 long ceiling) — 2^40 would
+        # raise ARITHMETIC_OVERFLOW at ~1.7e7 edges, exactly the mega-
+        # cluster graphs this operator targets; a fingerprint collision
+        # only costs one redundant exceptAll confirm, never a wrong stop
         stats = ss.agg(
             F.count("*"),
-            F.sum(F.pmod(F.xxhash64(F.col("u").cast("string"), F.col("v").cast("string")), F.lit(1 << 40))),
+            F.sum(F.pmod(F.xxhash64(F.col("u").cast("string"), F.col("v").cast("string")), F.lit(1 << 20))),
         ).first()
         fingerprint = (stats[0], stats[1])
         changed = 1

@@ -18,14 +18,15 @@ metadata tree — with nothing but parquet and JSON:
 Commit protocol (optimistic, first-wins — the guarantee an Iceberg
 catalog CAS gives): write the new data files under a writer-PRIVATE snap
 dir (never touching previous files and never colliding with a concurrent
-writer's), then enter a short metadata critical section guarded by an
-``O_CREAT|O_EXCL`` lock file: re-read CURRENT, and if another writer
+writer's), then enter a short metadata critical section guarded by
+``flock(LOCK_EX)`` on a lock file: re-read CURRENT, and if another writer
 committed since this one resolved its parent, raise
 ``ConcurrentCommitError`` (the loser's data dir is removed; the caller
 retries against the new state). Otherwise write ``v<id>.json`` (tmp +
 rename) and flip CURRENT (tmp + rename). The lock covers only the
-metadata flip — milliseconds — never the data write; a lock holder that
-died is detected by pid-liveness and the lock is stolen. A reader
+metadata flip — milliseconds — never the data write; the kernel releases
+a dead holder's flock automatically, so a crashed writer can never wedge
+the table and there is no steal path to race. A reader
 resolving any committed snapshot id sees an immutable file list; a
 writer killed mid-commit leaves CURRENT pointing at the previous
 complete snapshot — same guarantee oval relies on when a killed run
@@ -92,59 +93,50 @@ def _atomic_write(path: str, payload: str) -> None:
             os.unlink(tmp)
 
 
-def _pid_alive(pid: int) -> bool:
-    try:
-        os.kill(pid, 0)
-    except ProcessLookupError:
-        return False
-    except PermissionError:
-        return True  # exists, owned by someone else
-    except OSError:
-        return False
-    return True
-
-
-def _acquire_commit_lock(root: str, timeout_s: float = 30.0) -> None:
-    """O_EXCL lock file holding the owner pid. A live holder means another
-    writer is inside the (milliseconds-long) metadata flip — spin briefly;
-    a dead holder's lock is stolen. Raises TimeoutError if the lock stays
-    held past ``timeout_s`` (a wedged writer — surface it, don't hang)."""
+def _acquire_commit_lock(root: str, timeout_s: float = 30.0) -> int:
+    """``flock(LOCK_EX)`` on the lock file; returns the held fd (pass it
+    to ``_release_commit_lock``). The kernel drops a dead holder's lock
+    automatically, so there is no pid file to parse and no steal path —
+    the previous O_EXCL+steal design had an ABA race (a second stealer
+    could unlink the first stealer's FRESH lock, letting two writers into
+    the CAS section) and wedged forever on an empty lock file (holder
+    parsed as 0 was never stolen). flock is per-open-file-description,
+    so two writer THREADS in one process exclude each other too. The
+    lock file itself persists empty-of-meaning and is never unlinked:
+    unlink-on-release recreates the classic flock race (a waiter holding
+    the old inode and a newcomer locking the new one both "win").
+    Raises TimeoutError if the lock stays held past ``timeout_s``."""
+    import fcntl
     import time
 
     path = _lock_path(root)
     os.makedirs(_manifest_dir(root), exist_ok=True)
+    fd = os.open(path, os.O_CREAT | os.O_RDWR)
     deadline = time.monotonic() + timeout_s
     while True:
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            with os.fdopen(fd, "w") as f:
-                f.write(str(os.getpid()))
-            return
-        except FileExistsError:
-            try:
-                holder = int(open(path).read().strip() or "0")
-            except (OSError, ValueError):
-                holder = 0
-            if holder and not _pid_alive(holder):
-                # dead holder: steal. unlink may race another stealer —
-                # whoever loops back to O_EXCL first wins; both are safe.
-                try:
-                    os.unlink(path)
-                except FileNotFoundError:
-                    pass
-                continue
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        except BlockingIOError:
             if time.monotonic() > deadline:
+                os.close(fd)
                 raise TimeoutError(
-                    f"commit lock at {path} held by live pid {holder} past {timeout_s}s"
+                    f"commit lock at {path} held past {timeout_s}s"
                 ) from None
             time.sleep(0.005)
+            continue
+        # holder pid recorded for debugging only — never parsed
+        os.ftruncate(fd, 0)
+        os.write(fd, str(os.getpid()).encode())
+        return fd
 
 
-def _release_commit_lock(root: str) -> None:
+def _release_commit_lock(fd: int) -> None:
+    import fcntl
+
     try:
-        os.unlink(_lock_path(root))
-    except FileNotFoundError:
-        pass
+        fcntl.flock(fd, fcntl.LOCK_UN)
+    finally:
+        os.close(fd)
 
 
 def current_snapshot_id(root: str) -> int | None:
@@ -310,7 +302,7 @@ def snapshot_write(
         "total_bytes": sum(f["bytes"] for f in files),
         "files": files,
     }
-    _acquire_commit_lock(root)
+    lock_fd = _acquire_commit_lock(root)
     try:
         if current_snapshot_id(root) != parent:
             raise ConcurrentCommitError(
@@ -327,7 +319,7 @@ def snapshot_write(
         shutil.rmtree(data_dir, ignore_errors=True)
         raise
     finally:
-        _release_commit_lock(root)
+        _release_commit_lock(lock_fd)
     return sid
 
 

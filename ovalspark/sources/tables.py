@@ -111,10 +111,14 @@ class TableSet:
 
     def save(self, root: str, fmt: str = "auto") -> None:
         pb = () if fmt == "snapshot" else ("partition_id",)
-        write_table(self.docs, f"{root}/documents", fmt=fmt, partition_by=pb)
+        # expected state (catalog, assets) commits BEFORE the docs table:
+        # a tailer polling the docs table's CURRENT must find the catalog
+        # that describes the new commit already in place, or it validates
+        # against the previous catalog (false PHANTOMs, skipped checks)
         write_table(self.catalog, f"{root}/catalog", fmt=fmt, partition_by=pb)
         if self.assets is not None:
             write_table(self.assets, f"{root}/assets", fmt=fmt, partition_by=())
+        write_table(self.docs, f"{root}/documents", fmt=fmt, partition_by=pb)
 
 
 def write_bucketed(df: DataFrame, name: str, warehouse: str, n_buckets: int = 64, key: str = "doc_id") -> None:

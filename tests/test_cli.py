@@ -126,3 +126,34 @@ def test_cli_tail_validates_commits_and_resumes(spark, tmp_path, capsys):
     assert main(["tail", "--root", root, "--out", out, "--timeout", "1"]) == 0
     lines2 = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
     assert lines2[-1]["tailed"] == 0
+
+
+def test_cli_tail_sees_catalog_of_mid_flight_commit(spark, tmp_path, capsys):
+    """A commit landing WHILE the tailer runs must be validated against
+    the catalog that describes it, not a catalog frozen at tailer start:
+    the second world uses a different writer layout (disjoint doc_ids),
+    so a stale catalog would false-PHANTOM every doc in commit 2."""
+    import threading
+    import time
+
+    root, out = str(tmp_path / "lw"), str(tmp_path / "lout")
+    assert main(
+        ["generate", "--root", root, "--writers", "2", "--docs-per-writer", "60",
+         "--spans", "1-4", "--table-format", "snapshot"]
+    ) == 0
+    capsys.readouterr()
+
+    def writer():
+        time.sleep(2.0)
+        main(["generate", "--root", root, "--writers", "4", "--docs-per-writer", "60",
+              "--spans", "1-4", "--table-format", "snapshot"])
+
+    t = threading.Thread(target=writer)
+    t.start()
+    rc = main(["tail", "--root", root, "--out", out, "--timeout", "25", "--poll", "0.5"])
+    t.join()
+    assert rc == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines() if "snapshot_id" in x]
+    per_snap = {d["snapshot_id"]: d["violations"] for d in lines}
+    assert set(per_snap) == {1, 2}
+    assert per_snap[2] == 0  # clean commit, validated against ITS catalog

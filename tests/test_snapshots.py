@@ -250,7 +250,7 @@ def test_concurrent_commit_cas_loser_raises(spark, tmp_path, small_world, monkey
             fired["done"] = True
             monkeypatch.setattr(sn, "_acquire_commit_lock", real_acquire)
             snapshot_write(cat.limit(3), r)  # winner: sid 2
-        real_acquire(r, timeout_s)
+        return real_acquire(r, timeout_s)
 
     monkeypatch.setattr(sn, "_acquire_commit_lock", winner_sneaks_in)
     with pytest.raises(sn.ConcurrentCommitError):
@@ -305,18 +305,20 @@ def test_concurrent_commit_two_thread_race(spark, tmp_path, small_world):
     assert cur == 1 + n_ok  # each success advanced CURRENT exactly once
 
 
-def test_stale_commit_lock_is_stolen(tmp_path, small_world):
-    """A lock left by a dead writer (dead pid) must not wedge the table."""
+def test_stale_commit_lock_never_wedges(tmp_path, small_world):
+    """A lock FILE left behind by a dead writer must not wedge the table —
+    with flock the kernel released the dead holder's lock, so whatever
+    bytes remain in the file (a pid, garbage, or nothing: the empty-file
+    case wedged the old pid-parsing design forever) are meaningless."""
     import os
 
     _, cat, _, _ = small_world
-    root = str(tmp_path / "stale_lock_tbl")
-    os.makedirs(f"{root}/manifest", exist_ok=True)
-    with open(f"{root}/manifest/COMMIT_LOCK", "w") as f:
-        f.write("999999999")  # beyond pid_max: guaranteed dead
-    sid = snapshot_write(cat.limit(5), root)
-    assert sid == 1
-    assert not os.path.exists(f"{root}/manifest/COMMIT_LOCK")
+    for content, name in (("999999999", "pid_tbl"), ("", "empty_tbl"), ("garbage", "junk_tbl")):
+        root = str(tmp_path / name)
+        os.makedirs(f"{root}/manifest", exist_ok=True)
+        with open(f"{root}/manifest/COMMIT_LOCK", "w") as f:
+            f.write(content)
+        assert snapshot_write(cat.limit(5), root) == 1
 
 
 def test_torn_manifest_invisible_everywhere(spark, tmp_path, small_world):
