@@ -118,47 +118,96 @@ def hyperplane_signature_py(vec: list[float], dims: int, n_bits: int = 16, seed:
 INLINE_SIGN_LIMIT = 4096
 
 
-def _signature_join(
-    ex: DataFrame, id_col: str, sig_seeds: list[int], n_bits: int, dims: int, multi: bool
+def _scores_via_sign_join(
+    ex: DataFrame,
+    id_col: str,
+    sig_seeds: list[int],
+    n_bits: int,
+    dims: int,
+    multi: bool,
+    query: list[float] | None,
+    centroids: list[list[int]] | None,
+    keep_quant: bool,
 ) -> DataFrame:
-    """Hyperplane signatures from the exploded-quantized frame via a
-    broadcast sign table: (id, sig[_j] per seed). Exact-integer identical
-    to the inline-literal form (both compute the same Σ sign_pd·q_d; the
-    bit is its sign) — asserted by tests/test_pipeline_ops.py equivalence.
+    """EVERY embedding_scores output (n2, dot, dot_c*, q, sig[_j]) from ONE
+    scan of the exploded-quantized frame via a broadcast sign table —
+    exact-integer identical to the inline-literal form (both compute the
+    same Σ sign_pd·q_d; the bit is its sign) — asserted by
+    tests/test_pipeline_ops.py equivalence.
 
     Shape: one broadcast hash join (the sign table is n_seeds×n_bits×dims
-    rows of four ints — ~70k rows at 1536×16×3, built driver-side once),
-    then three key-partitioned aggregations with map-side combine:
-    (id, seed, bit) projections → (id, seed) signature → (id) pivot. The
-    join output is dims×n_bits×seeds rows per vector, the same
-    multiply-adds the inline form runs inside its single aggregation."""
+    rows — ~70k at 1536×16×3, built driver-side once; query / centroid
+    component values ride the SAME table as extra columns), then three
+    key-partitioned aggregations with map-side combine: (id, seed, bit) →
+    (id, seed) → (id). The non-signature sums (n2, dot, dot_c, q) are
+    computed on lane (_j=0, _p=0) only — each vector component appears
+    exactly once there — so folding them in costs conditional expressions,
+    not extra rows. The fold is the point: computing them in a SEPARATE
+    aggregation over ``ex`` would reference ``ex`` from two plan subtrees
+    and scan+explode+quantize the source twice (plus an (id)⋈(id) join to
+    glue the halves) — double input I/O at exactly the real-dims scale
+    this path exists for."""
     spark = ex.sparkSession
+    qv = quant_py(query) if query is not None else None
+    cents = centroids or []
     rows = []
     for j, sd in enumerate(sig_seeds):
         signs = hyperplane_signs(n_bits, dims, sd)
         for p in range(n_bits):
             for i, s in enumerate(signs[p]):
-                rows.append((j, p, i, s))
-    tbl = spark.createDataFrame(rows, "_j int, _p int, _i int, _sign int")
-    proj = (
-        ex.join(F.broadcast(tbl), "_i")
-        .groupBy(id_col, "_j", "_p")
-        .agg(F.sum(F.col("_q") * F.col("_sign")).alias("_proj"))
-    )
-    sig = proj.groupBy(id_col, "_j").agg(
+                rows.append(
+                    (j, p, i, s, qv[i] if qv is not None else None)
+                    + tuple(c[i] for c in cents)
+                )
+    c_cols = "".join(f", _c{k} long" for k in range(len(cents)))
+    tbl = spark.createDataFrame(rows, f"_j int, _p int, _i int, _sign int, _qv long{c_cols}")
+
+    lane0 = (F.col("_j") == 0) & (F.col("_p") == 0)
+    lvl1_aggs = [
+        F.sum(F.col("_q") * F.col("_sign")).alias("_proj"),
+        F.sum(F.when(lane0, F.col("_q") * F.col("_q"))).alias("_n2"),
+    ]
+    if query is not None:
+        lvl1_aggs.append(F.sum(F.when(lane0, F.col("_q") * F.col("_qv"))).alias("_dot"))
+    for k in range(len(cents)):
+        lvl1_aggs.append(F.sum(F.when(lane0, F.col("_q") * F.col(f"_c{k}"))).alias(f"_dc{k}"))
+    if keep_quant:
+        lvl1_aggs.append(
+            F.transform(
+                F.sort_array(F.collect_list(F.when(lane0, F.struct("_i", "_q")))),
+                lambda s: s["_q"],
+            ).alias("_qarr")
+        )
+    lvl1 = ex.join(F.broadcast(tbl), "_i").groupBy(id_col, "_j", "_p").agg(*lvl1_aggs)
+
+    carry1 = [F.max("_n2").alias("_n2")]
+    carry2 = [F.max("_n2").alias("n2")]
+    if query is not None:
+        carry1.append(F.max("_dot").alias("_dot"))
+        carry2.append(F.max("_dot").alias("dot"))
+    for k in range(len(cents)):
+        carry1.append(F.max(f"_dc{k}").alias(f"_dc{k}"))
+        carry2.append(F.max(f"_dc{k}").alias(f"dot_c{k}"))
+    if keep_quant:
+        carry1.append(F.max("_qarr").alias("_qarr"))
+        carry2.append(F.max("_qarr").alias("q"))
+    sig = lvl1.groupBy(id_col, "_j").agg(
         F.sum(
             F.when(F.col("_proj") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), _p)"))
             .otherwise(F.lit(0).cast("long"))
-        ).alias("_sig")
+        ).alias("_sig"),
+        *carry1,
     )
-    return sig.groupBy(id_col).agg(
+    out = sig.groupBy(id_col).agg(
+        *carry2,
         *[
             F.max(F.when(F.col("_j") == j, F.col("_sig"))).alias(
                 f"sig_{j}" if multi else "sig"
             )
             for j in range(len(sig_seeds))
-        ]
+        ],
     )
+    return out
 
 
 def embedding_scores(
@@ -238,11 +287,16 @@ def embedding_scores(
     if use_sig_join is None:
         use_sig_join = n_bits > 0 and dims * n_bits * len(sig_seeds) > INLINE_SIGN_LIMIT
     ex = _exploded_quant(df, id_col, vec_col)
+    if n_bits > 0 and use_sig_join:
+        # everything from one scan of ex (see _scores_via_sign_join)
+        return _scores_via_sign_join(
+            ex, id_col, sig_seeds, n_bits, dims, seeds is not None, query, centroids, keep_quant
+        )
     aggs = [F.sum(F.col("_q") * F.col("_q")).alias("n2")]
     if query is not None:
         qlit = F.element_at(F.array(*[F.lit(v) for v in quant_py(query)]), F.col("_i") + 1)
         aggs.append(F.sum(F.col("_q") * qlit).alias("dot"))
-    if n_bits > 0 and not use_sig_join:
+    if n_bits > 0:
         for j, sd in enumerate(sig_seeds):
             signs = hyperplane_signs(n_bits, dims, sd)
             for p in range(n_bits):
@@ -255,7 +309,7 @@ def embedding_scores(
     if keep_quant:
         aggs.append(_collect_quant())
     out = ex.groupBy(id_col).agg(*aggs)
-    if n_bits > 0 and not use_sig_join:
+    if n_bits > 0:
         drop_cols = []
         for j in range(len(sig_seeds)):
             sig = F.lit(0).cast("long")
@@ -265,11 +319,6 @@ def embedding_scores(
             out = out.withColumn(name, sig)
             drop_cols += [f"_proj{j}_{p}" for p in range(n_bits)]
         out = out.drop(*drop_cols)
-    elif n_bits > 0:
-        out = out.join(
-            _signature_join(ex, id_col, sig_seeds, n_bits, dims, multi=seeds is not None),
-            id_col,
-        )
     return out
 
 

@@ -437,7 +437,7 @@ def test_token_frequencies_topk(spark):
     assert top == [("a", 4), ("b", 3), ("c", 1)]  # freq desc, token tie-break
 
 
-def test_signature_join_matches_inline(spark, small_world):
+def test_signature_join_matches_inline(spark, small_world, tmp_path):
     """The broadcast sign-table signature path (plan-size-safe past
     INLINE_SIGN_LIMIT) must produce bit-identical signatures to the
     inline-literal form — single- and multi-seed, with and without the
@@ -459,6 +459,23 @@ def test_signature_join_matches_inline(spark, small_world):
     cols = ["vec_id", "n2", "dot", "sig_0", "sig_1"]
     assert am.select(cols).exceptAll(bm.select(cols)).count() == 0
     assert bm.select(cols).exceptAll(am.select(cols)).count() == 0
+
+    # keep_quant rides the same fold; q arrays must match the inline form
+    aq = {r.vec_id: list(r.q) for r in embedding_scores(emb, n_bits=8, dims=16, sig_join=False, keep_quant=True).collect()}
+    bq = {r.vec_id: list(r.q) for r in embedding_scores(emb, n_bits=8, dims=16, sig_join=True, keep_quant=True).collect()}
+    assert aq == bq
+
+    # the fold is the point: the join form must read the SOURCE once
+    # (n2/dot/q in a separate agg would scan+explode the vectors twice);
+    # count scans on a parquet-backed frame — cache/AQE plan strings
+    # repeat InMemoryTableScan text and miscount
+    emb.write.mode("overwrite").parquet(str(tmp_path / "sigscan"))
+    pq = spark.read.parquet(str(tmp_path / "sigscan"))
+    plan = (
+        embedding_scores(pq, q, n_bits=8, dims=16, seeds=[3, 9], sig_join=True, keep_quant=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") == 1
 
 
 def test_signature_join_at_real_dims(spark, small_world):
