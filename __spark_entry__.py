@@ -531,6 +531,52 @@ def _q40_dir(sf_dir: str) -> str:
     return f"{_Q40_ROOT}/q40-{hashlib.md5(f'{_Q40_VERSION}:{norm}'.encode()).hexdigest()[:12]}"
 
 
+def _write_oracle_inputs(cat, bad, spec, dest: str) -> None:
+    """Materialize the span-validation oracle's inputs — catalog, actual
+    spans (flat), expected spans (flat, regenerated via the shared span
+    functions) — under ``dest``. ONE definition shared by q40 and q53:
+    the two oracles run the same SQL over these files, and a projection
+    change here must change both sides together or the gate catches it."""
+    from ovalspark.functions import spans as sp
+
+    cat.write.mode("overwrite").parquet(f"{dest}/catalog")
+    bad.select(
+        "partition_id",
+        "doc_id",
+        F.col("writer_id").alias("doc_writer_id"),
+        "written_at",
+        F.size("spans").alias("n_actual"),
+        F.posexplode_outer("spans").alias("span_idx", "s"),
+    ).select(
+        "partition_id",
+        "doc_id",
+        "doc_writer_id",
+        "written_at",
+        "n_actual",
+        "span_idx",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.offset").alias("span_offset"),
+    ).write.mode("overwrite").parquet(f"{dest}/actual")
+    erows = cat.filter(F.col("exists")).select(
+        "doc_id",
+        "generation",
+        "writer_id",
+        F.posexplode(F.sequence(F.lit(0), F.col("n_spans") - 1)).alias("_", "span_idx"),
+    )
+    i = F.col("span_idx")
+    ekind = sp.span_kind(F.col("doc_id"), i)
+    erows.select(
+        "doc_id",
+        i.cast("int").alias("span_idx"),
+        ekind.alias("kind"),
+        sp.span_text(F.col("doc_id"), F.col("generation"), F.col("writer_id"), i).alias("text"),
+        sp.span_media_ref(F.col("doc_id"), i, ekind, spec.n_assets).alias("media_ref"),
+        (i * sp.SPAN_UNIT).cast("int").alias("span_offset"),
+    ).write.mode("overwrite").parquet(f"{dest}/expected")
+
+
 def _q40_span_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship validator over interleaved docs derived from sf_dir's
     flat documents table. The expected-span regeneration is xxhash64-based
@@ -542,7 +588,6 @@ def _q40_span_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from ovalspark.datagen import GenSpec, catalog_from_flat, generate_documents, inject_faults
-    from ovalspark.functions import spans as sp
     from ovalspark.operators import check_existence, validate_spans
 
     flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -560,42 +605,7 @@ def _q40_span_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.isdir(final):
         stage = f"{final}.tmp.{os.getpid()}"
         shutil.rmtree(stage, ignore_errors=True)
-        cat.write.mode("overwrite").parquet(f"{stage}/catalog")
-        bad.select(
-            "partition_id",
-            "doc_id",
-            F.col("writer_id").alias("doc_writer_id"),
-            "written_at",
-            F.size("spans").alias("n_actual"),
-            F.posexplode_outer("spans").alias("span_idx", "s"),
-        ).select(
-            "partition_id",
-            "doc_id",
-            "doc_writer_id",
-            "written_at",
-            "n_actual",
-            "span_idx",
-            F.col("s.kind").alias("kind"),
-            F.col("s.text").alias("text"),
-            F.col("s.media_ref").alias("media_ref"),
-            F.col("s.offset").alias("span_offset"),
-        ).write.mode("overwrite").parquet(f"{stage}/actual")
-        erows = cat.filter(F.col("exists")).select(
-            "doc_id",
-            "generation",
-            "writer_id",
-            F.posexplode(F.sequence(F.lit(0), F.col("n_spans") - 1)).alias("_", "span_idx"),
-        )
-        i = F.col("span_idx")
-        ekind = sp.span_kind(F.col("doc_id"), i)
-        erows.select(
-            "doc_id",
-            i.cast("int").alias("span_idx"),
-            ekind.alias("kind"),
-            sp.span_text(F.col("doc_id"), F.col("generation"), F.col("writer_id"), i).alias("text"),
-            sp.span_media_ref(F.col("doc_id"), i, ekind, spec.n_assets).alias("media_ref"),
-            (i * sp.SPAN_UNIT).cast("int").alias("span_offset"),
-        ).write.mode("overwrite").parquet(f"{stage}/expected")
+        _write_oracle_inputs(cat, bad, spec, stage)
         try:
             os.rename(stage, final)
         except OSError:
@@ -1160,7 +1170,6 @@ def _q53_delta_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
 
     from ovalspark.datagen import GenSpec, catalog_from_flat, generate_documents, inject_faults
-    from ovalspark.functions import spans as sp
     from ovalspark.operators.incremental import validate_snapshot_delta
     from ovalspark.sources.snapshots import snapshot_write
 
@@ -1185,42 +1194,7 @@ def _q53_delta_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(stage, ignore_errors=True)
         snapshot_write(docs_base, f"{stage}/table")
         snapshot_write(bad_delta, f"{stage}/table", mode="append")
-        cat_delta.write.mode("overwrite").parquet(f"{stage}/oracle/catalog")
-        bad_delta.select(
-            "partition_id",
-            "doc_id",
-            F.col("writer_id").alias("doc_writer_id"),
-            "written_at",
-            F.size("spans").alias("n_actual"),
-            F.posexplode_outer("spans").alias("span_idx", "s"),
-        ).select(
-            "partition_id",
-            "doc_id",
-            "doc_writer_id",
-            "written_at",
-            "n_actual",
-            "span_idx",
-            F.col("s.kind").alias("kind"),
-            F.col("s.text").alias("text"),
-            F.col("s.media_ref").alias("media_ref"),
-            F.col("s.offset").alias("span_offset"),
-        ).write.mode("overwrite").parquet(f"{stage}/oracle/actual")
-        erows = cat_delta.filter(F.col("exists")).select(
-            "doc_id",
-            "generation",
-            "writer_id",
-            F.posexplode(F.sequence(F.lit(0), F.col("n_spans") - 1)).alias("_", "span_idx"),
-        )
-        i = F.col("span_idx")
-        ekind = sp.span_kind(F.col("doc_id"), i)
-        erows.select(
-            "doc_id",
-            i.cast("int").alias("span_idx"),
-            ekind.alias("kind"),
-            sp.span_text(F.col("doc_id"), F.col("generation"), F.col("writer_id"), i).alias("text"),
-            sp.span_media_ref(F.col("doc_id"), i, ekind, spec.n_assets).alias("media_ref"),
-            (i * sp.SPAN_UNIT).cast("int").alias("span_offset"),
-        ).write.mode("overwrite").parquet(f"{stage}/oracle/expected")
+        _write_oracle_inputs(cat_delta, bad_delta, spec, f"{stage}/oracle")
         try:
             os.rename(stage, final)
         except OSError:

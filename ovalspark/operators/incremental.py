@@ -147,16 +147,30 @@ def validate_snapshot_tail(
     after subsequent commits, but vacuum of overwritten files invalidates
     plans held across an overwrite.
     """
-    from ovalspark.sources.snapshots import load_manifest
+    for sid, files, v in _tail_deltas(
+        spark, root, catalog_for, n_assets, after_id, timeout_s, poll_interval_s, broadcast_catalog
+    ):
+        yield sid, v
+
+
+def _tail_deltas(
+    spark, root, catalog_for, n_assets, after_id, timeout_s, poll_interval_s, broadcast_catalog
+):
+    """Shared tail loop: yields (sid, added_files, violations) with the
+    manifest loaded and diffed ONCE per commit — the public tail drops
+    the file list, the checkpointed tail records it in its lineage."""
+    from ovalspark.sources.snapshots import load_manifest, manifest_diff
 
     for sid in iter_committed_snapshots(root, after_id, timeout_s, poll_interval_s):
         parent = load_manifest(root, sid)["parent_id"]
-        yield sid, validate_snapshot_delta(
+        from_id = parent if parent else None
+        files = manifest_diff(root, from_id, sid)
+        yield sid, files, validate_snapshot_delta(
             spark,
             root,
             catalog_for(sid),
             n_assets,
-            from_id=parent if parent else None,
+            from_id=from_id,
             to_id=sid,
             broadcast_catalog=broadcast_catalog,
         )
@@ -269,20 +283,16 @@ def validate_snapshot_tail_checkpointed(
     Yields ``(snapshot_id, n_violations)`` after each durable step.
     """
     state = TailState(state_path)
-    for sid, v in validate_snapshot_tail(
+    for sid, files, v in _tail_deltas(
         spark,
         root,
         catalog_for,
         n_assets,
-        after_id=state.last_validated_id,
-        timeout_s=timeout_s,
-        poll_interval_s=poll_interval_s,
-        broadcast_catalog=broadcast_catalog,
+        state.last_validated_id,
+        timeout_s,
+        poll_interval_s,
+        broadcast_catalog,
     ):
-        from ovalspark.sources.snapshots import load_manifest, manifest_diff
-
-        parent = load_manifest(root, sid)["parent_id"]
-        files = manifest_diff(root, parent if parent else None, sid)
         if sink_dir is not None:
             v = v.localCheckpoint()  # one execution feeds sink AND count
             v.write.mode("overwrite").parquet(f"{sink_dir}/snapshot={sid}")
