@@ -538,28 +538,46 @@ def ann_lsh_topk_stored(
     max_hamming: int = 2,
     seed: int = 7,
     id_col: str = "vec_id",
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Probe a persisted LSH index (``ann_lsh_persist``): read the
-    ``bands`` partition directories matching the query signature's band
-    values (partition pruning — the scan's PartitionFilters carry
+    partition directories matching the query signature's band values
+    (partition pruning — the scan's PartitionFilters carry
     (band_idx, band_val)), hamming-filter the collided candidates against
     the stored signature, exact quantized-cosine re-rank from the stored
     components. The original vector table is never touched.
 
+    ``probe_hamming`` is multi-probe LSH (the public Lv et al. idea re-
+    expressed over the partitioned layout): besides each band's exact
+    value, also probe every band value within hamming ``probe_hamming``
+    of it — recall rises with NO extra stored data, only more partition
+    directories read (per band: 1 → 1 + C(rb,1) [+ C(rb,2)] for
+    probe_hamming 0/1/2, rb = n_bits/bands bits per band).
+
     Exact-equivalent to the one-shot ``ann_lsh_topk`` whenever
-    ``max_hamming < bands``: a signature within hamming h of the query
-    must agree EXACTLY on at least one band once h < bands (pigeonhole),
-    so band collision is a lossless candidate filter there. With
-    ``max_hamming >= bands`` it becomes genuinely approximate (documented
-    recall/cost trade, like every banded LSH)."""
+    ``max_hamming < bands × (probe_hamming + 1)``: pigeonhole — a
+    signature within total hamming h of the query has SOME band carrying
+    at most floor(h/bands) of those flips, and that band's value is
+    within ``probe_hamming`` of the query's once floor(h/bands) ≤
+    probe_hamming. At probe_hamming=0 this is the old ``< bands`` bound;
+    probe_hamming=1 with 4 bands makes hamming-7 filtering lossless.
+    Beyond the bound it is genuinely approximate (documented recall/cost
+    trade, like every banded LSH)."""
     if n_bits % bands:
         raise ValueError(f"bands={bands} must divide n_bits={n_bits}")
+    if not 0 <= probe_hamming <= 2:
+        raise ValueError(f"probe_hamming must be 0, 1 or 2, got {probe_hamming}")
     rb = n_bits // bands
     qsig = hyperplane_signature_py(query, len(query), n_bits, seed)
-    probe = [(b, (qsig >> (b * rb)) & ((1 << rb) - 1)) for b in range(bands)]
     cond = None
-    for b, v in probe:
-        c = (F.col("band_idx") == b) & (F.col("band_val") == v)
+    for b in range(bands):
+        v = (qsig >> (b * rb)) & ((1 << rb) - 1)
+        vals = {v}
+        if probe_hamming >= 1:
+            vals |= {v ^ (1 << i) for i in range(rb)}
+        if probe_hamming >= 2:
+            vals |= {v ^ (1 << i) ^ (1 << j) for i in range(rb) for j in range(i + 1, rb)}
+        c = (F.col("band_idx") == b) & (F.col("band_val").isin(sorted(vals)))
         cond = c if cond is None else (cond | c)
     cand_ids = spark.read.parquet(f"{root}/bands").filter(cond).select(id_col).distinct()
     vecs = spark.read.parquet(f"{root}/vectors").join(cand_ids, id_col)

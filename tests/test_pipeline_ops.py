@@ -251,6 +251,18 @@ def test_lsh_stored_probe_matches_one_shot(spark, tmp_path, small_world):
     assert stored == one_shot
     assert len(stored) > 0
 
+    # multi-probe extends the lossless bound: at max_hamming=5 ≥ bands the
+    # plain probe may drop candidates (a hamming-5 signature can differ in
+    # every band), but probe_hamming=1 makes it exact out to
+    # bands×(probe_hamming+1)-1 = 7 — the stored probe must again equal
+    # the unbanded one-shot, and must never return LESS than plain probing
+    one5 = [(r.vec_id, r.cos_q) for r in ann_lsh_topk(emb, q, k=10, n_bits=16, max_hamming=5).collect()]
+    multi5 = [(r.vec_id, r.cos_q) for r in ann_lsh_topk_stored(
+        spark, root, q, k=10, n_bits=16, bands=4, max_hamming=5, probe_hamming=1).collect()]
+    assert multi5 == one5
+    # (no subset claim vs the plain probe: both lists are top-k TRUNCATED,
+    # so the richer candidate set can legitimately push an item past k)
+
 
 def test_ivf_recall_at_256_lists(spark, small_world):
     """Real-IVF-scale shape: n_lists=256 forces the join path (auto) —
