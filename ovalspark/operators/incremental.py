@@ -38,11 +38,14 @@ def validate_snapshot_delta(
     from_id: int | None = None,
     to_id: int | None = None,
     broadcast_catalog: bool = True,
+    added: list[str] | None = None,
 ) -> DataFrame:
     """Validate ONLY the files added between two snapshots of the table at
     ``root`` (``from_id`` exclusive → ``to_id`` inclusive; ``to_id=None``
     = CURRENT) against ``catalog``, the expected state of the documents in
-    that delta. Returns VIOLATION_SCHEMA rows.
+    that delta. Returns VIOLATION_SCHEMA rows. ``added`` lets a caller
+    that already diffed the manifests (the tail loop) pass the file list
+    instead of diffing again.
 
     Existence semantics are delta-scoped: every catalog entry with
     ``exists`` must appear in the ADDED files (else LOST_DOC) and every
@@ -52,7 +55,8 @@ def validate_snapshot_delta(
     from_id == to_id) validates nothing and returns no rows — unless the
     catalog expects documents, which are then all LOST.
     """
-    added = manifest_diff(root, from_id, to_id)
+    if added is None:
+        added = manifest_diff(root, from_id, to_id)
     if not added:
         import pyspark.sql.functions as F
 
@@ -173,6 +177,7 @@ def _tail_deltas(
             from_id=from_id,
             to_id=sid,
             broadcast_catalog=broadcast_catalog,
+            added=files,
         )
 
 

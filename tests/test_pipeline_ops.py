@@ -477,17 +477,26 @@ def test_signature_join_matches_inline(spark, small_world, tmp_path):
     bq = {r.vec_id: list(r.q) for r in embedding_scores(emb, n_bits=8, dims=16, sig_join=True, keep_quant=True).collect()}
     assert aq == bq
 
-    # the fold is the point: the join form must read the SOURCE once
-    # (n2/dot/q in a separate agg would scan+explode the vectors twice);
-    # count scans on a parquet-backed frame — cache/AQE plan strings
-    # repeat InMemoryTableScan text and miscount
+    # the fold is the point: every SUM rides one scan of the exploded
+    # source (a separate agg would scan+explode twice). keep_quant adds
+    # exactly one more scan — the cheap column-pruned q projection, NOT a
+    # second explode (collect_list inside the joined agg measured 2.7×
+    # slower: it demotes the whole aggregate out of codegen). Count scans
+    # on a parquet-backed frame — cache/AQE plan strings repeat
+    # InMemoryTableScan text and miscount.
     emb.write.mode("overwrite").parquet(str(tmp_path / "sigscan"))
     pq = spark.read.parquet(str(tmp_path / "sigscan"))
-    plan = (
-        embedding_scores(pq, q, n_bits=8, dims=16, seeds=[3, 9], sig_join=True, keep_quant=True)
-        ._jdf.queryExecution().executedPlan().toString()
-    )
-    assert plan.count("Scan parquet") == 1
+
+    def n_scans(**kw):
+        plan = (
+            embedding_scores(pq, q, n_bits=8, dims=16, seeds=[3, 9], sig_join=True, **kw)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        return plan.count("Scan parquet"), plan.count("posexplode")
+
+    assert n_scans() == (1, 1)
+    scans, explodes = n_scans(keep_quant=True)
+    assert (scans, explodes) == (2, 1)  # q projection scan, still ONE explode
 
 
 def test_signature_join_at_real_dims(spark, small_world):
