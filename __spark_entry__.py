@@ -1342,6 +1342,64 @@ def _q55_oracle(d: str | None = None) -> str:
 """
 
 
+_Q56_VERSION = "v1"
+
+
+def _q56_dir(sf_dir: str) -> str:
+    import hashlib
+    import os
+
+    norm = os.path.normpath(sf_dir)
+    return f"{_Q40_ROOT}/q56-{hashlib.md5(f'{_Q56_VERSION}:{norm}'.encode()).hexdigest()[:12]}"
+
+
+def _q56_stored_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 by quantized cosine through the PERSISTED multi-probe LSH
+    index: persist (vectors + banded signatures partitioned by
+    (band_idx, band_val)), then probe with probe_hamming=1 at
+    max_hamming=5 — provably lossless (5 < bands×2, pigeonhole), so the
+    oracle is simply the UNBANDED hamming-filtered exact ranking: any
+    partition-pruning, banding, persist or re-rank bug hash-mismatches."""
+    import os
+    import shutil
+
+    from ovalspark.operators.similarity import ann_lsh_persist, ann_lsh_topk_stored
+
+    final = _q56_dir(sf_dir)
+    if not os.path.isdir(final):
+        emb = _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
+        stage = f"{final}.tmp.{os.getpid()}"
+        shutil.rmtree(stage, ignore_errors=True)
+        ann_lsh_persist(emb, f"{stage}/lsh", n_bits=16, bands=4, dims=_EMB_DIMS)
+        try:
+            os.rename(stage, final)
+        except OSError:
+            shutil.rmtree(stage, ignore_errors=True)  # concurrent driver won; identical bytes
+    qv = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") == 0)
+        .select("embedding")
+        .first()[0]
+    )
+    return ann_lsh_topk_stored(
+        spark, f"{final}/lsh", list(qv), k=10, n_bits=16, bands=4, max_hamming=5, probe_hamming=1
+    )
+
+
+def _q56_oracle() -> str:
+    sig = _duck_sig_expr(16)
+    cos = _duck_cos_q("s.v", "s.n2", "q.v", "q.n2")
+    return f"""
+    WITH {_DUCK_Q_CTES},
+    sigs AS (SELECT vec_id, v, n2, {sig} AS sig FROM normed),
+    q AS (SELECT v, n2, sig FROM sigs WHERE vec_id = 0)
+    SELECT s.vec_id, {cos} AS cos_q
+    FROM sigs s, q
+    WHERE bit_count(xor(s.sig, q.sig)) <= 5
+    ORDER BY cos_q DESC, s.vec_id LIMIT 10
+"""
+
+
 def _q54_oracle(cap: int = 2) -> str:
     """q47's recursive-CTE component twin with the cap recomputed
     independently: full sorted member list → list_slice(1, cap)."""
@@ -1406,6 +1464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q53_delta_validation": _q53_delta_validation,
             "q54_dup_groups_capped": _q54_dup_groups_capped,
             "q55_windowed_drift": _q55_windowed_drift,
+            "q56_stored_lsh_topk": _q56_stored_lsh_topk,
         }
     )
     return out
@@ -1441,6 +1500,7 @@ def oracle_sql() -> dict[str, str]:
             "q53_delta_validation": _q40_oracle(_q53_dir(GATE_SF_DIR) + "/oracle"),
             "q54_dup_groups_capped": _q54_oracle(),
             "q55_windowed_drift": _q55_oracle(),
+            "q56_stored_lsh_topk": _q56_oracle(),
         }
     )
     return out
