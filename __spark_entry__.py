@@ -511,6 +511,47 @@ _Q28_ORACLE = """
 _Q40_ROOT = "/tmp/ovalspark_oracle"
 _Q40_VERSION = "v1"  # bump when the generation/corruption recipe changes
 
+
+def _oracle_dir(tag: str, version: str, sf_dir: str) -> str:
+    """Materialization dir keyed by hash(version, sf_dir): two concurrent
+    drivers at DIFFERENT sf_dirs write disjoint dirs; at the SAME sf_dir
+    the contents are deterministic-identical and _publish_once's atomic
+    rename makes the first writer win cleanly."""
+    import hashlib
+    import os
+
+    norm = os.path.normpath(sf_dir)
+    return f"{_Q40_ROOT}/{tag}-{hashlib.md5(f'{version}:{norm}'.encode()).hexdigest()[:12]}"
+
+
+def _publish_once(final: str, build, is_valid=None) -> None:
+    """THE materialize-once publish protocol (one definition for q40/q51/
+    q53/q56): when ``final`` is absent — or fails ``is_valid``, for
+    artifacts with a checkable validity predicate — run ``build(stage)``
+    in a pid-private staging dir and publish with ONE atomic rename. A
+    concurrent same-sf_dir driver either wins the rename or discards its
+    byte-identical staging copy; a reader never sees a partial dir. A
+    rename failure that is NOT a benign lost race re-raises: silently
+    deleting the stage and falling through would surface later as a
+    misleading 'path does not exist' that masks the real OSError."""
+    import os
+    import shutil
+
+    ok = is_valid if is_valid is not None else (lambda: os.path.isdir(final))
+    if ok():
+        return
+    stage = f"{final}.tmp.{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    build(stage)
+    if os.path.exists(final) and not ok():
+        shutil.rmtree(final, ignore_errors=True)  # damaged root from an old crash
+    try:
+        os.rename(stage, final)
+    except OSError:
+        shutil.rmtree(stage, ignore_errors=True)
+        if not ok():
+            raise
+
 # The sf_dir the DRIVER's correctness gate runs at — oracle_sql() is a
 # static string, so the q40 oracle must know which materialization dir to
 # read without receiving sf_dir. tools/check_oracle.py overrides this
@@ -519,16 +560,7 @@ GATE_SF_DIR = "/root/testdata/sf0.01"
 
 
 def _q40_dir(sf_dir: str) -> str:
-    """Materialization dir keyed by hash(version, sf_dir): two concurrent
-    drivers at DIFFERENT sf_dirs write disjoint dirs (the round-2 shared
-    marker file could hand the oracle mismatched parquet); at the SAME
-    sf_dir the contents are deterministic-identical and the atomic rename
-    in _q40_span_validation makes the first writer win cleanly."""
-    import hashlib
-    import os
-
-    norm = os.path.normpath(sf_dir)
-    return f"{_Q40_ROOT}/q40-{hashlib.md5(f'{_Q40_VERSION}:{norm}'.encode()).hexdigest()[:12]}"
+    return _oracle_dir("q40", _Q40_VERSION, sf_dir)
 
 
 def _write_oracle_inputs(cat, bad, spec, dest: str) -> None:
@@ -602,16 +634,7 @@ def _q40_span_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # driver at the same sf_dir either wins the rename or discards its
     # (byte-identical) staging copy; a reader never sees a partial dir
     final = _q40_dir(sf_dir)
-    if not os.path.isdir(final):
-        stage = f"{final}.tmp.{os.getpid()}"
-        shutil.rmtree(stage, ignore_errors=True)
-        _write_oracle_inputs(cat, bad, spec, stage)
-        try:
-            os.rename(stage, final)
-        except OSError:
-            # a concurrent same-sf_dir driver won the rename; contents are
-            # deterministic-identical, so just drop the staging copy
-            shutil.rmtree(stage, ignore_errors=True)
+    _publish_once(final, lambda stage: _write_oracle_inputs(cat, bad, spec, stage))
 
     v = validate_spans(bad, cat, spec.n_assets, broadcast_catalog=True).unionByName(check_existence(bad, cat))
     return v.select(
@@ -954,8 +977,8 @@ def _duck_sig_expr(n_bits: int, seed: int = 7) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _q43_oracle() -> str:
-    sig = _duck_sig_expr(12)
+def _q43_oracle(n_bits: int = 12, max_hamming: int = 4) -> str:
+    sig = _duck_sig_expr(n_bits)
     cos = _duck_cos_q("s.v", "s.n2", "q.v", "q.n2")
     return f"""
     WITH {_DUCK_Q_CTES},
@@ -963,7 +986,7 @@ def _q43_oracle() -> str:
     q AS (SELECT v, n2, sig FROM sigs WHERE vec_id = 0)
     SELECT s.vec_id, {cos} AS cos_q
     FROM sigs s, q
-    WHERE bit_count(xor(s.sig, q.sig)) <= 4
+    WHERE bit_count(xor(s.sig, q.sig)) <= {max_hamming}
     ORDER BY cos_q DESC, s.vec_id LIMIT 10
 """
 
@@ -1100,31 +1123,16 @@ def _q51_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle aggregates the ORIGINAL documents table — so if time travel is
     broken (the read resolves to post-overwrite files) the non-en rows
     vanish and the hash mismatches. Same hash-keyed dir recipe as q40."""
-    import hashlib
-    import os
-    import shutil
-
     from ovalspark.sources.snapshots import current_snapshot_id, snapshot_read, snapshot_write
 
-    norm = os.path.normpath(sf_dir)
-    root = f"{_Q40_ROOT}/q51-{hashlib.md5(f'{_Q51_VERSION}:{norm}'.encode()).hexdigest()[:12]}"
-    if current_snapshot_id(root) != 2:
-        # q40's staging recipe: build the table in a pid-private dir and
-        # publish with one atomic rename — rmtree-ing the shared root in
-        # place would race a concurrent same-sf_dir driver mid-read
-        stage = f"{root}.tmp.{os.getpid()}"
-        shutil.rmtree(stage, ignore_errors=True)
+    root = _oracle_dir("q51", _Q51_VERSION, sf_dir)
+
+    def build(stage):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         snapshot_write(docs, stage)
         snapshot_write(docs.filter(F.col("lang") == "en"), stage, mode="overwrite")
-        if os.path.exists(root) and current_snapshot_id(root) != 2:
-            shutil.rmtree(root, ignore_errors=True)  # damaged root from an old crash
-        try:
-            os.rename(stage, root)
-        except OSError:
-            shutil.rmtree(stage, ignore_errors=True)
-            if current_snapshot_id(root) != 2:  # loser of a benign race is fine; anything else isn't
-                raise
+
+    _publish_once(root, build, is_valid=lambda: current_snapshot_id(root) == 2)
     old = snapshot_read(spark, root, snapshot_id=1)
     return (
         old.groupBy("lang")
@@ -1149,11 +1157,7 @@ _Q53_VERSION = "v1"
 
 
 def _q53_dir(sf_dir: str) -> str:
-    import hashlib
-    import os
-
-    norm = os.path.normpath(sf_dir)
-    return f"{_Q40_ROOT}/q53-{hashlib.md5(f'{_Q53_VERSION}:{norm}'.encode()).hexdigest()[:12]}"
+    return _oracle_dir("q53", _Q53_VERSION, sf_dir)
 
 
 def _q53_delta_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1166,9 +1170,6 @@ def _q53_delta_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet with the SAME SQL as q40 — so a delta validator that scanned
     the wrong files, or missed rows the full validator would have found
     on the added docs, hash-mismatches."""
-    import os
-    import shutil
-
     from ovalspark.datagen import GenSpec, catalog_from_flat, generate_documents, inject_faults
     from ovalspark.operators.incremental import validate_snapshot_delta
     from ovalspark.sources.snapshots import snapshot_write
@@ -1187,18 +1188,13 @@ def _q53_delta_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     bad_delta = bad_delta.localCheckpoint()
 
     final = _q53_dir(sf_dir)
-    if not os.path.isdir(final):
-        # q40's publish recipe: build table + oracle inputs in a
-        # pid-private staging dir, one atomic rename
-        stage = f"{final}.tmp.{os.getpid()}"
-        shutil.rmtree(stage, ignore_errors=True)
+
+    def build(stage):
         snapshot_write(docs_base, f"{stage}/table")
         snapshot_write(bad_delta, f"{stage}/table", mode="append")
         _write_oracle_inputs(cat_delta, bad_delta, spec, f"{stage}/oracle")
-        try:
-            os.rename(stage, final)
-        except OSError:
-            shutil.rmtree(stage, ignore_errors=True)  # concurrent driver won; identical bytes
+
+    _publish_once(final, build)
 
     v = validate_snapshot_delta(
         spark, f"{final}/table", cat_delta, spec.n_assets, from_id=1, to_id=2
@@ -1346,11 +1342,7 @@ _Q56_VERSION = "v1"
 
 
 def _q56_dir(sf_dir: str) -> str:
-    import hashlib
-    import os
-
-    norm = os.path.normpath(sf_dir)
-    return f"{_Q40_ROOT}/q56-{hashlib.md5(f'{_Q56_VERSION}:{norm}'.encode()).hexdigest()[:12]}"
+    return _oracle_dir("q56", _Q56_VERSION, sf_dir)
 
 
 def _q56_stored_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1360,44 +1352,25 @@ def _q56_stored_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     max_hamming=5 — provably lossless (5 < bands×2, pigeonhole), so the
     oracle is simply the UNBANDED hamming-filtered exact ranking: any
     partition-pruning, banding, persist or re-rank bug hash-mismatches."""
-    import os
-    import shutil
-
     from ovalspark.operators.similarity import ann_lsh_persist, ann_lsh_topk_stored
 
     final = _q56_dir(sf_dir)
-    if not os.path.isdir(final):
-        emb = _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
-        stage = f"{final}.tmp.{os.getpid()}"
-        shutil.rmtree(stage, ignore_errors=True)
-        ann_lsh_persist(emb, f"{stage}/lsh", n_bits=16, bands=4, dims=_EMB_DIMS)
-        try:
-            os.rename(stage, final)
-        except OSError:
-            shutil.rmtree(stage, ignore_errors=True)  # concurrent driver won; identical bytes
-    qv = (
-        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        .filter(F.col("vec_id") == 0)
-        .select("embedding")
-        .first()[0]
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _publish_once(
+        final,
+        lambda stage: ann_lsh_persist(_spread(emb), f"{stage}/lsh", n_bits=16, bands=4, dims=_EMB_DIMS),
     )
+    qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
     return ann_lsh_topk_stored(
         spark, f"{final}/lsh", list(qv), k=10, n_bits=16, bands=4, max_hamming=5, probe_hamming=1
     )
 
 
 def _q56_oracle() -> str:
-    sig = _duck_sig_expr(16)
-    cos = _duck_cos_q("s.v", "s.n2", "q.v", "q.n2")
-    return f"""
-    WITH {_DUCK_Q_CTES},
-    sigs AS (SELECT vec_id, v, n2, {sig} AS sig FROM normed),
-    q AS (SELECT v, n2, sig FROM sigs WHERE vec_id = 0)
-    SELECT s.vec_id, {cos} AS cos_q
-    FROM sigs s, q
-    WHERE bit_count(xor(s.sig, q.sig)) <= 5
-    ORDER BY cos_q DESC, s.vec_id LIMIT 10
-"""
+    # the multi-probe at max_hamming=5 < bands×(probe_hamming+1) is
+    # provably lossless, so the oracle is q43's unbanded ranking at
+    # (n_bits=16, hamming ≤ 5) — same SQL, different constants
+    return _q43_oracle(n_bits=16, max_hamming=5)
 
 
 def _q54_oracle(cap: int = 2) -> str:
