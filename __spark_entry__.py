@@ -540,9 +540,29 @@ def _publish_once(final: str, build, is_valid=None) -> None:
     ok = is_valid if is_valid is not None else (lambda: os.path.isdir(final))
     if ok():
         return
+    # reclaim orphaned staging dirs from crashed builds: a build() that
+    # was SIGKILLed leaves <final>.tmp.<pid> behind, and pid-reuse alone
+    # never collects it. Only dirs whose builder pid is DEAD are removed —
+    # a live concurrent builder's stage must survive (it will win or
+    # discard its own copy at rename time)
+    import glob as _glob
+
+    for orphan in _glob.glob(f"{final}.tmp.*"):
+        try:
+            pid = int(orphan.rsplit(".", 1)[-1])
+            os.kill(pid, 0)  # raises if pid is gone
+        except ValueError:
+            continue  # unrecognized name: not ours to reclaim
+        except ProcessLookupError:
+            shutil.rmtree(orphan, ignore_errors=True)
+        # PermissionError = pid alive under another uid: leave it
     stage = f"{final}.tmp.{os.getpid()}"
-    shutil.rmtree(stage, ignore_errors=True)
-    build(stage)
+    shutil.rmtree(stage, ignore_errors=True)  # our own pid's prior debris
+    try:
+        build(stage)
+    except BaseException:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise
     if os.path.exists(final) and not ok():
         shutil.rmtree(final, ignore_errors=True)  # damaged root from an old crash
     try:

@@ -112,7 +112,14 @@ def build_parser() -> argparse.ArgumentParser:
     t = sub.add_parser(
         "tail",
         help="continuously validate a snapshot-format world as commits land "
-        "(delta-scoped per commit; durable resume via --state)",
+        "(delta-scoped per commit; durable resume via --state). Scope "
+        "limitation: the CLI derives each commit's expected set from the "
+        "stored catalog semi-joined on the docs the commit actually wrote, "
+        "so it detects every span/field violation and PHANTOM_DOC but "
+        "structurally CANNOT detect LOST_DOC (a doc the catalog expected "
+        "but the commit never wrote has no row to join on) — for LOST_DOC "
+        "coverage use the API with writer-supplied expected sets "
+        "(validate_snapshot_tail(catalog_for=...)) or a full batch validate",
     )
     t.add_argument("--root", required=True, help="TableSet root written with --table-format snapshot")
     t.add_argument("--out", required=True, help="violations sink dir (parquet, one subdir per snapshot)")

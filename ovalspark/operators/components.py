@@ -136,7 +136,22 @@ def connected_components_star(
         .distinct()
         .localCheckpoint()
     )
-    prev_fingerprint: tuple | None = None
+    def _fingerprint(e: DataFrame) -> tuple:
+        # modulus 2^20 keeps the ANSI-mode SUM overflow-free out to ~2^43
+        # edges (mean summand 2^19 vs the 2^63 long ceiling) — 2^40 would
+        # raise ARITHMETIC_OVERFLOW at ~1.7e7 edges, exactly the mega-
+        # cluster graphs this operator targets; a fingerprint collision
+        # only costs one redundant exceptAll confirm, never a wrong stop
+        s = e.agg(
+            F.count("*"),
+            F.sum(F.pmod(F.xxhash64(F.col("u").cast("string"), F.col("v").cast("string")), F.lit(1 << 20))),
+        ).first()
+        return (s[0], s[1])
+
+    # seed from the INITIAL edge set so an input that is already a stable
+    # star set can confirm convergence on iteration 1 (a None seed made
+    # the early-exit unreachable with max_iterations=1)
+    prev_fingerprint: tuple = _fingerprint(edges)
     for _ in range(max_iterations):
         # large-star: m(u) = min(Γ(u) ∪ {u}) over the SYMMETRIC
         # neighborhood; emit (v, m(u)) for every larger neighbor v of u
@@ -168,16 +183,7 @@ def connected_components_star(
         # one scan of the already-checkpointed ss, no join) says the sets
         # might be equal; a spurious fingerprint match just costs that one
         # confirm, never a wrong early stop.
-        # modulus 2^20 keeps the ANSI-mode SUM overflow-free out to ~2^43
-        # edges (mean summand 2^19 vs the 2^63 long ceiling) — 2^40 would
-        # raise ARITHMETIC_OVERFLOW at ~1.7e7 edges, exactly the mega-
-        # cluster graphs this operator targets; a fingerprint collision
-        # only costs one redundant exceptAll confirm, never a wrong stop
-        stats = ss.agg(
-            F.count("*"),
-            F.sum(F.pmod(F.xxhash64(F.col("u").cast("string"), F.col("v").cast("string")), F.lit(1 << 20))),
-        ).first()
-        fingerprint = (stats[0], stats[1])
+        fingerprint = _fingerprint(ss)
         changed = 1
         if fingerprint == prev_fingerprint:
             changed = ss.exceptAll(edges).limit(1).count()
@@ -231,6 +237,11 @@ def duplicate_groups(
     exact and ``members_truncated`` flags capped rows.
     ``include_members=False`` skips member arrays entirely — one
     hash aggregation, nothing collected."""
+    # validate max_members BEFORE the include_members early return: an
+    # invalid cap (or the conflicting include_members=False + cap combo)
+    # must fail loudly, not be silently ignored by the short-circuit
+    if max_members is not None and max_members < 1:
+        raise ValueError(f"max_members must be >= 1, got {max_members}")
     cc = _cc(pairs, src, dst, algorithm)
     if not include_members:
         return cc.groupBy("component").agg(F.count("*").alias("n_members"))
@@ -239,8 +250,6 @@ def duplicate_groups(
             F.count("*").alias("n_members"),
             F.sort_array(F.collect_list("node")).alias("members"),
         )
-    if max_members < 1:
-        raise ValueError(f"max_members must be >= 1, got {max_members}")
     # rank members inside each component, collect ONLY rank <= cap: the
     # window and the aggregation shuffle on the same key (component), and
     # the collected array is bounded by construction — never built then

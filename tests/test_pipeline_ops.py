@@ -349,6 +349,10 @@ def test_duplicate_groups_member_cap(spark):
 
     with _pytest.raises(ValueError, match="max_members"):
         duplicate_groups(pairs, max_members=0)
+    # validation must fire even when include_members=False short-circuits
+    # the cap path (the cap is then meaningless — fail loudly, not ignore)
+    with _pytest.raises(ValueError, match="max_members"):
+        duplicate_groups(pairs, max_members=0, include_members=False)
 
 
 def _union_find(edges):
@@ -394,6 +398,23 @@ def test_star_contraction_matches_propagation_and_union_find(spark):
         prop = {r.node: r.component for r in connected_components(df, max_iterations=60).collect()}
         assert star == truth
         assert prop == truth
+
+
+def test_star_contraction_converges_round_one_on_stable_stars(spark):
+    """An input that is already a stable star set must confirm convergence
+    on iteration 1 (the fingerprint seed from the initial edges makes the
+    early-exit reachable even with max_iterations=1)."""
+    from ovalspark.operators.components import connected_components_star
+
+    # two perfect stars rooted at their minima — already converged shape
+    pairs = spark.createDataFrame(
+        [("a0", "a1"), ("a0", "a2"), ("b0", "b1")], "id_a string, id_b string"
+    )
+    star = {
+        r.node: r.component
+        for r in connected_components_star(pairs, max_iterations=1).collect()
+    }
+    assert star == {"a0": "a0", "a1": "a0", "a2": "a0", "b0": "b0", "b1": "b0"}
 
 
 def test_star_contraction_handles_long_chain(spark):

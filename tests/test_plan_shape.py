@@ -79,8 +79,7 @@ def test_filter_pushdown_reaches_scan(spark, tmp_path):
     df = spark.read.parquet(p).filter(F.col("partition_id") == 1).filter(F.col("generation") > 2)
     plan = _plan(df.select("doc_id"))
     assert "PushedFilters: [IsNotNull(generation), GreaterThan(generation,2)]" in plan, plan
-    # partition pruning: only one partition dir scanned
-    assert "partition_id=1" not in plan or True  # pruning shown via PartitionFilters
+    # partition pruning: shown via PartitionFilters on the scan node
     assert "PartitionFilters: [isnotnull(partition_id" in plan, plan
 
 
