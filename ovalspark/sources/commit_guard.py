@@ -1,0 +1,208 @@
+"""Pluggable commit guards for the snapshot layer's metadata CAS.
+
+The snapshot commit (``sources/snapshots.snapshot_write``) needs mutual
+exclusion around a milliseconds-long metadata critical section: re-read
+CURRENT, compare to the writer's resolved parent, write the manifest,
+flip CURRENT. The exclusion primitive is DEPLOYMENT-SPECIFIC — there is
+no one filesystem trick that is correct everywhere — so it is a seam:
+``CommitGuard.acquire(root) -> token`` / ``release(token)``, selected
+per table via ``snapshot_write(..., guard=...)`` or the
+``OVALSPARK_COMMIT_GUARD`` env var (default ``flock``).
+
+Scope honesty — what each shipped guard actually guarantees:
+
+* ``flock`` — kernel advisory ``flock(LOCK_EX)`` on a lock file. Correct
+  for every process and thread on ONE HOST (the local[] deployments this
+  sandbox runs, and any driver-singleton architecture where all commits
+  funnel through one driver). The kernel releases a dead holder's lock
+  instantly, so a crashed writer can never wedge the table and there is
+  no steal path to race. It does NOT exclude across machines: NFS flock
+  semantics vary by server/mount, and object stores have no flock at all
+  — two writers on different hosts would both "acquire" it.
+* ``dirlock`` — atomic ``mkdir`` lease. POSIX requires ``mkdir`` to fail
+  with EEXIST atomically, on local filesystems AND over NFS, so this
+  extends exclusion to multi-host shared-POSIX deployments. It is a
+  LEASE, not a kernel lock: a holder that dies keeps the lock until
+  ``lease_timeout_s`` elapses, after which a waiter breaks it with an
+  atomic ``rename`` (exactly one breaker can win the rename; the losers
+  see ENOENT and retry the mkdir). Correctness therefore requires the
+  lease timeout to exceed the longest possible critical section — the
+  section is a handful of small-file reads and renames (milliseconds),
+  the default timeout is 30 s. Residual risk, stated plainly: a breaker
+  that stalls for a full lease period between its staleness check and
+  its rename could evict a FRESH holder; no filesystem-only protocol
+  closes that window — it needs server-side fencing.
+* A true object-store deployment (the 100-TB target; oval's own store is
+  S3, ``internal/s3client/s3client.go:145-162`` in /root/reference) has
+  neither flock nor atomic rename-over and needs a catalog CAS — an
+  Iceberg/Nessie catalog commit or a DynamoDB/etcd conditional put.
+  That is exactly what this seam is for: implement ``acquire``/
+  ``release`` against the catalog's conditional primitive and register
+  it with ``register_guard``; the snapshot protocol above the seam is
+  unchanged (it already tolerates at-most-one-winner semantics — the
+  loser raises ``ConcurrentCommitError`` and retries).
+
+Both shipped guards are exercised by the same two-process race test
+(tests/test_commit_race.py): two processes block on a barrier, race one
+commit slot, and exactly one may win.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+
+
+class CommitGuard:
+    """Mutual-exclusion seam around the snapshot metadata critical
+    section. ``acquire`` blocks until the guard is held (or raises
+    ``TimeoutError``), returning an opaque token; ``release`` must be
+    called with that token in a ``finally``. Implementations must
+    exclude concurrent *processes* within their documented scope and
+    must never let a dead holder wedge the table forever."""
+
+    name = "abstract"
+
+    def acquire(self, root: str, timeout_s: float = 30.0):
+        raise NotImplementedError
+
+    def release(self, token) -> None:
+        raise NotImplementedError
+
+
+def _lock_base(root: str) -> str:
+    d = os.path.join(root, "manifest")
+    os.makedirs(d, exist_ok=True)
+    return os.path.join(d, "COMMIT_LOCK")
+
+
+class FlockGuard(CommitGuard):
+    """Single-host kernel lock (module doc, bullet 1). The lock file is
+    created once and NEVER unlinked: unlink-on-release recreates the
+    classic flock race (a waiter holding the old inode and a newcomer
+    locking the new one both "win"). The previous O_EXCL+steal design
+    had an ABA race (a second stealer could unlink the first stealer's
+    FRESH lock) and wedged forever on an empty lock file — flock has
+    neither problem because the kernel owns liveness."""
+
+    name = "flock"
+
+    def acquire(self, root: str, timeout_s: float = 30.0) -> int:
+        import fcntl
+
+        path = _lock_base(root)
+        fd = os.open(path, os.O_CREAT | os.O_RDWR)
+        deadline = time.monotonic() + timeout_s
+        while True:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except BlockingIOError:
+                if time.monotonic() > deadline:
+                    os.close(fd)
+                    raise TimeoutError(
+                        f"commit lock at {path} held past {timeout_s}s"
+                    ) from None
+                time.sleep(0.005)
+                continue
+            # holder pid recorded for debugging only — never parsed
+            os.ftruncate(fd, 0)
+            os.write(fd, str(os.getpid()).encode())
+            return fd
+
+    def release(self, token: int) -> None:
+        import fcntl
+
+        try:
+            fcntl.flock(token, fcntl.LOCK_UN)
+        finally:
+            os.close(token)
+
+
+class DirLockGuard(CommitGuard):
+    """Portable ``mkdir`` lease (module doc, bullet 2): atomic on local
+    filesystems and NFS, multi-host within a shared filesystem. A stale
+    lease (holder died; dir older than ``lease_timeout_s``) is broken by
+    renaming it aside — rename is atomic, so exactly one breaker wins
+    and the losers' renames fail with ENOENT and retry the mkdir."""
+
+    name = "dirlock"
+
+    def __init__(self, lease_timeout_s: float = 30.0):
+        self.lease_timeout_s = lease_timeout_s
+
+    def acquire(self, root: str, timeout_s: float = 30.0) -> str:
+        lockdir = _lock_base(root) + ".d"
+        deadline = time.monotonic() + timeout_s
+        while True:
+            try:
+                os.mkdir(lockdir)
+            except FileExistsError:
+                try:
+                    age = time.time() - os.stat(lockdir).st_mtime
+                except FileNotFoundError:
+                    continue  # released/broken between mkdir and stat: retry now
+                if age > self.lease_timeout_s:
+                    doomed = f"{lockdir}.stale-{uuid.uuid4().hex[:8]}"
+                    try:
+                        os.rename(lockdir, doomed)
+                    except OSError:
+                        pass  # another breaker won the rename; fall through
+                    else:
+                        shutil.rmtree(doomed, ignore_errors=True)
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"commit lease at {lockdir} held past {timeout_s}s "
+                        f"(holder age {age:.1f}s < lease {self.lease_timeout_s}s)"
+                    )
+                time.sleep(0.005)
+                continue
+            # owner breadcrumb for debugging only — never parsed
+            try:
+                with open(os.path.join(lockdir, "owner"), "w") as f:
+                    f.write(f"pid={os.getpid()} t={time.time()}\n")
+            except OSError:
+                pass
+            return lockdir
+
+    def release(self, token: str) -> None:
+        # rename-then-delete: the lease disappears atomically (a plain
+        # recursive delete would expose a half-empty lockdir that a
+        # waiter's stat could misread); ENOENT means our lease was
+        # broken while held — the commit inside it already finished,
+        # nothing left to release
+        doomed = f"{token}.rel-{uuid.uuid4().hex[:8]}"
+        try:
+            os.rename(token, doomed)
+        except FileNotFoundError:
+            return
+        shutil.rmtree(doomed, ignore_errors=True)
+
+
+_GUARDS: dict[str, type[CommitGuard]] = {
+    FlockGuard.name: FlockGuard,
+    DirLockGuard.name: DirLockGuard,
+}
+
+
+def register_guard(cls: type[CommitGuard]) -> None:
+    """Register a deployment-specific guard (e.g. a catalog CAS) under
+    ``cls.name`` for selection by name/env."""
+    _GUARDS[cls.name] = cls
+
+
+def resolve_guard(guard: str | CommitGuard | None = None) -> CommitGuard:
+    """An instance ready to use: pass-through for instances, registry
+    lookup for names, ``OVALSPARK_COMMIT_GUARD`` (default ``flock``)
+    when unspecified."""
+    if isinstance(guard, CommitGuard):
+        return guard
+    name = guard or os.environ.get("OVALSPARK_COMMIT_GUARD", "flock")
+    try:
+        return _GUARDS[name]()
+    except KeyError:
+        raise ValueError(
+            f"unknown commit guard {name!r}; registered: {sorted(_GUARDS)}"
+        ) from None

@@ -15,18 +15,24 @@ metadata tree — with nothing but parquet and JSON:
     <root>/manifest/v<id>.json               snapshot manifest (file list)
     <root>/manifest/CURRENT                  pointer to latest id (atomic)
 
-Commit protocol (optimistic, first-wins — the guarantee an Iceberg
-catalog CAS gives): write the new data files under a writer-PRIVATE snap
-dir (never touching previous files and never colliding with a concurrent
-writer's), then enter a short metadata critical section guarded by
-``flock(LOCK_EX)`` on a lock file: re-read CURRENT, and if another writer
+Commit protocol (optimistic, first-wins): write the new data files under
+a writer-PRIVATE snap dir (never touching previous files and never
+colliding with a concurrent writer's), then enter a short metadata
+critical section held under a pluggable ``CommitGuard``
+(``sources/commit_guard.py``): re-read CURRENT, and if another writer
 committed since this one resolved its parent, raise
 ``ConcurrentCommitError`` (the loser's data dir is removed; the caller
 retries against the new state). Otherwise write ``v<id>.json`` (tmp +
-rename) and flip CURRENT (tmp + rename). The lock covers only the
-metadata flip — milliseconds — never the data write; the kernel releases
-a dead holder's flock automatically, so a crashed writer can never wedge
-the table and there is no steal path to race. A reader
+rename) and flip CURRENT (tmp + rename). The guard covers only the
+metadata flip — milliseconds — never the data write. SCOPE: the default
+``flock`` guard excludes writers on ONE host (kernel-released on death;
+right for local[] and driver-singleton deployments); the ``dirlock``
+guard extends exclusion to multi-host shared-POSIX (NFS) via an atomic
+mkdir lease; an object-store deployment (the 100-TB target — oval's own
+store is S3) needs a catalog conditional-put implemented against the
+same seam (``commit_guard.register_guard``). This first-wins CAS is the
+semantic of an Iceberg catalog commit, delivered only within the chosen
+guard's documented scope. A reader
 resolving any committed snapshot id sees an immutable file list; a
 writer killed mid-commit leaves CURRENT pointing at the previous
 complete snapshot — same guarantee oval relies on when a killed run
@@ -68,10 +74,6 @@ def _manifest_dir(root: str) -> str:
     return os.path.join(root, "manifest")
 
 
-def _lock_path(root: str) -> str:
-    return os.path.join(_manifest_dir(root), "COMMIT_LOCK")
-
-
 def _current_path(root: str) -> str:
     return os.path.join(_manifest_dir(root), "CURRENT")
 
@@ -93,50 +95,37 @@ def _atomic_write(path: str, payload: str) -> None:
             os.unlink(tmp)
 
 
-def _acquire_commit_lock(root: str, timeout_s: float = 30.0) -> int:
-    """``flock(LOCK_EX)`` on the lock file; returns the held fd (pass it
-    to ``_release_commit_lock``). The kernel drops a dead holder's lock
-    automatically, so there is no pid file to parse and no steal path —
-    the previous O_EXCL+steal design had an ABA race (a second stealer
-    could unlink the first stealer's FRESH lock, letting two writers into
-    the CAS section) and wedged forever on an empty lock file (holder
-    parsed as 0 was never stolen). flock is per-open-file-description,
-    so two writer THREADS in one process exclude each other too. The
-    lock file itself persists empty-of-meaning and is never unlinked:
-    unlink-on-release recreates the classic flock race (a waiter holding
-    the old inode and a newcomer locking the new one both "win").
-    Raises TimeoutError if the lock stays held past ``timeout_s``."""
-    import fcntl
-    import time
+def _commit_manifest(
+    root: str,
+    parent: int | None,
+    sid: int,
+    manifest: dict[str, Any],
+    guard=None,
+) -> None:
+    """The metadata critical section, Spark-free (the two-process race
+    test drives it directly): under the commit guard, CAS on CURRENT —
+    if the table's parent moved since this writer resolved ``parent``,
+    raise ``ConcurrentCommitError``; otherwise publish the manifest and
+    flip CURRENT. ``guard`` is a name, instance, or None (env default) —
+    see ``sources/commit_guard.resolve_guard``."""
+    from ovalspark.sources.commit_guard import resolve_guard
 
-    path = _lock_path(root)
-    os.makedirs(_manifest_dir(root), exist_ok=True)
-    fd = os.open(path, os.O_CREAT | os.O_RDWR)
-    deadline = time.monotonic() + timeout_s
-    while True:
-        try:
-            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-        except BlockingIOError:
-            if time.monotonic() > deadline:
-                os.close(fd)
-                raise TimeoutError(
-                    f"commit lock at {path} held past {timeout_s}s"
-                ) from None
-            time.sleep(0.005)
-            continue
-        # holder pid recorded for debugging only — never parsed
-        os.ftruncate(fd, 0)
-        os.write(fd, str(os.getpid()).encode())
-        return fd
-
-
-def _release_commit_lock(fd: int) -> None:
-    import fcntl
-
+    g = resolve_guard(guard)
+    token = g.acquire(root)
     try:
-        fcntl.flock(fd, fcntl.LOCK_UN)
+        if current_snapshot_id(root) != parent:
+            raise ConcurrentCommitError(
+                f"snapshot {sid} at {root}: parent moved from {parent} to "
+                f"{current_snapshot_id(root)} — another writer committed first"
+            )
+        # a manifest already at sid is debris from a torn commit (its
+        # writer died pre-flip; a LIVE writer would be holding this guard)
+        if os.path.exists(_manifest_path(root, sid)):
+            os.unlink(_manifest_path(root, sid))
+        _atomic_write(_manifest_path(root, sid), json.dumps(manifest, indent=1, sort_keys=True))
+        _atomic_write(_current_path(root), str(sid))
     finally:
-        os.close(fd)
+        g.release(token)
 
 
 def current_snapshot_id(root: str) -> int | None:
@@ -232,6 +221,7 @@ def snapshot_write(
     root: str,
     mode: str = "overwrite",
     target_file_mb: int | None = None,
+    guard=None,
 ) -> int:
     """Commit ``df`` as a new snapshot; returns the new snapshot id.
 
@@ -242,7 +232,9 @@ def snapshot_write(
 
     Concurrency: optimistic first-wins (module doc). The data write goes
     to a writer-private dir; the commit itself is a CAS on CURRENT under
-    a short pid-liveness lock. If another writer committed first, this
+    a short pluggable guard (``guard`` — name/instance/None for the
+    ``OVALSPARK_COMMIT_GUARD`` env default ``flock``; scope per
+    ``sources/commit_guard``). If another writer committed first, this
     raises ``ConcurrentCommitError`` after removing this writer's data
     files — retry to re-resolve the parent. A loser can therefore never
     silently overwrite a winner's manifest (the round-3 last-wins hole).
@@ -302,24 +294,11 @@ def snapshot_write(
         "total_bytes": sum(f["bytes"] for f in files),
         "files": files,
     }
-    lock_fd = _acquire_commit_lock(root)
     try:
-        if current_snapshot_id(root) != parent:
-            raise ConcurrentCommitError(
-                f"snapshot {sid} at {root}: parent moved from {parent} to "
-                f"{current_snapshot_id(root)} — another writer committed first"
-            )
-        # a manifest already at sid is debris from a torn commit (its
-        # writer died pre-flip; a LIVE writer would be holding this lock)
-        if os.path.exists(_manifest_path(root, sid)):
-            os.unlink(_manifest_path(root, sid))
-        _atomic_write(_manifest_path(root, sid), json.dumps(manifest, indent=1, sort_keys=True))
-        _atomic_write(_current_path(root), str(sid))
+        _commit_manifest(root, parent, sid, manifest, guard)
     except ConcurrentCommitError:
         shutil.rmtree(data_dir, ignore_errors=True)
         raise
-    finally:
-        _release_commit_lock(lock_fd)
     return sid
 
 

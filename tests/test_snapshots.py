@@ -240,19 +240,28 @@ def test_concurrent_commit_cas_loser_raises(spark, tmp_path, small_world, monkey
     snapshot_write(cat, root)  # sid 1
 
     # inject the winner exactly into the race window: the loser has read
-    # parent=1 and written its data; just before it takes the commit lock,
-    # the winner commits sid 2
-    real_acquire = sn._acquire_commit_lock
+    # parent=1 and written its data; just before it takes the commit
+    # guard, the winner commits sid 2 (through the guard seam — the same
+    # injection point for any CommitGuard implementation)
+    from ovalspark.sources import commit_guard as cg
+
+    real_resolve = cg.resolve_guard
     fired = {"done": False}
 
-    def winner_sneaks_in(r, timeout_s=30.0):
-        if not fired["done"]:
-            fired["done"] = True
-            monkeypatch.setattr(sn, "_acquire_commit_lock", real_acquire)
-            snapshot_write(cat.limit(3), r)  # winner: sid 2
-        return real_acquire(r, timeout_s)
+    class SneakGuard(cg.CommitGuard):
+        def __init__(self, inner):
+            self.inner = inner
 
-    monkeypatch.setattr(sn, "_acquire_commit_lock", winner_sneaks_in)
+        def acquire(self, r, timeout_s=30.0):
+            if not fired["done"]:
+                fired["done"] = True
+                snapshot_write(cat.limit(3), r)  # winner: sid 2
+            return self.inner.acquire(r, timeout_s)
+
+        def release(self, token):
+            self.inner.release(token)
+
+    monkeypatch.setattr(cg, "resolve_guard", lambda g=None: SneakGuard(real_resolve(g)))
     with pytest.raises(sn.ConcurrentCommitError):
         snapshot_write(cat.limit(7), root)
 
