@@ -127,6 +127,14 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument("--timeout", type=float, default=10.0, help="stop after this many idle seconds")
     t.add_argument("--poll", type=float, default=0.5, help="CURRENT poll interval (seconds)")
     t.add_argument("--broadcast-catalog", action="store_true")
+    t.add_argument(
+        "--batch",
+        action="store_true",
+        help="validate a multi-commit backlog as ONE spanning delta job "
+        "(safe spans only: appends with disjoint doc sets; others fall "
+        "back to per-commit) — the sink partition and reported id are "
+        "the span's last snapshot",
+    )
     return p
 
 
@@ -239,6 +247,7 @@ def main(argv: list[str] | None = None) -> int:
             timeout_s=args.timeout,
             poll_interval_s=args.poll,
             broadcast_catalog=args.broadcast_catalog,
+            batch_commits=args.batch,
         ):
             n_snapshots += 1
             log.info("tail.snapshot", snapshot_id=sid, violations=n)

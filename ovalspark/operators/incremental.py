@@ -81,14 +81,17 @@ def validate_snapshot_delta(
     )
 
 
-def iter_committed_snapshots(
+def iter_commit_batches(
     root: str,
     after_id: int = 0,
     timeout_s: float = 10.0,
     poll_interval_s: float = 0.2,
 ):
-    """Yield committed snapshot ids after ``after_id`` in commit order,
-    polling CURRENT until no new commit lands within ``timeout_s``.
+    """Yield LISTS of pending committed snapshot ids — everything that
+    landed since the last poll, in one batch — until no new commit lands
+    within ``timeout_s``. A tailer that wakes up N commits behind sees
+    them as ONE list and can validate the whole backlog in one job
+    instead of N (the backlog-batching lever).
 
     The CURRENT pointer is the single visibility boundary (the same
     contract ``load_manifest`` enforces), so a torn commit — a manifest
@@ -105,14 +108,25 @@ def iter_committed_snapshots(
     while True:
         cur = current_snapshot_id(root)
         if cur is not None and cur > last:
-            for sid in range(last + 1, cur + 1):
-                yield sid
+            yield list(range(last + 1, cur + 1))
             last = cur
             deadline = _time.monotonic() + timeout_s  # activity resets the clock
             continue
         if _time.monotonic() >= deadline:
             return
         _time.sleep(poll_interval_s)
+
+
+def iter_committed_snapshots(
+    root: str,
+    after_id: int = 0,
+    timeout_s: float = 10.0,
+    poll_interval_s: float = 0.2,
+):
+    """Yield committed snapshot ids after ``after_id`` one at a time, in
+    commit order (``iter_commit_batches`` flattened)."""
+    for batch in iter_commit_batches(root, after_id, timeout_s, poll_interval_s):
+        yield from batch
 
 
 def validate_snapshot_tail(
@@ -124,6 +138,7 @@ def validate_snapshot_tail(
     timeout_s: float = 10.0,
     poll_interval_s: float = 0.2,
     broadcast_catalog: bool = True,
+    batch_commits: bool = False,
 ):
     """Continuously validate a snapshot table as commits land — the living
     form of oval's validate-every-PUT loop (worker.go:100-118: each worker
@@ -150,35 +165,110 @@ def validate_snapshot_tail(
     reads the delta's immutable file list, so it stays byte-stable even
     after subsequent commits, but vacuum of overwritten files invalidates
     plans held across an overwrite.
+
+    ``batch_commits=True`` changes the yield shape to ``(snapshot_ids,
+    violations)`` with ``snapshot_ids`` a LIST: a k-commit backlog that
+    passes the safety checks (appends-only span, disjoint per-commit doc
+    sets — ``_tail_deltas``) arrives as ONE item whose single delta job
+    spans the whole backlog, instead of k jobs at the measured ~2 s/job
+    floor; unsafe spans fall back to per-commit items of length-1 lists.
     """
-    for sid, files, v in _tail_deltas(
-        spark, root, catalog_for, n_assets, after_id, timeout_s, poll_interval_s, broadcast_catalog
+    for sids, files, v in _tail_deltas(
+        spark,
+        root,
+        catalog_for,
+        n_assets,
+        after_id,
+        timeout_s,
+        poll_interval_s,
+        broadcast_catalog,
+        batch_commits,
     ):
-        yield sid, v
+        yield (sids, v) if batch_commits else (sids[0], v)
+
+
+def _span_catalog(spark, catalog_for, sids):
+    """Union of the per-commit expected sets for a span of appends —
+    valid ONLY when the commits' doc sets are disjoint (checked by the
+    caller): each doc then has exactly one expectation, so one join
+    against the span's combined file list gives the same verdicts as
+    per-commit validation. Returns (catalog, is_disjoint)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    cats = [catalog_for(s) for s in sids]
+    union = reduce(lambda a, b: a.unionByName(b), cats).localCheckpoint()
+    # disjointness in ONE tiny aggregation over the span's catalogs
+    # (catalog rows are O(delta docs), not O(corpus))
+    total, distinct = union.agg(F.count("*"), F.countDistinct("doc_id")).first()
+    return union, total == distinct
 
 
 def _tail_deltas(
-    spark, root, catalog_for, n_assets, after_id, timeout_s, poll_interval_s, broadcast_catalog
+    spark,
+    root,
+    catalog_for,
+    n_assets,
+    after_id,
+    timeout_s,
+    poll_interval_s,
+    broadcast_catalog,
+    batch_commits=False,
 ):
-    """Shared tail loop: yields (sid, added_files, violations) with the
-    manifest loaded and diffed ONCE per commit — the public tail drops
-    the file list, the checkpointed tail records it in its lineage."""
+    """Shared tail loop: yields (sids, added_files, violations) with the
+    manifests loaded and diffed ONCE per item — the public tail reduces
+    ``sids`` for its yield shape, the checkpointed tail records the whole
+    span in its lineage.
+
+    ``batch_commits=True`` turns a k-commit backlog into ONE item —
+    one delta job spanning (first.parent, last] — when that is provably
+    equivalent to k per-commit jobs: every spanned commit (past the
+    first, which may be the table's initial overwrite) must be an
+    ``append`` (an overwrite inside the span would drop earlier
+    additions from the manifest diff), and the commits' expected doc
+    sets must be disjoint (each doc then has exactly one catalog
+    expectation — an intra-span overwrite of the same doc_id would make
+    the old version false-flag against the new expectation). A span
+    failing either check falls back to per-commit items — correctness
+    first, the batching is purely an optimization. The equivalence
+    itself is asserted in tests/test_incremental.py (batched backlog ==
+    concatenated per-commit runs, row-for-row)."""
     from ovalspark.sources.snapshots import load_manifest, manifest_diff
 
-    for sid in iter_committed_snapshots(root, after_id, timeout_s, poll_interval_s):
-        parent = load_manifest(root, sid)["parent_id"]
-        from_id = parent if parent else None
-        files = manifest_diff(root, from_id, sid)
-        yield sid, files, validate_snapshot_delta(
-            spark,
-            root,
-            catalog_for(sid),
-            n_assets,
-            from_id=from_id,
-            to_id=sid,
-            broadcast_catalog=broadcast_catalog,
-            added=files,
-        )
+    for pending in iter_commit_batches(root, after_id, timeout_s, poll_interval_s):
+        spans: list[list[int]] = [[s] for s in pending]
+        catalog = None  # the span-union catalog, set only when a span forms
+        if batch_commits and len(pending) > 1:
+            manifests = {s: load_manifest(root, s) for s in pending}
+            # every commit with a parent must be an append; only the
+            # table's very first commit (parent None) may be the initial
+            # overwrite — nothing precedes it to be dropped
+            appends_only = all(
+                manifests[s]["operation"] == "append"
+                for s in pending
+                if manifests[s]["parent_id"] is not None
+            )
+            if appends_only:
+                catalog, disjoint = _span_catalog(spark, catalog_for, pending)
+                if disjoint:
+                    spans = [pending]
+        for span in spans:
+            first, last = span[0], span[-1]
+            parent = load_manifest(root, first)["parent_id"]
+            from_id = parent if parent else None
+            files = manifest_diff(root, from_id, last)
+            cat = catalog if len(span) > 1 else catalog_for(first)
+            yield span, files, validate_snapshot_delta(
+                spark,
+                root,
+                cat,
+                n_assets,
+                from_id=from_id,
+                to_id=last,
+                broadcast_catalog=broadcast_catalog,
+                added=files,
+            )
 
 
 class TailState:
@@ -229,16 +319,30 @@ class TailState:
                     except ValueError:
                         continue  # torn tail line: unclaimed, superseded on resume
                     if rec["snapshot_id"] <= self.last_validated_id:
-                        out[str(rec["snapshot_id"])] = rec
+                        # a span record resolves for EVERY id it covered
+                        for s in rec.get("snapshot_ids", [rec["snapshot_id"]]):
+                            out[str(s)] = rec
         return out
 
-    def record(self, snapshot_id: int, n_violations: int, files: list[str]) -> None:
+    def record(
+        self,
+        snapshot_id: int,
+        n_violations: int,
+        files: list[str],
+        span: list[int] | None = None,
+    ) -> None:
+        """``span`` (backlog batching): the full list of snapshot ids one
+        batched delta job covered — recorded as ONE lineage line listing
+        them all (``snapshot_ids``), with the position advancing to the
+        last. ``snapshots`` then resolves every id in the span to that
+        record."""
         import json
         import os
         import tempfile
 
         rec = {
             "snapshot_id": int(snapshot_id),
+            "snapshot_ids": [int(s) for s in (span or [snapshot_id])],
             "n_violations": int(n_violations),
             "n_files": len(files),
             "files": sorted(os.path.basename(p) for p in files),
@@ -273,6 +377,7 @@ def validate_snapshot_tail_checkpointed(
     timeout_s: float = 10.0,
     poll_interval_s: float = 0.2,
     broadcast_catalog: bool = True,
+    batch_commits: bool = False,
 ):
     """``validate_snapshot_tail`` with durable resume: the tail's position
     and per-snapshot results live in a ``TailState`` checkpoint, written
@@ -286,9 +391,17 @@ def validate_snapshot_tail_checkpointed(
     (overwrite), so the crash-recovery rerun converges to the same bytes.
 
     Yields ``(snapshot_id, n_violations)`` after each durable step.
+
+    ``batch_commits=True``: a backlog that passes the safety checks
+    (``_tail_deltas``) is validated by ONE spanning delta job; the sink
+    partition and the yielded id are the span's LAST snapshot (the sink
+    stays idempotent — a rerun of the same span overwrites the same
+    partition), and the lineage records the full id list, so resume
+    after a mid-span crash re-runs the whole span (at-least-once, same
+    contract as single commits).
     """
     state = TailState(state_path)
-    for sid, files, v in _tail_deltas(
+    for sids, files, v in _tail_deltas(
         spark,
         root,
         catalog_for,
@@ -297,12 +410,14 @@ def validate_snapshot_tail_checkpointed(
         timeout_s,
         poll_interval_s,
         broadcast_catalog,
+        batch_commits,
     ):
+        sid = sids[-1]
         if sink_dir is not None:
             v = v.localCheckpoint()  # one execution feeds sink AND count
             v.write.mode("overwrite").parquet(f"{sink_dir}/snapshot={sid}")
             n = v.count()
         else:
             n = v.count()
-        state.record(sid, n, files)
+        state.record(sid, n, files, span=sids)
         yield sid, n

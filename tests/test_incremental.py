@@ -151,6 +151,152 @@ def test_snapshot_tail_validates_each_commit_as_it_lands(spark, tmp_path, small_
     assert all(r["doc_id"] in delta2_ids for r in got[1][1])
 
 
+def _ten_commit_backlog(spark, tmp_path, small_world, name):
+    """10 disjoint-doc commits (initial overwrite + 9 appends) with a
+    WRONG_KIND fault planted in commit 7; returns (spec, root, cats)."""
+    from ovalspark.datagen import inject_faults
+
+    spec, cat, docs, _ = small_world
+    bucket = F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(10))
+    parts = [docs.filter(bucket == i).localCheckpoint() for i in range(10)]
+    cats = [cat.join(p.select("doc_id"), "doc_id", "semi").localCheckpoint() for p in parts]
+    bad7, _ = inject_faults(parts[6], cats[6], spec, {"WRONG_KIND": 0.2})
+    parts[6] = bad7.localCheckpoint()
+
+    root = str(tmp_path / name)
+    snapshot_write(parts[0], root)
+    for p in parts[1:]:
+        snapshot_write(p, root, mode="append")
+    return spec, root, cats
+
+
+def test_tail_backlog_batches_into_one_spanning_job(spark, tmp_path, small_world):
+    """A tailer waking up 10 commits behind must validate the WHOLE
+    backlog as ONE item whose single delta plan spans every commit's
+    files (instead of 10 jobs at the per-job scheduling floor), catch the
+    fault planted in commit 7, and produce row-identical results to the
+    per-commit tail."""
+    from ovalspark.operators.incremental import validate_snapshot_tail
+
+    spec, root, cats = _ten_commit_backlog(spark, tmp_path, small_world, "backlog_tbl")
+
+    def catalog_for(sid):
+        return cats[sid - 1]
+
+    got = list(
+        validate_snapshot_tail(
+            spark, root, catalog_for, spec.n_assets, after_id=0, timeout_s=1.0, batch_commits=True
+        )
+    )
+    assert len(got) == 1  # the 10-commit backlog arrived as ONE item
+    sids, v = got[0]
+    assert sids == list(range(1, 11))
+    # the ONE plan's parquet inputs are exactly the union of all 10
+    # commits' added files — one spanning job, nothing re-read, nothing
+    # skipped
+    assert _basenames(v.inputFiles()) == _basenames(manifest_diff(root, None, 10))
+
+    rows = v.collect()
+    commit7_ids = {r["doc_id"] for r in cats[6].select("doc_id").collect()}
+    assert rows and {r["violation_class"] for r in rows} == {"WRONG_KIND"}
+    assert all(r["doc_id"] in commit7_ids for r in rows)  # fault localized to commit 7
+
+    # equivalence: batched backlog == concatenation of per-commit runs
+    per_commit = []
+    for sid, pv in validate_snapshot_tail(
+        spark, root, catalog_for, spec.n_assets, after_id=0, timeout_s=1.0, batch_commits=False
+    ):
+        per_commit.extend(pv.collect())
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, per_commit))
+
+
+def test_tail_backlog_overwrite_span_falls_back_to_per_commit(spark, tmp_path, small_world):
+    """An overwrite inside the backlog makes the span diff unsound (it
+    would drop the overwritten commit's files), so the tailer must fall
+    back to per-commit items — correctness over batching."""
+    from ovalspark.operators.incremental import validate_snapshot_tail
+
+    spec, cat, docs, _ = small_world
+    bucket = F.pmod(F.xxhash64("doc_id", F.lit(19)), F.lit(3))
+    parts = [docs.filter(bucket == i).localCheckpoint() for i in range(3)]
+    cats = [cat.join(p.select("doc_id"), "doc_id", "semi").localCheckpoint() for p in parts]
+
+    root = str(tmp_path / "ow_span_tbl")
+    snapshot_write(parts[0], root)
+    snapshot_write(parts[1], root, mode="append")
+    snapshot_write(parts[2], root, mode="overwrite")  # drops 1+2's files
+
+    got = list(
+        validate_snapshot_tail(
+            spark,
+            root,
+            lambda sid: cats[sid - 1],
+            spec.n_assets,
+            after_id=0,
+            timeout_s=1.0,
+            batch_commits=True,
+        )
+    )
+    assert [s for s, _ in got] == [[1], [2], [3]]  # per-commit, batch shape
+    assert all(v.count() == 0 for _, v in got)  # each clean against its own catalog
+
+
+def test_tail_checkpointed_batches_backlog_and_resumes_exactly(spark, tmp_path, small_world):
+    """Checkpointed tail + batching: the backlog lands as one lineage
+    span record (position = span's last id, every id resolvable), the
+    sink is idempotent on the span partition, and a later commit resumes
+    at exactly the next id."""
+    from ovalspark.operators.incremental import TailState, validate_snapshot_tail_checkpointed
+
+    spec, root, cats = _ten_commit_backlog(spark, tmp_path, small_world, "ckpt_backlog_tbl")
+    state_path = str(tmp_path / "bk_state.json")
+    sink = str(tmp_path / "bk_sink")
+
+    def catalog_for(sid):
+        return cats[(sid - 1) % 10]
+
+    first = list(
+        validate_snapshot_tail_checkpointed(
+            spark,
+            root,
+            catalog_for,
+            state_path,
+            sink_dir=sink,
+            n_assets=spec.n_assets,
+            timeout_s=0.5,
+            batch_commits=True,
+        )
+    )
+    assert [s for s, _ in first] == [10]  # one durable step for the whole span
+    assert first[0][1] > 0  # commit-7 fault surfaced through the span
+    st = TailState(state_path)
+    assert st.last_validated_id == 10
+    recs = st.snapshots
+    assert set(recs) == {str(i) for i in range(1, 11)}  # every id resolves
+    assert recs["7"]["snapshot_ids"] == list(range(1, 11))  # ...to the span record
+    assert spark.read.parquet(f"{sink}/snapshot=10").count() == first[0][1]
+
+    # one more clean commit (commit 1's docs re-appended — a single
+    # pending commit forms no span, so disjointness is never consulted):
+    # resume picks up at exactly 11
+    docs11 = spark.read.parquet(*manifest_diff(root, None, 1))
+    snapshot_write(docs11, root, mode="append")
+    second = list(
+        validate_snapshot_tail_checkpointed(
+            spark,
+            root,
+            lambda sid: cats[0],
+            state_path,
+            sink_dir=sink,
+            n_assets=spec.n_assets,
+            timeout_s=0.5,
+            batch_commits=True,
+        )
+    )
+    assert [s for s, _ in second] == [11]
+    assert TailState(state_path).last_validated_id == 11
+
+
 def test_snapshot_tail_never_yields_torn_commit(spark, tmp_path, small_world):
     """A manifest at CURRENT+1 whose writer died before the flip is not a
     commit: the tailer must not surface it (CURRENT is the single
