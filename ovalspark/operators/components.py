@@ -220,6 +220,7 @@ def duplicate_groups(
     algorithm: str = "label",
     max_members: int | None = None,
     include_members: bool = True,
+    salt_partitions: int = 64,
 ) -> DataFrame:
     """Collapse near-dup pairs into groups: (component, n_members, members
     [, members_truncated]) — one row per transitive duplicate cluster,
@@ -232,9 +233,10 @@ def duplicate_groups(
     near-identical docs); an unbounded ``collect_list`` builds that whole
     cluster as ONE array in one aggregation row — task OOM. ``max_members``
     caps the reported array (the FIRST ``max_members`` member ids in sort
-    order, selected by a per-component row_number BEFORE any collect, so
-    no task ever materializes more than the cap) while ``n_members`` stays
-    exact and ``members_truncated`` flags capped rows.
+    order, selected by a salted two-phase top-N BEFORE any collect, so no
+    task ever materializes — or even SORTS — more than ``salt_partitions``
+    ×cap rows of any one component) while ``n_members`` stays exact and
+    ``members_truncated`` flags capped rows.
     ``include_members=False`` skips member arrays entirely — one
     hash aggregation, nothing collected."""
     # validate max_members BEFORE the include_members early return: an
@@ -250,21 +252,34 @@ def duplicate_groups(
             F.count("*").alias("n_members"),
             F.sort_array(F.collect_list("node")).alias("members"),
         )
-    # rank members inside each component, collect ONLY rank <= cap: the
-    # window and the aggregation shuffle on the same key (component), and
-    # the collected array is bounded by construction — never built then
-    # sliced. count("*") still sees every row, so n_members stays exact.
-    w = Window.partitionBy("component").orderBy("node")
-    ranked = cc.withColumn("_rk", F.row_number().over(w))
-    return (
-        ranked.groupBy("component")
-        .agg(
-            F.count("*").alias("n_members"),
-            F.sort_array(
-                F.collect_list(F.when(F.col("_rk") <= max_members, F.col("node")))
-            ).alias("members"),
-        )
-        .withColumn("members_truncated", F.col("n_members") > max_members)
+    # Two-phase salted top-(cap): a single row_number window over
+    # partitionBy(component) routes an entire 10⁷-member boilerplate
+    # cluster through ONE task's external sort — no OOM (rows spill) but
+    # a straggler at exactly the input that motivated the cap. Phase 1
+    # ranks within (component, salt) — the mega-cluster's sort spreads
+    # over ``salt_partitions`` tasks — and keeps at most cap rows per
+    # salt; phase 2 merges the ≤ salt_partitions×cap survivors per
+    # component (640 rows at cap=10, S=64) and slices the global first
+    # cap, so every collected array is bounded by construction. The
+    # exact n_members comes from a separate count aggregation (map-side
+    # partial combine, fully parallel) joined back on component — a
+    # one-row-per-component join, negligible next to either phase.
+    salted = cc.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("node").cast("string")), F.lit(salt_partitions))
+    )
+    w1 = Window.partitionBy("component", "_salt").orderBy("node")
+    local_top = salted.withColumn("_rk", F.row_number().over(w1)).filter(
+        F.col("_rk") <= max_members
+    )
+    merged = local_top.groupBy("component").agg(
+        F.slice(F.sort_array(F.collect_list("node")), 1, max_members).alias("members")
+    )
+    counts = cc.groupBy("component").agg(F.count("*").alias("n_members"))
+    return counts.join(merged, "component").select(
+        "component",
+        "n_members",
+        "members",
+        (F.col("n_members") > max_members).alias("members_truncated"),
     )
 
 

@@ -400,6 +400,31 @@ def test_star_contraction_matches_propagation_and_union_find(spark):
         assert prop == truth
 
 
+def test_duplicate_groups_cap_sort_is_salted_not_single_task(spark):
+    """The capped path must never sort a whole component in one task: the
+    only row_number window in the plan partitions by (component, _salt) —
+    a mega-cluster's sort spreads over salt_partitions tasks — and no
+    window partitions by component alone."""
+    import re
+
+    from ovalspark.operators.components import duplicate_groups
+
+    pairs = spark.createDataFrame(
+        [("m0000", f"m{i:04d}") for i in range(1, 500)], "id_a string, id_b string"
+    )
+    df = duplicate_groups(pairs, max_members=10, salt_partitions=16)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, plan  # the rank window is present...
+    assert all("_salt" in s for s in specs), specs  # ...and every spec is salted
+
+    # and the salted path is value-identical to the spec (first-10 sorted)
+    row = df.collect()[0]
+    assert row.n_members == 500
+    assert list(row.members) == [f"m{i:04d}" for i in range(10)]
+    assert row.members_truncated
+
+
 def test_star_contraction_converges_round_one_on_stable_stars(spark):
     """An input that is already a stable star set must confirm convergence
     on iteration 1 (the fingerprint seed from the initial edges makes the
