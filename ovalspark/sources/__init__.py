@@ -3,11 +3,20 @@ from ovalspark.sources.snapshots import (  # noqa: F401
     current_snapshot_id,
     load_manifest,
     reconcile_counts,
+    snapshot_compact,
+    snapshot_delete,
     snapshot_files,
     snapshot_history,
     snapshot_read,
     snapshot_write,
     vacuum,
+)
+from ovalspark.sources.commit_guard import (  # noqa: F401
+    CommitGuard,
+    DirLockGuard,
+    FlockGuard,
+    register_guard,
+    resolve_guard,
 )
 from ovalspark.sources.tables import (  # noqa: F401
     CATALOG_DDL,

@@ -302,14 +302,173 @@ def snapshot_write(
     return sid
 
 
-def vacuum(root: str) -> list[str]:
-    """Reclaim commit debris: data dirs not referenced by any committed
-    manifest, and manifests past CURRENT (torn commits). Run only while no
-    writer is active — a writer's pre-commit data dir is indistinguishable
-    from a dead writer's debris. Returns the removed paths."""
+def _file_basename(col):
+    # manifest stores OS paths, input_file_name() yields file: URIs whose
+    # root/encoding need not match textually; the part-file BASENAME is
+    # globally unique (Spark embeds a per-write UUID) and survives both
+    return F.element_at(F.split(F.url_decode(col), "/"), -1)
+
+
+def snapshot_delete(
+    spark: SparkSession,
+    root: str,
+    predicate,
+    guard=None,
+) -> int:
+    """Predicate delete as a NEW snapshot (oval's DELETE op re-expressed
+    at table granularity, ``internal/runner/worker.go`` delete path; the
+    S5 analog for shrinking tables): rewrite ONLY the data files that
+    contain matching rows — discovered by one pushdown-filtered scan
+    projecting nothing but ``input_file_name()`` — and carry every other
+    file over BY REFERENCE. Cost is O(affected files), not O(table);
+    a delete touching 1 of 10⁶ files rewrites 1 file. Old snapshots
+    still resolve both states (time travel shows the rows before the
+    delete). Returns the new snapshot id, or the CURRENT id unchanged
+    when nothing matches (no empty commit).
+
+    ``predicate`` is a Column or SQL string selecting rows to DELETE.
+    Rows where it evaluates NULL are kept (same as SQL ``DELETE WHERE``:
+    only predicate-TRUE rows go). The manifest records the operation as
+    ``delete`` with ``deleted_rows``, which keeps such commits out of
+    the tail's append-only span batching and lets delta validation treat
+    the rewritten files as the commit's scope — no false LOST_DOC for
+    rows that legitimately went away (tests/test_snapshots.py)."""
     import shutil
+    import uuid
+
+    from pyspark.sql import Column
+
+    parent = current_snapshot_id(root)
+    if parent is None:
+        raise FileNotFoundError(f"no committed snapshot at {root}")
+    m = load_manifest(root, parent)
+    paths = [_abs_path(root, f["path"]) for f in m["files"]]
+    if not paths:
+        return parent
+    pred = predicate if isinstance(predicate, Column) else F.expr(predicate)
+    hit = F.coalesce(pred.cast("boolean"), F.lit(False))
+    affected = {
+        r["_f"]
+        for r in spark.read.parquet(*paths)
+        .filter(hit)
+        .select(_file_basename(F.input_file_name()).alias("_f"))
+        .distinct()
+        .collect()
+    }
+    if not affected:
+        return parent
+    keep = [f for f in m["files"] if os.path.basename(f["path"]) not in affected]
+    rewrite = [
+        _abs_path(root, f["path"])
+        for f in m["files"]
+        if os.path.basename(f["path"]) in affected
+    ]
+    sid = parent + 1
+    data_dir = os.path.join(root, "data", f"snap-{sid}-{uuid.uuid4().hex[:8]}")
+    survivors = spark.read.parquet(*rewrite).filter(~hit)
+    survivors.write.mode("error").parquet(data_dir)
+    new_files = [
+        fe
+        for fe in _footer_stats(glob.glob(os.path.join(data_dir, "part-*.parquet")), root)
+        if fe["rows"] > 0  # an all-deleted file contributes nothing
+    ]
+    files = keep + new_files
+    manifest = {
+        "snapshot_id": sid,
+        "parent_id": parent,
+        "operation": "delete",
+        "schema_ddl": survivors.schema.simpleString(),
+        "schema_json": survivors.schema.json(),
+        "total_rows": sum(f["rows"] for f in files),
+        "total_bytes": sum(f["bytes"] for f in files),
+        "deleted_rows": m["total_rows"] - sum(f["rows"] for f in files),
+        "files": files,
+    }
+    try:
+        _commit_manifest(root, parent, sid, manifest, guard)
+    except ConcurrentCommitError:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise
+    return sid
+
+
+def snapshot_compact(
+    spark: SparkSession,
+    root: str,
+    target_file_mb: int = 128,
+    guard=None,
+) -> int:
+    """Rewrite the snapshot's SMALL files (< ``target_file_mb``) into
+    target-sized ones as a new snapshot — Iceberg's rewrite_data_files /
+    bin-pack compaction re-expressed on the manifest layer. Files already
+    at or above target carry over by reference; data is byte-equal (same
+    rows, new layout). Small-file debt is what a per-commit append tail
+    accumulates at 100 TB — thousands of KB-sized files per day whose
+    per-file open/footer cost eventually dominates scans. Returns the
+    new id, or CURRENT unchanged when fewer than two files are below
+    target (nothing to gain). Operation is recorded as ``replace`` —
+    like ``delete``, it never joins an append-only batched span."""
+    import shutil
+    import uuid
+
+    parent = current_snapshot_id(root)
+    if parent is None:
+        raise FileNotFoundError(f"no committed snapshot at {root}")
+    m = load_manifest(root, parent)
+    threshold = target_file_mb * 1024 * 1024
+    small = [f for f in m["files"] if f["bytes"] < threshold]
+    if len(small) < 2:
+        return parent
+    keep = [f for f in m["files"] if f["bytes"] >= threshold]
+    sid = parent + 1
+    data_dir = os.path.join(root, "data", f"snap-{sid}-{uuid.uuid4().hex[:8]}")
+    n_files = max(1, -(-sum(f["bytes"] for f in small) // threshold))
+    df = spark.read.parquet(*[_abs_path(root, f["path"]) for f in small])
+    df.repartition(n_files).write.mode("error").parquet(data_dir)
+    new_files = _footer_stats(glob.glob(os.path.join(data_dir, "part-*.parquet")), root)
+    files = keep + new_files
+    manifest = {
+        "snapshot_id": sid,
+        "parent_id": parent,
+        "operation": "replace",
+        "schema_ddl": df.schema.simpleString(),
+        "schema_json": df.schema.json(),
+        "total_rows": sum(f["rows"] for f in files),
+        "total_bytes": sum(f["bytes"] for f in files),
+        "files": files,
+    }
+    try:
+        _commit_manifest(root, parent, sid, manifest, guard)
+    except ConcurrentCommitError:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise
+    return sid
+
+
+def vacuum(root: str, min_age_s: float = 0.0) -> list[str]:
+    """Reclaim commit debris: data dirs not referenced by any committed
+    manifest, and manifests past CURRENT (torn commits). Returns the
+    removed paths.
+
+    ``min_age_s`` makes vacuum safe against IN-FLIGHT commits: a live
+    writer's staged-but-uncommitted data dir is indistinguishable from a
+    dead writer's debris by content, but not by AGE — anything younger
+    than the window is skipped. Set it comfortably above the longest
+    data-write a commit can take (e.g. 3600); the default 0 keeps the
+    eager behavior for single-writer maintenance windows where no commit
+    can be in flight."""
+    import shutil
+    import time
 
     cur = current_snapshot_id(root)
+    now = time.time()
+
+    def _old_enough(path: str) -> bool:
+        try:
+            return now - os.stat(path).st_mtime >= min_age_s
+        except OSError:
+            return False  # vanished mid-scan: nothing to reclaim
+
     removed: list[str] = []
     live_dirs: set[str] = set()
     if cur is not None:
@@ -321,11 +480,11 @@ def vacuum(root: str) -> list[str]:
                         live_dirs.add(os.path.dirname(os.path.normpath(_abs_path(root, fe["path"]))))
     for mp in glob.glob(os.path.join(_manifest_dir(root), "v*.json")):
         sid = int(os.path.basename(mp)[1:-5])
-        if cur is None or sid > cur:
+        if (cur is None or sid > cur) and _old_enough(mp):
             os.unlink(mp)
             removed.append(mp)
     for dd in glob.glob(os.path.join(root, "data", "snap-*")):
-        if os.path.normpath(dd) not in live_dirs:
+        if os.path.normpath(dd) not in live_dirs and _old_enough(dd):
             shutil.rmtree(dd, ignore_errors=True)
             removed.append(dd)
     return sorted(removed)

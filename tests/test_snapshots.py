@@ -381,6 +381,128 @@ def test_vacuum_reclaims_debris_keeps_committed(spark, tmp_path, small_world):
     assert snapshot_read(spark, root, s2).count() == 4
 
 
+def test_vacuum_age_window_spares_staged_write(spark, tmp_path, small_world):
+    """vacuum(min_age_s=N) must not touch a live writer's staged (not yet
+    committed) data dir: everything younger than the window is spared;
+    only a dated orphan goes."""
+    import os
+    import time
+
+    from ovalspark.sources.snapshots import vacuum
+
+    _, cat, _, _ = small_world
+    root = str(tmp_path / "vac_window_tbl")
+    snapshot_write(cat, root)
+    # a writer mid-commit: data staged seconds ago, CURRENT not flipped
+    staged = f"{root}/data/snap-2-11ffee00"
+    cat.limit(3).write.parquet(staged)
+    # a genuinely dead writer's debris: same shape, old mtime
+    orphan = f"{root}/data/snap-2-00deed11"
+    cat.limit(1).write.parquet(orphan)
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+
+    removed = vacuum(root, min_age_s=3600)
+    assert any("snap-2-00deed11" in p for p in removed)
+    assert os.path.isdir(staged)  # the in-flight writer's files survive
+    # eager mode (maintenance window, no writers) still reclaims both
+    removed2 = vacuum(root)
+    assert any("snap-2-11ffee00" in p for p in removed2)
+
+
+def test_snapshot_delete_rewrites_only_affected_files(spark, tmp_path, small_world):
+    """Predicate delete: only files containing matching rows are
+    rewritten (others carry over by reference), time travel shows both
+    states, manifest_diff reports exactly the rewritten files, and delta
+    validation of the delete commit raises no false LOST_DOC."""
+    import os
+
+    from ovalspark.operators.incremental import validate_snapshot_delta
+    from ovalspark.sources.snapshots import manifest_diff, snapshot_delete
+
+    spec, cat, docs, _ = small_world
+    root = str(tmp_path / "del_tbl")
+    # partition-id-sorted layout: each file holds a distinct doc range
+    s1 = snapshot_write(docs.repartition(4, "partition_id"), root)
+    n_before = docs.count()
+    victims = docs.filter(F.col("partition_id") == 0)
+    n_victims = victims.count()
+    assert 0 < n_victims < n_before
+
+    s2 = snapshot_delete(spark, root, F.col("partition_id") == 0)
+    assert s2 == s1 + 1
+    m1, m2 = load_manifest(root, s1), load_manifest(root, s2)
+    assert m2["operation"] == "delete" and m2["deleted_rows"] == n_victims
+    # both states readable
+    assert snapshot_read(spark, root, s1).count() == n_before
+    after = snapshot_read(spark, root, s2)
+    assert after.count() == n_before - n_victims
+    assert after.filter(F.col("partition_id") == 0).count() == 0
+    # only files that HELD victims were rewritten; the rest are shared
+    f1 = {f["path"] for f in m1["files"]}
+    f2 = {f["path"] for f in m2["files"]}
+    shared = f1 & f2
+    assert shared, "unaffected files must carry over by reference"
+    rewritten = sorted(f2 - f1)
+    assert {os.path.basename(p) for p in manifest_diff(root, s1, s2)} == {
+        os.path.basename(p) for p in rewritten
+    }
+    # shared (untouched) files contain no victims — the delete really was
+    # scoped to affected files only
+    if shared:
+        untouched = spark.read.parquet(*[f"{root}/{p}" for p in sorted(shared)])
+        assert untouched.filter(F.col("partition_id") == 0).count() == 0
+    # delta validation of the delete commit: catalog = expected state of
+    # the docs in the rewritten files; zero violations, no false LOST_DOC
+    surviving = spark.read.parquet(*manifest_diff(root, s1, s2)).select("doc_id")
+    cat_delta = cat.join(surviving, "doc_id", "semi").localCheckpoint()
+    v = validate_snapshot_delta(spark, root, cat_delta, spec.n_assets, from_id=s1, to_id=s2)
+    assert v.count() == 0
+
+    # a predicate matching nothing commits nothing
+    assert snapshot_delete(spark, root, F.col("partition_id") == 9999) == s2
+
+
+def test_snapshot_delete_null_predicate_rows_are_kept(spark, tmp_path):
+    """SQL DELETE semantics: rows where the predicate evaluates NULL are
+    NOT deleted (only predicate-TRUE rows go)."""
+    from ovalspark.sources.snapshots import snapshot_delete
+
+    df = spark.createDataFrame(
+        [("a", 1), ("b", None), ("c", 5)], "doc_id string, score int"
+    )
+    root = str(tmp_path / "null_del_tbl")
+    snapshot_write(df.coalesce(1), root)
+    sid = snapshot_delete(spark, root, "score > 3")
+    kept = {r.doc_id for r in snapshot_read(spark, root, sid).collect()}
+    assert kept == {"a", "b"}  # NULL-scoring row b survives
+
+
+def test_snapshot_compact_bin_packs_small_files(spark, tmp_path, small_world):
+    """Compaction rewrites the sub-target files into fewer target-sized
+    ones as a new snapshot; rows are identical, old layout still
+    time-travels, operation is 'replace'."""
+    from ovalspark.sources.snapshots import snapshot_compact
+
+    _, cat, docs, _ = small_world
+    root = str(tmp_path / "compact_tbl")
+    # many tiny files: append commit-by-commit like a tail would
+    s = snapshot_write(docs.limit(100).repartition(8), root)
+    for i in range(3):
+        s = snapshot_write(docs.limit(50).repartition(4), root, mode="append")
+    m_before = load_manifest(root, s)
+    assert len(m_before["files"]) >= 16
+
+    s2 = snapshot_compact(spark, root, target_file_mb=64)
+    m_after = load_manifest(root, s2)
+    assert m_after["operation"] == "replace"
+    assert len(m_after["files"]) < len(m_before["files"])
+    assert m_after["total_rows"] == m_before["total_rows"]
+    assert snapshot_read(spark, root, s2).count() == snapshot_read(spark, root, s).count()
+    # compacting twice is a no-op once everything is packed
+    assert snapshot_compact(spark, root, target_file_mb=64) in (s2, s2 + 1)
+
+
 def test_first_commit_sizing_with_sampled_fallback(spark, tmp_path, small_world, monkeypatch):
     """S2 sizing on a FIRST commit with the private-API plan statistic
     unavailable: the sampled bytes/row estimate must still honor
