@@ -315,6 +315,54 @@ def simhash_fingerprints_flat(df: DataFrame, id_col: str = "doc_id", text_col: s
     toks = nonempty.select(
         F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("_t")
     ).select("id", F.shiftleft(hi, 32).bitwiseOR(lo).alias("_h"))
+    return _swar_votes_to_fingerprints(toks, df, id_col, text_col)
+
+
+def simhash_fingerprints_joined(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    broadcast_vocab: bool = True,
+) -> DataFrame:
+    """64-bit SimHash, md5 paid once per DISTINCT token, (token → bits)
+    joined back to occurrences, then the same 17-long SWAR aggregation
+    as the flat form. Bit-identical to both other impls (tests assert).
+
+    MEASURED VERDICT (BASELINE.md round 5, the round-4 "revisit with a
+    realistic corpus" follow-up): this shape LOSES to the pandas UDF
+    even on a 185k-distinct-token heavy-tail fixture — 3.1 s broadcast /
+    9.4 s shuffled vs 1.6 s UDF and 2.2 s flat at 200k docs × 40 tokens,
+    local[32]. Token md5 is too cheap for the saved hashing to repay an
+    extra pass over the exploded occurrences (the vocab distinct) plus a
+    join; the Zipf head also skews the shuffled join's key. Kept because
+    it is the only JVM-side shape whose HASH cost is vocabulary-sized —
+    the regime where it could win is expensive per-token transforms
+    (long tokens, normalization, lookups), not plain md5.
+    ``broadcast_vocab=False`` for vocabularies too large to broadcast
+    (at which point prefer ``flat``)."""
+    nonempty = df.filter(F.col(text_col).isNotNull() & (F.col(text_col) != ""))
+    occ = nonempty.select(
+        F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("_t")
+    )
+    h_hex = F.md5(F.col("_t"))
+    hi = F.conv(F.substring(h_hex, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(h_hex, 9, 8), 16, 10).cast("long")
+    vocab = occ.select("_t").distinct().select(
+        "_t", F.shiftleft(hi, 32).bitwiseOR(lo).alias("_h")
+    )
+    if broadcast_vocab:
+        vocab = F.broadcast(vocab)
+    toks = occ.join(vocab, "_t").select("id", "_h")
+    return _swar_votes_to_fingerprints(toks, df, id_col, text_col)
+
+
+def _swar_votes_to_fingerprints(
+    toks: DataFrame, df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Shared tail of the JVM SimHash forms: ONE hash aggregation over
+    (id, _h) token rows computing the token count plus 16 SWAR
+    bit-population sums (docstring of ``simhash_fingerprints_flat``),
+    then the majority-vote fingerprint and the empty-doc reattach."""
     lane_mask = 0x0001000100010001
     aggs = [F.count("*").alias("_n")]
     for k in range(16):
@@ -359,11 +407,20 @@ def simhash_near_duplicates(
     pandas UDF — MEASURED 3.5× faster than the flat JVM form at sf0.1
     (0.33 vs 1.25 s warm, BASELINE.md round 3) because it memoizes
     token→bit-row across rows while the JVM form pays md5 per token
-    occurrence. ``impl="flat"`` is the pure-codegen SWAR form for
-    Python-worker-free deployments. Both produce identical bits
-    (tests/test_pipeline_ops.py asserts it).
+    occurrence. ``impl="joined"`` pays md5 once per DISTINCT token and
+    joins the bits back — MEASURED SLOWER than the UDF even at a
+    185k-distinct-token heavy-tail fixture (BASELINE.md round 5: the
+    round-4 "real vocabulary" hypothesis is refuted; md5 is too cheap to
+    repay the extra pass + join), kept for expensive per-token transform
+    regimes. ``impl="flat"`` is the pure-codegen SWAR form for
+    Python-worker-free deployments — the right JVM default.
+    All three produce identical bits (tests/test_pipeline_ops.py).
     """
-    fp_fn = simhash_fingerprints_flat if impl == "flat" else simhash_fingerprints
+    fp_fn = {
+        "udf": simhash_fingerprints,
+        "flat": simhash_fingerprints_flat,
+        "joined": simhash_fingerprints_joined,
+    }[impl]
     fp = fp_fn(df, id_col, text_col)
     # band value carries the band index so bands only collide with the
     # SAME band of other docs; one exploded self-join (not 4)

@@ -72,14 +72,18 @@ def test_simhash_flat_matches_udf(spark, corpus):
     edge = corpus.unionByName(
         spark.createDataFrame([("d7", ""), ("d8", None)], "doc_id string, text string")
     )
+    from ovalspark.operators.dedup import simhash_fingerprints_joined
+
     udf = {r.id: r.simhash for r in simhash_fingerprints(edge).collect()}
     flat = {r.id: r.simhash for r in simhash_fingerprints_flat(edge).collect()}
-    assert udf == flat
+    joined = {r.id: r.simhash for r in simhash_fingerprints_joined(edge).collect()}
+    assert udf == flat == joined
     assert flat["d7"] == 0 and flat["d8"] == 0
-    # both impls drive the same candidate pairs through the band join
+    # all impls drive the same candidate pairs through the band join
     u = set((r.id_a, r.id_b) for r in simhash_near_duplicates(corpus, max_hamming=10, impl="udf").collect())
     f = set((r.id_a, r.id_b) for r in simhash_near_duplicates(corpus, max_hamming=10, impl="flat").collect())
-    assert u == f
+    j = set((r.id_a, r.id_b) for r in simhash_near_duplicates(corpus, max_hamming=10, impl="joined").collect())
+    assert u == f == j
 
 
 def test_word_shingles_edgecases(spark):
