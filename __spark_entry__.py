@@ -1173,6 +1173,119 @@ _Q51_ORACLE = """
 """
 
 
+_Q57_VERSION = "v1"
+
+
+def _q57_snapshot_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate-delete commit as a value-checked gate row (q51's
+    oracle-over-source trick extended to deletes): commit the documents
+    table as snapshot 1 (lang-partitioned files so the delete's
+    affected-file discovery has something to prune), snapshot_delete the
+    rows where ``lang = 'en' AND length(text) % 3 = 0`` (snapshot 2),
+    then aggregate BOTH states per lang tagged by a ``snap`` column. The
+    oracle recomputes both from the raw documents table with plain SQL —
+    so a delete that dropped the wrong rows, rewrote the wrong files,
+    missed NULL-predicate semantics, or broke time travel of the
+    pre-delete state hash-mismatches."""
+    from ovalspark.sources.snapshots import (
+        current_snapshot_id,
+        snapshot_delete,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    root = _oracle_dir("q57", _Q57_VERSION, sf_dir)
+    pred = (F.col("lang") == "en") & (F.length("text") % 3 == 0)
+
+    def build(stage):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        snapshot_write(docs.repartition(4, "lang"), stage)
+        snapshot_delete(spark, stage, pred)
+
+    _publish_once(root, build, is_valid=lambda: current_snapshot_id(root) == 2)
+
+    def agg(df: DataFrame, snap: int) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.lit(snap).cast("int").alias("snap"),
+            F.count("*").alias("n_docs"),
+            F.sum(F.length("text")).alias("total_chars"),
+            F.count_distinct("doc_id").alias("n_ids"),
+        )
+
+    before = agg(snapshot_read(spark, root, 1), 1)
+    after = agg(snapshot_read(spark, root, 2), 2)
+    return before.unionByName(after).select(
+        "snap", "lang", "n_docs", "total_chars", "n_ids"
+    ).orderBy("snap", "lang")
+
+
+_Q57_ORACLE = """
+    SELECT * FROM (
+        SELECT CAST(1 AS INTEGER) AS snap, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids
+        FROM documents GROUP BY lang
+        UNION ALL
+        SELECT CAST(2 AS INTEGER) AS snap, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids
+        FROM documents
+        WHERE NOT (lang = 'en' AND length(text) % 3 = 0)
+        GROUP BY lang
+    ) ORDER BY snap, lang
+"""
+
+
+_Q58_VERSION = "v1"
+
+
+def _q58_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction commit as a value-checked gate row: commit the
+    documents table fragmented into 16 small files (the small-file debt
+    a per-commit append tail accumulates), ``snapshot_compact`` into
+    target-sized files (snapshot 2), then aggregate the compacted state
+    per lang WITH the file count folded in as a constant column — the
+    oracle pins it to 1, so a compaction that lost or duplicated rows
+    OR failed to actually bin-pack the layout hash-mismatches."""
+    from ovalspark.sources.snapshots import (
+        current_snapshot_id,
+        load_manifest,
+        snapshot_compact,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    root = _oracle_dir("q58", _Q58_VERSION, sf_dir)
+
+    def build(stage):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        snapshot_write(docs.repartition(16), stage)
+        snapshot_compact(spark, stage, target_file_mb=256)
+
+    _publish_once(root, build, is_valid=lambda: current_snapshot_id(root) == 2)
+    n_files = len(load_manifest(root, 2)["files"])
+    return (
+        snapshot_read(spark, root, 2)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("doc_id").alias("n_ids"),
+            F.lit(n_files).cast("int").alias("n_files"),
+        )
+        .orderBy("lang")
+    )
+
+
+_Q58_ORACLE = """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids,
+           CAST(1 AS INTEGER) AS n_files
+    FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 _Q53_VERSION = "v1"
 
 
@@ -1458,6 +1571,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q54_dup_groups_capped": _q54_dup_groups_capped,
             "q55_windowed_drift": _q55_windowed_drift,
             "q56_stored_lsh_topk": _q56_stored_lsh_topk,
+            "q57_snapshot_delete": _q57_snapshot_delete,
+            "q58_snapshot_compact": _q58_snapshot_compact,
         }
     )
     return out
@@ -1494,6 +1609,8 @@ def oracle_sql() -> dict[str, str]:
             "q54_dup_groups_capped": _q54_oracle(),
             "q55_windowed_drift": _q55_oracle(),
             "q56_stored_lsh_topk": _q56_oracle(),
+            "q57_snapshot_delete": _Q57_ORACLE,
+            "q58_snapshot_compact": _Q58_ORACLE,
         }
     )
     return out
