@@ -143,6 +143,19 @@ def main() -> int:
             "control_seconds": {"2": 18.39, "8": 5.27, "32": 2.07},
             "best_docs_per_sec_32": 484396,
         },
+        # round-5 re-run (2026-08-17): std raw 2->8 HITS 0.85 fresh;
+        # quiet-window recheck also returned q01/q02/q12 to the round-3
+        # band (round-4 drift was ambient) — BASELINE.md round 5
+        "round5_rerun": {
+            "std_world_seconds": {"2": 23.87, "8": 7.04, "32": 4.39},
+            "std_efficiency_2_to_8": 0.85,
+            "std_engine_over_control_2_to_8": 0.94,
+            "big_world_seconds": {"2": 75.57, "8": 23.77, "32": 13.15},
+            "big_efficiency_2_to_8": 0.795,
+            "big_engine_over_control_2_to_8": 0.88,
+            "control_seconds": {"2": 18.33, "8": 5.06},
+            "best_docs_per_sec_32": 636161,
+        },
     }
     summary = {
         "metric": "headline query suite wall time (sf parquet, noop sink)",
