@@ -97,7 +97,11 @@ def iter_commit_batches(
     contract ``load_manifest`` enforces), so a torn commit — a manifest
     file at CURRENT+1 whose writer died before the flip — is never
     yielded: this only ever walks ids ≤ CURRENT. The poll is one small
-    file read; no Spark work happens here.
+    file read; no Spark work happens here — but on a REMOTE filesystem
+    each poll is still a round-trip open+read, so size
+    ``poll_interval_s`` to the deployment (the 0.2 s default suits local
+    disk; seconds-to-minutes is right for NFS/object-store gateways,
+    where commit cadence, not poll latency, bounds freshness anyway).
     """
     import time as _time
 

@@ -1,5 +1,6 @@
 from ovalspark.sources.snapshots import (  # noqa: F401
     ConcurrentCommitError,
+    SchemaMismatchError,
     current_snapshot_id,
     load_manifest,
     reconcile_counts,

@@ -62,6 +62,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+class SchemaMismatchError(ValueError):
+    """An append's schema differs from the table's committed schema. The
+    snapshot read hands Spark an explicit parquet file list, so a
+    mismatched append would not fail at write time — it would surface
+    later as a read whose columns depend on WHICH file Spark samples
+    first (missing columns silently null-filled). Appends therefore
+    require the exact committed schema; evolve via an ``overwrite``
+    commit, which establishes the new schema for subsequent appends."""
+
+
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed between this writer resolving its parent
     snapshot and attempting its own commit. The write was NOT applied and
@@ -255,6 +265,16 @@ def snapshot_write(
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     parent = current_snapshot_id(root)
+    if mode == "append" and parent is not None:
+        # compare names+types+order via simpleString, NOT schema_json:
+        # parquet read-back flips every field nullable, and metadata
+        # differs per producer — neither should reject a sound append
+        committed = load_manifest(root, parent)["schema_ddl"]
+        if committed != df.schema.simpleString():
+            raise SchemaMismatchError(
+                f"append to {root}: schema {df.schema.simpleString()} != "
+                f"committed {committed}; evolve via an overwrite commit"
+            )
     if target_file_mb is not None:
         est_bytes = None
         if parent is not None:

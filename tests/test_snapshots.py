@@ -381,6 +381,32 @@ def test_vacuum_reclaims_debris_keeps_committed(spark, tmp_path, small_world):
     assert snapshot_read(spark, root, s2).count() == 4
 
 
+def test_append_schema_mismatch_raises(spark, tmp_path, small_world):
+    """An append whose schema differs from the committed one must fail at
+    WRITE time (the explicit-file-list read would otherwise silently
+    null-fill, columns depending on which file Spark samples first);
+    read-back nullability drift must NOT trip it; overwrite evolves."""
+    from ovalspark.sources.snapshots import SchemaMismatchError
+
+    _, cat, _, _ = small_world
+    root = str(tmp_path / "schema_tbl")
+    snapshot_write(cat, root)
+
+    with pytest.raises(SchemaMismatchError, match="schema"):
+        snapshot_write(cat.withColumn("extra", F.lit(1)), root, mode="append")
+    with pytest.raises(SchemaMismatchError, match="schema"):
+        snapshot_write(cat.drop(cat.columns[-1]), root, mode="append")
+
+    # read-back of the table's own data appends cleanly (nullability and
+    # metadata may differ; names+types+order are what count)
+    snapshot_write(snapshot_read(spark, root).limit(3), root, mode="append")
+    # overwrite establishes a NEW schema; appends then follow it
+    evolved = cat.withColumn("extra", F.lit(1))
+    s = snapshot_write(evolved, root, mode="overwrite")
+    s2 = snapshot_write(evolved.limit(2), root, mode="append")
+    assert s2 == s + 1
+
+
 def test_vacuum_age_window_spares_staged_write(spark, tmp_path, small_world):
     """vacuum(min_age_s=N) must not touch a live writer's staged (not yet
     committed) data dir: everything younger than the window is spared;
