@@ -32,15 +32,22 @@ Scope honesty — what each shipped guard actually guarantees:
   that stalls for a full lease period between its staleness check and
   its rename could evict a FRESH holder; no filesystem-only protocol
   closes that window — it needs server-side fencing.
+* ``sqlite`` — exclusion as a CATALOG TRANSACTION (``BEGIN IMMEDIATE``
+  on ``<root>/manifest/catalog.db``): the shape of the real
+  object-store answer, with the database owning both locking and crash
+  recovery (a dead holder's transaction rolls back on next open — no
+  lease, no break protocol). Cross-process on one host; on NFS exactly
+  as far as the mount's lock daemon works.
 * A true object-store deployment (the 100-TB target; oval's own store is
   S3, ``internal/s3client/s3client.go:145-162`` in /root/reference) has
   neither flock nor atomic rename-over and needs a catalog CAS — an
   Iceberg/Nessie catalog commit or a DynamoDB/etcd conditional put.
   That is exactly what this seam is for: implement ``acquire``/
-  ``release`` against the catalog's conditional primitive and register
-  it with ``register_guard``; the snapshot protocol above the seam is
-  unchanged (it already tolerates at-most-one-winner semantics — the
-  loser raises ``ConcurrentCommitError`` and retries).
+  ``release`` against the catalog's conditional primitive (the
+  ``sqlite`` guard is the worked example) and register it with
+  ``register_guard``; the snapshot protocol above the seam is unchanged
+  (it already tolerates at-most-one-winner semantics — the loser raises
+  ``ConcurrentCommitError`` and retries).
 
 Both shipped guards are exercised by the same two-process race test
 (tests/test_commit_race.py): two processes block on a barrier, race one
@@ -181,9 +188,50 @@ class DirLockGuard(CommitGuard):
         shutil.rmtree(doomed, ignore_errors=True)
 
 
+class SqliteCatalogGuard(CommitGuard):
+    """Catalog-transaction guard — the shape of the real object-store
+    answer (an Iceberg catalog commit, a DynamoDB conditional put),
+    demonstrated with the one embeddable catalog every deployment has:
+    ``acquire`` opens ``<root>/manifest/catalog.db`` and takes SQLite's
+    exclusive write transaction (``BEGIN IMMEDIATE``); ``release``
+    commits it. Exclusion is the database's own locking (POSIX byte-range
+    locks under the hood — cross-process on one host, and on NFS exactly
+    as far as the mount's lockd works), and liveness is the database's
+    own crash story: a holder that dies drops its connection, the kernel
+    releases its locks, and the next opener rolls the journal back — no
+    wedge, no stale lease to break. Swapping SQLite for a network
+    catalog service turns this into the true multi-region guard with no
+    change above the seam."""
+
+    name = "sqlite"
+
+    def acquire(self, root: str, timeout_s: float = 30.0):
+        import sqlite3
+
+        d = os.path.join(root, "manifest")
+        os.makedirs(d, exist_ok=True)
+        con = sqlite3.connect(os.path.join(d, "catalog.db"), timeout=timeout_s)
+        try:
+            con.execute("BEGIN IMMEDIATE")  # blocks up to `timeout`, then raises
+        except sqlite3.OperationalError as e:
+            con.close()
+            raise TimeoutError(
+                f"catalog write transaction at {d}/catalog.db not acquired "
+                f"within {timeout_s}s: {e}"
+            ) from None
+        return con
+
+    def release(self, token) -> None:
+        try:
+            token.execute("COMMIT")
+        finally:
+            token.close()
+
+
 _GUARDS: dict[str, type[CommitGuard]] = {
     FlockGuard.name: FlockGuard,
     DirLockGuard.name: DirLockGuard,
+    SqliteCatalogGuard.name: SqliteCatalogGuard,
 }
 
 

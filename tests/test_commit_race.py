@@ -2,8 +2,9 @@
 
 The thread race in test_snapshots.py proves in-process exclusion; these
 tests prove what the guards are actually for — two OS processes racing
-one commit slot on the same table, under BOTH shipped guards (``flock``
-single-host kernel lock, ``dirlock`` portable mkdir lease). Invariants:
+one commit slot on the same table, under ALL shipped guards (``flock``
+single-host kernel lock, ``dirlock`` portable mkdir lease, ``sqlite``
+catalog write transaction). Invariants:
 exactly one winner, the loser raises ``ConcurrentCommitError`` and
 removes its data files, and the table stays readable at every committed
 id. The children drive ``_commit_manifest`` — the real metadata critical
@@ -78,7 +79,7 @@ def _race_child(root: str, guard_name: str, n_rows: int, tag: str, barrier, q) -
         q.put((tag, f"err:{type(e).__name__}:{e}", n_rows))
 
 
-@pytest.mark.parametrize("guard_name", ["flock", "dirlock"])
+@pytest.mark.parametrize("guard_name", ["flock", "dirlock", "sqlite"])
 def test_two_process_commit_race(spark, tmp_path, guard_name):
     from ovalspark.sources.snapshots import (
         _commit_manifest,
@@ -118,7 +119,7 @@ def test_two_process_commit_race(spark, tmp_path, guard_name):
     assert on_disk == referenced
 
 
-@pytest.mark.parametrize("guard_name", ["flock", "dirlock"])
+@pytest.mark.parametrize("guard_name", ["flock", "dirlock", "sqlite"])
 def test_many_process_commit_storm(spark, tmp_path, guard_name):
     """4 processes × sequential retries: with retry-on-loss every writer
     eventually lands, ids are dense, and each id's content is intact."""
