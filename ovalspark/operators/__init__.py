@@ -5,7 +5,9 @@ from ovalspark.operators.uniqueness import check_uniqueness  # noqa: F401
 from ovalspark.operators.stats import column_profile  # noqa: F401
 from ovalspark.operators.referential import check_referential  # noqa: F401
 from ovalspark.operators.incremental import (  # noqa: F401
+    iter_commit_batches,
     iter_committed_snapshots,
+    validate_delete,
     validate_snapshot_delta,
     validate_snapshot_tail,
     validate_snapshot_tail_checkpointed,

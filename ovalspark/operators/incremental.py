@@ -81,6 +81,67 @@ def validate_snapshot_delta(
     )
 
 
+def validate_delete(
+    spark: SparkSession,
+    root: str,
+    snapshot_id: int | None = None,
+    predicate: str | None = None,
+    full_scan: bool = False,
+) -> DataFrame:
+    """Read-back verification of a DELETE commit — oval's
+    delete-then-verify loop (a deleted object must read back as absent,
+    ``internal/runner/worker.go`` delete + existence re-check) at table
+    granularity: scan the commit's REWRITTEN files and emit a
+    ``DELETE_SURVIVOR`` violation row for every row still matching the
+    delete predicate. Scope is O(affected files) by default — the files
+    the delete did NOT touch were proven match-free by the commit's own
+    discovery scan; ``full_scan=True`` re-verifies that proof too
+    (O(table), for audits that trust nothing).
+
+    ``predicate`` defaults to the one recorded in the manifest
+    (SQL-string deletes record it; a Column delete records None and the
+    caller must re-supply it here). Returns VIOLATION_SCHEMA rows — an
+    empty result is a verified delete."""
+    import pyspark.sql.functions as F
+
+    from ovalspark.sources.snapshots import load_manifest, manifest_diff
+
+    m = load_manifest(root, snapshot_id)
+    if m["operation"] != "delete":
+        raise ValueError(
+            f"snapshot {m['snapshot_id']} at {root} is {m['operation']!r}, not a delete commit"
+        )
+    pred_sql = predicate if predicate is not None else m.get("delete_predicate")
+    if pred_sql is None:
+        raise ValueError(
+            "delete commit recorded no predicate (Column deletes cannot be "
+            "serialized) — pass `predicate` explicitly to verify"
+        )
+    from ovalspark.sources.snapshots import _abs_path  # scoped file list
+
+    if full_scan:
+        files = [_abs_path(root, f["path"]) for f in m["files"]]
+    else:
+        files = manifest_diff(root, m["parent_id"], m["snapshot_id"])
+    empty = spark.createDataFrame([], VIOLATION_SCHEMA)
+    if not files:
+        return empty  # delete rewrote everything away: nothing can survive
+    df = spark.read.parquet(*files)
+    hit = F.coalesce(F.expr(pred_sql).cast("boolean"), F.lit(False))
+    doc_id = F.col("doc_id").cast("string") if "doc_id" in df.columns else F.lit(None).cast("string")
+    return df.filter(hit).select(
+        F.lit(None).cast("int").alias("partition_id"),
+        doc_id.alias("doc_id"),
+        F.lit(None).cast("int").alias("span_idx"),
+        F.lit("delete_predicate").alias("field"),
+        F.lit("deleted").alias("expected"),
+        F.lit(f"present (matches: {pred_sql})").alias("actual"),
+        F.lit("DELETE_SURVIVOR").alias("violation_class"),
+        F.lit(None).cast("int").alias("writer_id"),
+        F.lit(None).cast("timestamp").alias("written_at"),
+    )
+
+
 def iter_commit_batches(
     root: str,
     after_id: int = 0,

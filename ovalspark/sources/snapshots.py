@@ -174,14 +174,103 @@ def _footer_stats(files: list[str], root: str) -> list[dict[str, Any]]:
 
     out = []
     for p in sorted(files):
+        md = pq.ParquetFile(p).metadata
         out.append(
             {
                 "path": os.path.relpath(p, root),
-                "rows": int(pq.ParquetFile(p).metadata.num_rows),
+                "rows": int(md.num_rows),
                 "bytes": int(os.path.getsize(p)),
+                "col_stats": _column_stats(md),
             }
         )
     return out
+
+
+def _column_stats(md) -> dict[str, dict[str, Any]]:
+    """Per-column {min, max, nulls} for TOP-LEVEL scalar columns, folded
+    across the file's row groups — Iceberg's per-file column bounds, read
+    from the same parquet footer the row count comes from (no data scan).
+    A column is dropped the moment any row group lacks usable min/max
+    (missing stats, NaN, non-JSON-scalar type): absent stats must mean
+    "cannot prune", never "prune wrongly"."""
+    import math
+
+    stats: dict[str, dict[str, Any]] = {}
+    dead: set[str] = set()
+    for rg in range(md.num_row_groups):
+        row_group = md.row_group(rg)
+        for ci in range(row_group.num_columns):
+            col = row_group.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in dead:
+                continue  # nested leaves can't prune a top-level predicate
+            st = col.statistics
+            ok = st is not None and st.has_min_max
+            if ok:
+                lo, hi = st.min, st.max
+                ok = (
+                    type(lo) in (int, float, str, bool)
+                    and type(hi) in (int, float, str, bool)
+                    and not (isinstance(lo, float) and math.isnan(lo))
+                    and not (isinstance(hi, float) and math.isnan(hi))
+                    and not (isinstance(lo, str) and len(lo) > 128)
+                )
+            if not ok:
+                dead.add(name)
+                stats.pop(name, None)
+                continue
+            nulls = int(st.null_count) if st.has_null_count else 0
+            cur = stats.get(name)
+            if cur is None:
+                stats[name] = {"min": lo, "max": hi, "nulls": nulls}
+            else:
+                cur["min"] = min(cur["min"], lo)
+                cur["max"] = max(cur["max"], hi)
+                cur["nulls"] += nulls
+    return stats
+
+
+def prune_files(
+    root: str,
+    snapshot_id: int | None = None,
+    conditions: list[tuple] | tuple | None = None,
+) -> list[str]:
+    """Absolute paths of a snapshot's data files that MAY satisfy the
+    given range conditions, decided from MANIFEST column stats alone — no
+    file is opened. ``conditions``: one or a list of ``(col, lo, hi)``
+    (``None`` bound = open); a file survives unless some condition's
+    range is provably disjoint from the file's [min, max] for that
+    column. Files or columns without recorded stats are always kept
+    (metadata absence can only cost a scan, never rows). This is the
+    Iceberg manifest-level file skip: at 10⁶ files a selective range
+    touches the handful of files whose bounds overlap, without paying
+    10⁶ footer opens."""
+    m = load_manifest(root, snapshot_id)
+    if conditions is None:
+        conditions = []
+    if isinstance(conditions, tuple):
+        conditions = [conditions]
+
+    num = (int, float)
+
+    def comparable(a, b) -> bool:
+        return (isinstance(a, num) and isinstance(b, num)) or (
+            isinstance(a, str) and isinstance(b, str)
+        )
+
+    def survives(fe: dict[str, Any]) -> bool:
+        cs = fe.get("col_stats") or {}
+        for col, lo, hi in conditions:
+            st = cs.get(col)
+            if st is None:
+                continue  # no stats: cannot prune
+            if lo is not None and comparable(st["max"], lo) and st["max"] < lo:
+                return False
+            if hi is not None and comparable(st["min"], hi) and st["min"] > hi:
+                return False
+        return True
+
+    return [_abs_path(root, f["path"]) for f in m["files"] if survives(f)]
 
 
 def _abs_path(root: str, path: str) -> str:
@@ -365,6 +454,7 @@ def snapshot_delete(
     paths = [_abs_path(root, f["path"]) for f in m["files"]]
     if not paths:
         return parent
+    pred_sql = None if isinstance(predicate, Column) else str(predicate)
     pred = predicate if isinstance(predicate, Column) else F.expr(predicate)
     hit = F.coalesce(pred.cast("boolean"), F.lit(False))
     affected = {
@@ -402,6 +492,10 @@ def snapshot_delete(
         "total_rows": sum(f["rows"] for f in files),
         "total_bytes": sum(f["bytes"] for f in files),
         "deleted_rows": m["total_rows"] - sum(f["rows"] for f in files),
+        # SQL-string predicates are recorded so the commit is auditable
+        # and re-checkable (validate_delete's read-back); Column
+        # predicates have no faithful serialization — recorded as None
+        "delete_predicate": pred_sql,
         "files": files,
     }
     try:
@@ -510,14 +604,31 @@ def vacuum(root: str, min_age_s: float = 0.0) -> list[str]:
     return sorted(removed)
 
 
-def snapshot_read(spark: SparkSession, root: str, snapshot_id: int | None = None) -> DataFrame:
+def snapshot_read(
+    spark: SparkSession,
+    root: str,
+    snapshot_id: int | None = None,
+    prune: list[tuple] | tuple | None = None,
+) -> DataFrame:
     """Read a table AS OF a snapshot (default: latest). The file list is
     immutable once committed, so this read is repeatable byte-for-byte no
     matter how many overwrites commit after it — oval's
     read-before-overwrite verification re-expressed as time travel
-    (worker.go:43-75: verify the pre-state, then write)."""
+    (worker.go:43-75: verify the pre-state, then write).
+
+    ``prune``: ``(col, lo, hi)`` or a list of them — manifest-level file
+    skipping (``prune_files``): only files whose recorded column bounds
+    overlap every range are handed to Spark at all. The caller still
+    applies the actual row filter; pruning is a superset guarantee, never
+    a substitute for the predicate."""
     m = load_manifest(root, snapshot_id)
-    paths = [_abs_path(root, f["path"]) for f in m["files"]]
+    if prune is not None:
+        # pin to the resolved id: CURRENT may flip between the two
+        # manifest reads, and a prune against a newer snapshot would
+        # silently mix file lists
+        paths = prune_files(root, m["snapshot_id"], prune)
+    else:
+        paths = [_abs_path(root, f["path"]) for f in m["files"]]
     if not paths:
         from pyspark.sql.types import StructType
 

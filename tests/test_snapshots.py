@@ -381,6 +381,64 @@ def test_vacuum_reclaims_debris_keeps_committed(spark, tmp_path, small_world):
     assert snapshot_read(spark, root, s2).count() == 4
 
 
+def test_manifest_column_stats_prune_files(spark, tmp_path):
+    """Iceberg-style manifest file skipping: commit range-partitioned
+    files, read with a prune range — only overlapping files reach Spark
+    (inputFiles assertion), values identical to the unpruned filter, and
+    a column without stats never prunes."""
+    import os
+
+    from ovalspark.sources.snapshots import load_manifest, prune_files, snapshot_read
+
+    df = spark.range(10000).selectExpr(
+        "id as v", "cast(id as string) as doc_id", "concat('k', lpad(cast(id as string), 6, '0')) as skey"
+    )
+    root = str(tmp_path / "prune_tbl")
+    sid = snapshot_write(df.repartitionByRange(8, "v"), root)
+    m = load_manifest(root, sid)
+    assert len(m["files"]) == 8
+    assert all("v" in f["col_stats"] and "skey" in f["col_stats"] for f in m["files"])
+
+    # numeric range touching ~2 of 8 range-partitioned files
+    pruned = prune_files(root, sid, ("v", 2000, 3000))
+    assert 0 < len(pruned) < 8
+    got = snapshot_read(spark, root, sid, prune=("v", 2000, 3000)).filter(
+        "v between 2000 and 3000"
+    )
+    want = snapshot_read(spark, root, sid).filter("v between 2000 and 3000")
+    assert {os.path.basename(p) for p in got.inputFiles()} == {
+        os.path.basename(p) for p in pruned
+    }
+    assert got.count() == want.count() == 1001
+    assert got.exceptAll(want).count() == 0
+
+    # string bounds prune too (lexicographic zero-padded keys)
+    sp = prune_files(root, sid, ("skey", "k005000", "k005100"))
+    assert 0 < len(sp) < 8
+    # absent column / absent stats: everything kept, nothing wrongly cut
+    assert len(prune_files(root, sid, ("no_such_col", 0, 1))) == 8
+    # conjunction of conditions intersects the survivors
+    both = prune_files(root, sid, [("v", 2000, 3000), ("skey", "k005000", "k005100")])
+    assert both == []  # disjoint ranges of the same row order share no file
+
+
+def test_column_stats_survive_delete_and_append(spark, tmp_path):
+    """Maintenance commits re-collect stats for rewritten files and keep
+    carried-over entries intact, so pruning stays sound across the
+    table's whole lifecycle."""
+    from ovalspark.sources.snapshots import load_manifest, prune_files, snapshot_delete
+
+    df = spark.range(1000).selectExpr("id as v", "cast(id as string) as doc_id")
+    root = str(tmp_path / "prune_life_tbl")
+    snapshot_write(df.repartitionByRange(4, "v"), root)
+    sid2 = snapshot_delete(spark, root, F.col("v") < 100)
+    m2 = load_manifest(root, sid2)
+    assert all(f["col_stats"].get("v") for f in m2["files"])
+    assert min(f["col_stats"]["v"]["min"] for f in m2["files"]) == 100
+    # pruning the deleted range now selects nothing
+    assert prune_files(root, sid2, ("v", 0, 99)) == []
+
+
 def test_append_schema_mismatch_raises(spark, tmp_path, small_world):
     """An append whose schema differs from the committed one must fail at
     WRITE time (the explicit-file-list read would otherwise silently
@@ -487,6 +545,59 @@ def test_snapshot_delete_rewrites_only_affected_files(spark, tmp_path, small_wor
 
     # a predicate matching nothing commits nothing
     assert snapshot_delete(spark, root, F.col("partition_id") == 9999) == s2
+
+
+def test_validate_delete_read_back(spark, tmp_path):
+    """Delete-then-verify (oval's delete + existence re-check): a clean
+    delete verifies empty; a corrupted rewritten file (a matching row
+    smuggled back in) yields DELETE_SURVIVOR rows naming the docs; the
+    predicate comes from the manifest for SQL deletes and must be
+    re-supplied for Column deletes."""
+    import glob as g
+    import json as j
+    import os
+
+    import pyarrow.parquet as pq
+
+    from ovalspark.operators.incremental import validate_delete
+    from ovalspark.sources.snapshots import load_manifest, snapshot_delete
+
+    df = spark.range(400).selectExpr("cast(id as string) as doc_id", "cast(id % 4 as int) as grp")
+    root = str(tmp_path / "vdel_tbl")
+    snapshot_write(df.repartition(2, "grp"), root)
+    sid = snapshot_delete(spark, root, "grp = 1")
+    assert load_manifest(root, sid)["delete_predicate"] == "grp = 1"
+    assert validate_delete(spark, root, sid).count() == 0  # verified clean
+
+    # corrupt a REWRITTEN file in place: append a row that matches the
+    # predicate (simulates a buggy rewrite / storage corruption)
+    rewritten = sorted(
+        g.glob(os.path.join(root, "data", f"snap-{sid}-*", "part-*.parquet"))
+    )[0]
+    t = pq.read_table(rewritten)
+    import pyarrow as pa
+
+    bad = pa.table({"doc_id": ["zombie"], "grp": pa.array([1], pa.int32())}).cast(t.schema)
+    pq.write_table(pa.concat_tables([t, bad]), rewritten)
+    # drop Hadoop's checksum sidecar: the in-place rewrite invalidates it
+    # and LocalFS would (correctly) refuse the read — this test corrupts
+    # CONTENT, not the transport
+    crc = os.path.join(os.path.dirname(rewritten), f".{os.path.basename(rewritten)}.crc")
+    if os.path.exists(crc):
+        os.unlink(crc)
+    v = validate_delete(spark, root, sid).collect()
+    assert [r.violation_class for r in v] == ["DELETE_SURVIVOR"]
+    assert v[0].doc_id == "zombie"
+
+    # a Column delete records no predicate: verification demands one
+    sid2 = snapshot_delete(spark, root, F.col("grp") == 2)
+    assert load_manifest(root, sid2)["delete_predicate"] is None
+    with pytest.raises(ValueError, match="predicate"):
+        validate_delete(spark, root, sid2)
+    assert validate_delete(spark, root, sid2, predicate="grp = 2").count() == 0
+    # non-delete commits refuse verification
+    with pytest.raises(ValueError, match="not a delete"):
+        validate_delete(spark, root, 1)
 
 
 def test_snapshot_delete_null_predicate_rows_are_kept(spark, tmp_path):
