@@ -1286,6 +1286,52 @@ _Q58_ORACLE = """
 """
 
 
+def _q59_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table column stats from MANIFEST METADATA ONLY (zero data
+    files opened — `inputFiles` is asserted empty in the suite), checked
+    against DuckDB actually scanning the table: min/max/null-count/
+    row-count of the integer columns must match a real aggregation
+    exactly. Reuses q58's materialized snapshot table (documents,
+    fragmented then compacted) — the stats fold must survive the
+    compaction rewrite. Restricted to ``kind='exact'`` rows (integers):
+    string footer stats are prefix BOUNDS by contract, not extremes."""
+    from ovalspark.sources.snapshots import current_snapshot_id, manifest_column_stats
+
+    root = _oracle_dir("q58", _Q58_VERSION, sf_dir)
+
+    def build(stage):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        from ovalspark.sources.snapshots import snapshot_compact, snapshot_write
+
+        snapshot_write(docs.repartition(16), stage)
+        snapshot_compact(spark, stage, target_file_mb=256)
+
+    _publish_once(root, build, is_valid=lambda: current_snapshot_id(root) == 2)
+    return (
+        manifest_column_stats(spark, root, 2)
+        .filter(F.col("kind") == "exact")
+        .select("col_name", "min_v", "max_v", "n_nulls", "n_rows")
+        .orderBy("col_name")
+    )
+
+
+_Q59_ORACLE = """
+    SELECT * FROM (
+        SELECT 'doc_id' AS col_name,
+               CAST(MIN(doc_id) AS VARCHAR) AS min_v,
+               CAST(MAX(doc_id) AS VARCHAR) AS max_v,
+               CAST(COUNT(*) - COUNT(doc_id) AS BIGINT) AS n_nulls,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM documents
+        UNION ALL
+        SELECT 'n_chars',
+               CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR),
+               CAST(COUNT(*) - COUNT(n_chars) AS BIGINT), CAST(COUNT(*) AS BIGINT)
+        FROM documents
+    ) ORDER BY col_name
+"""
+
+
 _Q53_VERSION = "v1"
 
 
@@ -1573,6 +1619,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q56_stored_lsh_topk": _q56_stored_lsh_topk,
             "q57_snapshot_delete": _q57_snapshot_delete,
             "q58_snapshot_compact": _q58_snapshot_compact,
+            "q59_manifest_stats": _q59_manifest_stats,
         }
     )
     return out
@@ -1611,6 +1658,7 @@ def oracle_sql() -> dict[str, str]:
             "q56_stored_lsh_topk": _q56_oracle(),
             "q57_snapshot_delete": _Q57_ORACLE,
             "q58_snapshot_compact": _Q58_ORACLE,
+            "q59_manifest_stats": _Q59_ORACLE,
         }
     )
     return out

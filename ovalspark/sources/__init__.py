@@ -3,6 +3,7 @@ from ovalspark.sources.snapshots import (  # noqa: F401
     SchemaMismatchError,
     current_snapshot_id,
     load_manifest,
+    manifest_column_stats,
     prune_files,
     reconcile_counts,
     snapshot_compact,

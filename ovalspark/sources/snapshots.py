@@ -604,6 +604,53 @@ def vacuum(root: str, min_age_s: float = 0.0) -> list[str]:
     return sorted(removed)
 
 
+def manifest_column_stats(
+    spark: SparkSession, root: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """Whole-table per-column statistics — (col_name, min_v, max_v,
+    n_nulls, n_rows, kind) — computed ENTIRELY from manifest metadata:
+    zero data files are opened (the returned frame has no file inputs at
+    all). This is the A1 column-profile fast path a 100-TB table needs:
+    min/max/null-count/row-count in milliseconds from KB of manifest,
+    instead of a full scan.
+
+    A column appears only if EVERY data file recorded stats for it (one
+    statless file makes the fold unknowable). ``kind`` is the honesty
+    flag: ``exact`` for integer/boolean stats (parquet stores them
+    full-fidelity), ``bound`` for strings and floats — parquet writers
+    may truncate long binary min/max into prefix bounds, which are
+    correct as BOUNDS (pruning stays sound) but not necessarily the
+    exact extreme values. Values are rendered as strings so one frame
+    carries mixed column types; integer renderings are exact
+    (gate query q59 value-checks the ``exact`` rows against SQL)."""
+    m = load_manifest(root, snapshot_id)
+    files = m["files"]
+    rows: list[tuple] = []
+    if files:
+        common = set(files[0].get("col_stats") or {})
+        for fe in files[1:]:
+            common &= set(fe.get("col_stats") or {})
+        for col in sorted(common):
+            sts = [fe["col_stats"][col] for fe in files]
+            mins = [s["min"] for s in sts]
+            maxs = [s["max"] for s in sts]
+            kind = "exact" if all(type(v) in (int, bool) for v in mins + maxs) else "bound"
+            rows.append(
+                (
+                    col,
+                    str(min(mins)),
+                    str(max(maxs)),
+                    sum(s["nulls"] for s in sts),
+                    m["total_rows"],
+                    kind,
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "col_name string, min_v string, max_v string, n_nulls long, n_rows long, kind string",
+    )
+
+
 def snapshot_read(
     spark: SparkSession,
     root: str,

@@ -547,6 +547,41 @@ def test_snapshot_delete_rewrites_only_affected_files(spark, tmp_path, small_wor
     assert snapshot_delete(spark, root, F.col("partition_id") == 9999) == s2
 
 
+def test_manifest_column_stats_zero_scan(spark, tmp_path):
+    """Whole-table stats from metadata only: values match a real
+    aggregation, the plan opens NO data files, integer columns are
+    'exact', a statless column is absent, and the fold survives
+    append + delete."""
+    from ovalspark.sources.snapshots import manifest_column_stats, snapshot_delete
+
+    df = spark.range(3000).selectExpr(
+        "id as v",
+        "cast(id as string) as doc_id",
+        "case when id % 7 = 0 then null else id * 2 end as maybe",
+    )
+    root = str(tmp_path / "mstats_tbl")
+    snapshot_write(df.repartitionByRange(4, "v"), root)
+    snapshot_write(
+        spark.range(3000, 3500).selectExpr(
+            "id as v", "cast(id as string) as doc_id",
+            "case when id % 7 = 0 then null else id * 2 end as maybe",
+        ),
+        root,
+        mode="append",
+    )
+    sid = snapshot_delete(spark, root, "v >= 3400")
+
+    st = manifest_column_stats(spark, root, sid)
+    assert st.inputFiles() == []  # metadata only — no data file in the plan
+    rows = {r.col_name: r for r in st.collect()}
+    assert rows["v"].kind == "exact"
+    assert (rows["v"].min_v, rows["v"].max_v) == ("0", "3399")
+    assert rows["v"].n_rows == 3400 and rows["v"].n_nulls == 0
+    exp_nulls = sum(1 for i in range(3400) if i % 7 == 0)
+    assert rows["maybe"].n_nulls == exp_nulls
+    assert rows["doc_id"].kind == "bound"  # string stats are bounds by contract
+
+
 def test_validate_delete_read_back(spark, tmp_path):
     """Delete-then-verify (oval's delete + existence re-check): a clean
     delete verifies empty; a corrupted rewritten file (a matching row
