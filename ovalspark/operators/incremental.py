@@ -127,9 +127,10 @@ def validate_delete(
     if not files:
         return empty  # delete rewrote everything away: nothing can survive
     df = spark.read.parquet(*files)
-    hit = F.coalesce(F.expr(pred_sql).cast("boolean"), F.lit(False))
+    # survivor hunt selects predicate-TRUE rows: plain filter pushes down
+    # (a coalesce wrapper would empty PushedFilters — measured)
     doc_id = F.col("doc_id").cast("string") if "doc_id" in df.columns else F.lit(None).cast("string")
-    return df.filter(hit).select(
+    return df.filter(F.expr(pred_sql)).select(
         F.lit(None).cast("int").alias("partition_id"),
         doc_id.alias("doc_id"),
         F.lit(None).cast("int").alias("span_idx"),

@@ -418,6 +418,21 @@ def _file_basename(col):
     return F.element_at(F.split(F.url_decode(col), "/"), -1)
 
 
+def _delete_discovery_frame(spark: SparkSession, paths: list[str], pred) -> DataFrame:
+    """The affected-file discovery scan: distinct basenames of files with
+    predicate-TRUE rows. Plain ``filter(pred)`` on purpose — identical
+    semantics to pred-IS-TRUE (filter drops NULLs) and, unlike a
+    ``coalesce(pred, false)`` wrapper, it reaches the parquet scan as
+    PushedFilters so row-group stats skip non-matching files cheaply
+    (plan-asserted in tests/test_plan_shape.py)."""
+    return (
+        spark.read.parquet(*paths)
+        .filter(pred)
+        .select(_file_basename(F.input_file_name()).alias("_f"))
+        .distinct()
+    )
+
+
 def snapshot_delete(
     spark: SparkSession,
     root: str,
@@ -456,15 +471,10 @@ def snapshot_delete(
         return parent
     pred_sql = None if isinstance(predicate, Column) else str(predicate)
     pred = predicate if isinstance(predicate, Column) else F.expr(predicate)
+    affected = {r["_f"] for r in _delete_discovery_frame(spark, paths, pred).collect()}
+    # survivors = NOT(pred IS TRUE): rows where pred is NULL are KEPT
+    # (SQL DELETE semantics), so THIS side genuinely needs the coalesce
     hit = F.coalesce(pred.cast("boolean"), F.lit(False))
-    affected = {
-        r["_f"]
-        for r in spark.read.parquet(*paths)
-        .filter(hit)
-        .select(_file_basename(F.input_file_name()).alias("_f"))
-        .distinct()
-        .collect()
-    }
     if not affected:
         return parent
     keep = [f for f in m["files"] if os.path.basename(f["path"]) not in affected]

@@ -83,6 +83,26 @@ def test_filter_pushdown_reaches_scan(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(partition_id" in plan, plan
 
 
+def test_delete_discovery_scan_pushes_predicate_down(spark, tmp_path):
+    """snapshot_delete's affected-file discovery (the EXACT frame the
+    delete runs, via _delete_discovery_frame) must reach the parquet
+    scan as PushedFilters — a coalesce-wrapped predicate empties them
+    (measured), costing a full decode of every file at discovery time."""
+    from ovalspark.sources.snapshots import (
+        _abs_path,
+        _delete_discovery_frame,
+        load_manifest,
+        snapshot_write,
+    )
+
+    df = spark.range(2000).selectExpr("id as v", "cast(id as string) as doc_id")
+    root = str(tmp_path / "del_plan_tbl")
+    sid = snapshot_write(df.repartitionByRange(4, "v"), root)
+    paths = [_abs_path(root, f["path"]) for f in load_manifest(root, sid)["files"]]
+    plan = _plan(_delete_discovery_frame(spark, paths, F.col("v") >= 1500))
+    assert "PushedFilters: [IsNotNull(v), GreaterThanOrEqual(v,1500)]" in plan, plan
+
+
 def test_broadcast_join_when_requested(spark, small_world):
     spec, cat, docs, _ = small_world
     plan = _plan(validate_spans(docs, cat, spec.n_assets, broadcast_catalog=True))
