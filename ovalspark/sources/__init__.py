@@ -2,6 +2,7 @@ from ovalspark.sources.snapshots import (  # noqa: F401
     ConcurrentCommitError,
     SchemaMismatchError,
     current_snapshot_id,
+    expire_snapshots,
     load_manifest,
     manifest_column_stats,
     prune_files,

@@ -438,6 +438,7 @@ def snapshot_delete(
     root: str,
     predicate,
     guard=None,
+    prune: list[tuple] | tuple | None = None,
 ) -> int:
     """Predicate delete as a NEW snapshot (oval's DELETE op re-expressed
     at table granularity, ``internal/runner/worker.go`` delete path; the
@@ -466,7 +467,16 @@ def snapshot_delete(
     if parent is None:
         raise FileNotFoundError(f"no committed snapshot at {root}")
     m = load_manifest(root, parent)
-    paths = [_abs_path(root, f["path"]) for f in m["files"]]
+    if prune is not None:
+        # caller-supplied range bounds implied by the predicate: the
+        # discovery scan opens only files whose manifest column bounds
+        # overlap (prune_files) — at 10⁶ files a range-shaped delete
+        # discovers against a handful of files, not the table. Sound
+        # only if the ranges really cover the predicate; the caller owns
+        # that claim (there is no general predicate→range analyzer here).
+        paths = prune_files(root, parent, prune)
+    else:
+        paths = [_abs_path(root, f["path"]) for f in m["files"]]
     if not paths:
         return parent
     pred_sql = None if isinstance(predicate, Column) else str(predicate)
@@ -567,6 +577,48 @@ def snapshot_compact(
         shutil.rmtree(data_dir, ignore_errors=True)
         raise
     return sid
+
+
+def expire_snapshots(
+    root: str,
+    keep_last: int,
+    guard=None,
+    do_vacuum: bool = True,
+    min_age_s: float = 0.0,
+) -> list[int]:
+    """Retention — Iceberg's expire_snapshots for the manifest layer:
+    drop the manifests of all but the newest ``keep_last`` snapshots,
+    then (``do_vacuum``) reclaim data dirs no remaining manifest
+    references. Time travel to an expired id raises FileNotFoundError
+    (loudly, same as Iceberg), ``snapshot_history`` lists only retained
+    ids, and files SHARED with retained snapshots (append chains
+    reference parents' files) always survive — vacuum keys liveness off
+    the remaining manifests, never off snapshot age. Runs under the
+    commit guard so a concurrent writer can't commit into the middle of
+    the expiry. Returns the expired ids. Without retention a 100-TB
+    table's history grows monotonically: every overwrite/delete keeps
+    its pre-state bytes forever."""
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    from ovalspark.sources.commit_guard import resolve_guard
+
+    g = resolve_guard(guard)
+    token = g.acquire(root)
+    try:
+        cur = current_snapshot_id(root)
+        if cur is None:
+            return []
+        expired = []
+        for sid in range(1, cur - keep_last + 1):
+            p = _manifest_path(root, sid)
+            if os.path.exists(p):
+                os.unlink(p)
+                expired.append(sid)
+    finally:
+        g.release(token)
+    if do_vacuum:
+        vacuum(root, min_age_s=min_age_s)
+    return expired
 
 
 def vacuum(root: str, min_age_s: float = 0.0) -> list[str]:

@@ -547,6 +547,68 @@ def test_snapshot_delete_rewrites_only_affected_files(spark, tmp_path, small_wor
     assert snapshot_delete(spark, root, F.col("partition_id") == 9999) == s2
 
 
+def test_expire_snapshots_retention(spark, tmp_path):
+    """Retention: expiring all but the last 2 snapshots removes exactly
+    the old manifests, reclaims ONLY data no retained snapshot
+    references (append chains share parents' files — those survive),
+    keeps retained snapshots byte-identical, and makes expired-id time
+    travel raise."""
+    import glob as g
+    import os
+
+    from ovalspark.sources.snapshots import expire_snapshots, snapshot_history
+
+    df = spark.range(100).selectExpr("cast(id as string) as doc_id")
+    root = str(tmp_path / "ret_tbl")
+    snapshot_write(df, root)                                  # 1: base
+    snapshot_write(df.limit(10), root, mode="append")         # 2: shares 1's files
+    snapshot_write(df.limit(20), root, mode="overwrite")      # 3: fresh files
+    snapshot_write(df.limit(5), root, mode="append")          # 4: shares 3's files
+
+    n_dirs_before = len(g.glob(f"{root}/data/snap-*"))
+    expired = expire_snapshots(root, keep_last=2)
+    assert expired == [1, 2]
+    ids = sorted(r.snapshot_id for r in snapshot_history(spark, root).collect())
+    assert ids == [3, 4]
+    with pytest.raises(FileNotFoundError):
+        load_manifest(root, 1)
+    # snapshot 3+4 read exactly as before; 4 still references 3's files
+    assert snapshot_read(spark, root, 3).count() == 20
+    assert snapshot_read(spark, root, 4).count() == 25
+    # data dirs of snapshots 1/2 (exclusive) are gone; 3/4's survive
+    remaining = {os.path.basename(d) for d in g.glob(f"{root}/data/snap-*")}
+    assert len(remaining) < n_dirs_before
+    live = {
+        os.path.basename(os.path.dirname(f["path"]))
+        for sid in (3, 4)
+        for f in load_manifest(root, sid)["files"]
+    }
+    assert remaining == live
+    with pytest.raises(ValueError, match="keep_last"):
+        expire_snapshots(root, keep_last=0)
+
+
+def test_snapshot_delete_prune_scopes_discovery(spark, tmp_path):
+    """A range-shaped delete with caller-supplied prune bounds opens only
+    the overlapping files at discovery time; the committed result is
+    identical to the unpruned delete."""
+    from ovalspark.sources.snapshots import snapshot_delete
+
+    df = spark.range(4000).selectExpr("id as v", "cast(id as string) as doc_id")
+    root = str(tmp_path / "del_prune_tbl")
+    snapshot_write(df.repartitionByRange(8, "v"), root)
+    sid = snapshot_delete(
+        spark, root, "v between 1000 and 1100", prune=("v", 1000, 1100)
+    )
+    after = snapshot_read(spark, root, sid)
+    assert after.count() == 4000 - 101
+    assert after.filter("v between 1000 and 1100").count() == 0
+    # files outside the range were never rewritten: their entries carried over
+    m0, m1 = load_manifest(root, 1), load_manifest(root, sid)
+    shared = {f["path"] for f in m0["files"]} & {f["path"] for f in m1["files"]}
+    assert len(shared) >= 6  # 8 range files, predicate touches at most 2
+
+
 def test_manifest_column_stats_zero_scan(spark, tmp_path):
     """Whole-table stats from metadata only: values match a real
     aggregation, the plan opens NO data files, integer columns are
