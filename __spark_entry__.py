@@ -555,7 +555,8 @@ def _publish_once(final: str, build, is_valid=None) -> None:
             continue  # unrecognized name: not ours to reclaim
         except ProcessLookupError:
             shutil.rmtree(orphan, ignore_errors=True)
-        # PermissionError = pid alive under another uid: leave it
+        except PermissionError:
+            continue  # pid alive under another uid: leave it
     stage = f"{final}.tmp.{os.getpid()}"
     shutil.rmtree(stage, ignore_errors=True)  # our own pid's prior debris
     try:
@@ -1232,13 +1233,28 @@ _Q57_ORACLE = """
                CAST(SUM(length(text)) AS BIGINT) AS total_chars,
                CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids
         FROM documents
-        WHERE NOT (lang = 'en' AND length(text) % 3 = 0)
+        -- NOT COALESCE(pred, FALSE): rows where the predicate evaluates
+        -- NULL are KEPT, matching snapshot_delete's SQL DELETE semantics
+        -- (a bare NOT(pred) would drop them and fail a CORRECT engine)
+        WHERE NOT COALESCE(lang = 'en' AND length(text) % 3 = 0, FALSE)
         GROUP BY lang
     ) ORDER BY snap, lang
 """
 
 
 _Q58_VERSION = "v1"
+
+
+def _q58_build(spark: SparkSession, sf_dir: str, stage: str) -> None:
+    """ONE build recipe for the q58/q59 shared materialization (both
+    publish into the _Q58_VERSION-keyed dir; two drifting copies would
+    make which-recipe-wins depend on query order): fragment the documents
+    table into 16 small files, then compact."""
+    from ovalspark.sources.snapshots import snapshot_compact, snapshot_write
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    snapshot_write(docs.repartition(16), stage)
+    snapshot_compact(spark, stage, target_file_mb=256)
 
 
 def _q58_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1252,19 +1268,15 @@ def _q58_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ovalspark.sources.snapshots import (
         current_snapshot_id,
         load_manifest,
-        snapshot_compact,
         snapshot_read,
-        snapshot_write,
     )
 
     root = _oracle_dir("q58", _Q58_VERSION, sf_dir)
-
-    def build(stage):
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        snapshot_write(docs.repartition(16), stage)
-        snapshot_compact(spark, stage, target_file_mb=256)
-
-    _publish_once(root, build, is_valid=lambda: current_snapshot_id(root) == 2)
+    _publish_once(
+        root,
+        lambda stage: _q58_build(spark, sf_dir, stage),
+        is_valid=lambda: current_snapshot_id(root) == 2,
+    )
     n_files = len(load_manifest(root, 2)["files"])
     return (
         snapshot_read(spark, root, 2)
@@ -1298,15 +1310,11 @@ def _q59_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ovalspark.sources.snapshots import current_snapshot_id, manifest_column_stats
 
     root = _oracle_dir("q58", _Q58_VERSION, sf_dir)
-
-    def build(stage):
-        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        from ovalspark.sources.snapshots import snapshot_compact, snapshot_write
-
-        snapshot_write(docs.repartition(16), stage)
-        snapshot_compact(spark, stage, target_file_mb=256)
-
-    _publish_once(root, build, is_valid=lambda: current_snapshot_id(root) == 2)
+    _publish_once(
+        root,
+        lambda stage: _q58_build(spark, sf_dir, stage),
+        is_valid=lambda: current_snapshot_id(root) == 2,
+    )
     return (
         manifest_column_stats(spark, root, 2)
         .filter(F.col("kind") == "exact")

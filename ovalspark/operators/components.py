@@ -239,11 +239,16 @@ def duplicate_groups(
     ``members_truncated`` flags capped rows.
     ``include_members=False`` skips member arrays entirely — one
     hash aggregation, nothing collected."""
-    # validate max_members BEFORE the include_members early return: an
-    # invalid cap (or the conflicting include_members=False + cap combo)
-    # must fail loudly, not be silently ignored by the short-circuit
+    # validate BEFORE the include_members early return: an invalid cap —
+    # or a cap combined with include_members=False, which would be
+    # silently meaningless — must fail loudly, not be ignored
     if max_members is not None and max_members < 1:
         raise ValueError(f"max_members must be >= 1, got {max_members}")
+    if max_members is not None and not include_members:
+        raise ValueError(
+            "max_members requires include_members=True (with no member "
+            "arrays there is nothing to cap)"
+        )
     cc = _cc(pairs, src, dst, algorithm)
     if not include_members:
         return cc.groupBy("component").agg(F.count("*").alias("n_members"))

@@ -20,14 +20,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def check_existence(docs: DataFrame, catalog: DataFrame) -> DataFrame:
+def check_existence(docs: DataFrame, catalog: DataFrame, key=("doc_id",)) -> DataFrame:
     """LOST_DOC: in catalog(exists) but absent from docs.
-    PHANTOM_DOC: in docs but not in catalog(exists)."""
+    PHANTOM_DOC: in docs but not in catalog(exists).
+
+    ``key`` widens the match identity: the batched tail passes
+    ``("doc_id", "_sid")`` so a doc EXPECTED by one commit but WRITTEN
+    by another in the same span still reports as LOST in its expected
+    commit and PHANTOM in its actual one — matching per-commit
+    validation exactly (on plain doc_id the two sightings would cancel
+    and the misplacement would validate clean)."""
+    key = list(key)
     existing = catalog.filter(F.col("exists"))
-    doc_keys = docs.select("doc_id", "partition_id").distinct()
+    doc_keys = docs.select(*key).distinct()
 
     lost = (
-        existing.join(doc_keys.select("doc_id"), "doc_id", "left_anti")
+        existing.join(doc_keys, key, "left_anti")
         .select(
             F.col("partition_id"),
             "doc_id",
@@ -41,7 +49,7 @@ def check_existence(docs: DataFrame, catalog: DataFrame) -> DataFrame:
         )
     )
     phantom = (
-        docs.join(existing.select("doc_id"), "doc_id", "left_anti")
+        docs.join(existing.select(*key), key, "left_anti")
         .select(
             F.col("partition_id"),
             "doc_id",

@@ -254,21 +254,76 @@ def validate_snapshot_tail(
 
 
 def _span_catalog(spark, catalog_for, sids):
-    """Union of the per-commit expected sets for a span of appends —
-    valid ONLY when the commits' doc sets are disjoint (checked by the
-    caller): each doc then has exactly one expectation, so one join
-    against the span's combined file list gives the same verdicts as
-    per-commit validation. Returns (catalog, is_disjoint)."""
+    """Union of the per-commit expected sets for a span of appends, each
+    entry TAGGED with its commit id (``_sid``) — valid ONLY when the
+    commits' doc sets are disjoint (checked by the caller): each doc then
+    has exactly one expectation. The tag is what lets the span job keep
+    per-commit existence attribution (``_validate_span``). Returns
+    (tagged_catalog, is_disjoint)."""
     from functools import reduce
 
     from pyspark.sql import functions as F
 
-    cats = [catalog_for(s) for s in sids]
+    cats = [catalog_for(s).withColumn("_sid", F.lit(int(s))) for s in sids]
     union = reduce(lambda a, b: a.unionByName(b), cats).localCheckpoint()
     # disjointness in ONE tiny aggregation over the span's catalogs
     # (catalog rows are O(delta docs), not O(corpus))
     total, distinct = union.agg(F.count("*"), F.countDistinct("doc_id")).first()
     return union, total == distinct
+
+
+def _validate_span(
+    spark, root, span, manifests, cat_tagged, files, n_assets, broadcast_catalog
+):
+    """ONE Spark job validating a batched append span, row-identical to
+    the per-commit concatenation — including the misplacement case a
+    plain union-catalog join would MASK: a doc expected by commit i but
+    written by commit j is present in both the union catalog and the
+    span's combined files, so untagged existence legs cancel and it
+    validates clean, while per-commit validation reports LOST_DOC(i) +
+    PHANTOM_DOC(j). Fix: tag each doc row with the commit that wrote it
+    (file→commit map from the manifests, broadcast) and run the
+    existence anti-joins on (doc_id, _sid). Field checks run only for
+    docs attributed to their OWN commit's catalog entry (semi-join on
+    the tagged key) — exactly the rows per-commit validation's inner
+    docs⋈catalog join would check."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from ovalspark.sources.snapshots import _file_basename, load_manifest
+
+    if not files:
+        # no docs anywhere in the span: misplacement is impossible and
+        # every exists-entry is LOST — identical per commit and batched
+        return validate_snapshot_delta(
+            spark, root, cat_tagged.drop("_sid"), n_assets, added=[]
+        )
+    # per-commit added-file lists, pure manifest metadata
+    def _paths(sid):
+        if sid is None:
+            return set()
+        return {f["path"] for f in (manifests.get(sid) or load_manifest(root, sid))["files"]}
+
+    fmap_rows = []
+    for s in span:
+        parent = (manifests.get(s) or load_manifest(root, s))["parent_id"]
+        for p in _paths(s) - _paths(parent):
+            fmap_rows.append((os.path.basename(p), int(s)))
+    fmap = spark.createDataFrame(fmap_rows, "_f string, _sid int")
+    docs = spark.read.parquet(*files)
+    docs_t = (
+        docs.withColumn("_f", _file_basename(F.input_file_name()))
+        .join(F.broadcast(fmap), "_f")
+        .drop("_f")
+    )
+    keys = cat_tagged.select("doc_id", "_sid")
+    docs_attr = docs_t.join(keys, ["doc_id", "_sid"], "semi").drop("_sid")
+    v_fields = validate_spans(
+        docs_attr, cat_tagged.drop("_sid"), n_assets, broadcast_catalog
+    )
+    v_exist = check_existence(docs_t, cat_tagged, key=("doc_id", "_sid"))
+    return v_fields.unionByName(v_exist)
 
 
 def _tail_deltas(
@@ -297,14 +352,20 @@ def _tail_deltas(
     expectation — an intra-span overwrite of the same doc_id would make
     the old version false-flag against the new expectation). A span
     failing either check falls back to per-commit items — correctness
-    first, the batching is purely an optimization. The equivalence
-    itself is asserted in tests/test_incremental.py (batched backlog ==
-    concatenated per-commit runs, row-for-row)."""
+    first, the batching is purely an optimization. Existence stays
+    COMMIT-ATTRIBUTED inside the span job (``_validate_span``: doc rows
+    tagged with their writing commit, anti-joins on (doc_id, commit)),
+    so a doc written by the wrong commit reports LOST + PHANTOM exactly
+    as per-commit validation would instead of cancelling out. The
+    equivalence is asserted in tests/test_incremental.py (batched
+    backlog == concatenated per-commit runs, row-for-row, including a
+    misplaced-doc case)."""
     from ovalspark.sources.snapshots import load_manifest, manifest_diff
 
     for pending in iter_commit_batches(root, after_id, timeout_s, poll_interval_s):
         spans: list[list[int]] = [[s] for s in pending]
-        catalog = None  # the span-union catalog, set only when a span forms
+        manifests: dict = {}
+        cat_tagged = None  # the _sid-tagged span catalog, set when a span forms
         if batch_commits and len(pending) > 1:
             manifests = {s: load_manifest(root, s) for s in pending}
             # every commit with a parent must be an append; only the
@@ -316,25 +377,30 @@ def _tail_deltas(
                 if manifests[s]["parent_id"] is not None
             )
             if appends_only:
-                catalog, disjoint = _span_catalog(spark, catalog_for, pending)
+                cat_tagged, disjoint = _span_catalog(spark, catalog_for, pending)
                 if disjoint:
                     spans = [pending]
         for span in spans:
             first, last = span[0], span[-1]
-            parent = load_manifest(root, first)["parent_id"]
+            parent = (manifests.get(first) or load_manifest(root, first))["parent_id"]
             from_id = parent if parent else None
             files = manifest_diff(root, from_id, last)
-            cat = catalog if len(span) > 1 else catalog_for(first)
-            yield span, files, validate_snapshot_delta(
-                spark,
-                root,
-                cat,
-                n_assets,
-                from_id=from_id,
-                to_id=last,
-                broadcast_catalog=broadcast_catalog,
-                added=files,
-            )
+            if len(span) > 1:
+                v = _validate_span(
+                    spark, root, span, manifests, cat_tagged, files, n_assets, broadcast_catalog
+                )
+            else:
+                v = validate_snapshot_delta(
+                    spark,
+                    root,
+                    catalog_for(first),
+                    n_assets,
+                    from_id=from_id,
+                    to_id=last,
+                    broadcast_catalog=broadcast_catalog,
+                    added=files,
+                )
+            yield span, files, v
 
 
 class TailState:

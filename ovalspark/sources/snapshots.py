@@ -213,20 +213,28 @@ def _column_stats(md) -> dict[str, dict[str, Any]]:
                     and type(hi) in (int, float, str, bool)
                     and not (isinstance(lo, float) and math.isnan(lo))
                     and not (isinstance(hi, float) and math.isnan(hi))
+                    # bound BOTH ends: a short min with a multi-KB max
+                    # would still balloon the manifest per file
                     and not (isinstance(lo, str) and len(lo) > 128)
+                    and not (isinstance(hi, str) and len(hi) > 128)
                 )
             if not ok:
                 dead.add(name)
                 stats.pop(name, None)
                 continue
-            nulls = int(st.null_count) if st.has_null_count else 0
+            # null_count is OPTIONAL in the parquet spec: once any row
+            # group omits it the fold is unknowable — record None (the
+            # stats consumer reports unknown), never a fabricated 0
+            nulls = int(st.null_count) if st.has_null_count else None
             cur = stats.get(name)
             if cur is None:
                 stats[name] = {"min": lo, "max": hi, "nulls": nulls}
             else:
                 cur["min"] = min(cur["min"], lo)
                 cur["max"] = max(cur["max"], hi)
-                cur["nulls"] += nulls
+                cur["nulls"] = (
+                    None if nulls is None or cur["nulls"] is None else cur["nulls"] + nulls
+                )
     return stats
 
 
@@ -584,7 +592,7 @@ def expire_snapshots(
     keep_last: int,
     guard=None,
     do_vacuum: bool = True,
-    min_age_s: float = 0.0,
+    min_age_s: float = 3600.0,
 ) -> list[int]:
     """Retention — Iceberg's expire_snapshots for the manifest layer:
     drop the manifests of all but the newest ``keep_last`` snapshots,
@@ -593,11 +601,16 @@ def expire_snapshots(
     (loudly, same as Iceberg), ``snapshot_history`` lists only retained
     ids, and files SHARED with retained snapshots (append chains
     reference parents' files) always survive — vacuum keys liveness off
-    the remaining manifests, never off snapshot age. Runs under the
-    commit guard so a concurrent writer can't commit into the middle of
-    the expiry. Returns the expired ids. Without retention a 100-TB
-    table's history grows monotonically: every overwrite/delete keeps
-    its pre-state bytes forever."""
+    the remaining manifests, never off snapshot age. The manifest
+    unlinks run under the commit guard so a concurrent writer can't
+    commit into the middle of the expiry; the vacuum step instead
+    relies on ``min_age_s`` (default 1 h) because a LIVE writer's
+    staged-but-uncommitted data dir is unreferenced by construction —
+    the guard cannot protect it, only the age window can. Pass
+    ``min_age_s=0`` only in a single-writer maintenance window.
+    Returns the expired ids. Without retention a 100-TB table's history
+    grows monotonically: every overwrite/delete keeps its pre-state
+    bytes forever."""
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     from ovalspark.sources.commit_guard import resolve_guard
@@ -682,7 +695,9 @@ def manifest_column_stats(
     full-fidelity), ``bound`` for strings and floats — parquet writers
     may truncate long binary min/max into prefix bounds, which are
     correct as BOUNDS (pruning stays sound) but not necessarily the
-    exact extreme values. Values are rendered as strings so one frame
+    exact extreme values. ``n_nulls`` is NULL when any file's footer
+    omitted null_count (optional in the parquet spec) — unknown is
+    reported as unknown, never as 0. Values are rendered as strings so one frame
     carries mixed column types; integer renderings are exact
     (gate query q59 value-checks the ``exact`` rows against SQL)."""
     m = load_manifest(root, snapshot_id)
@@ -697,12 +712,16 @@ def manifest_column_stats(
             mins = [s["min"] for s in sts]
             maxs = [s["max"] for s in sts]
             kind = "exact" if all(type(v) in (int, bool) for v in mins + maxs) else "bound"
+            # any file with unknown null_count (None) poisons the sum —
+            # report NULL, never a fabricated count
+            per_file_nulls = [s.get("nulls") for s in sts]
+            n_nulls = None if any(v is None for v in per_file_nulls) else sum(per_file_nulls)
             rows.append(
                 (
                     col,
                     str(min(mins)),
                     str(max(maxs)),
-                    sum(s["nulls"] for s in sts),
+                    n_nulls,
                     m["total_rows"],
                     kind,
                 )

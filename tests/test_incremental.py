@@ -210,6 +210,47 @@ def test_tail_backlog_batches_into_one_spanning_job(spark, tmp_path, small_world
     assert sorted(map(tuple, rows)) == sorted(map(tuple, per_commit))
 
 
+def test_tail_backlog_batched_catches_misplaced_commit_docs(spark, tmp_path, small_world):
+    """The masking case a plain union-catalog span job would miss: a doc
+    EXPECTED by commit 2 but WRITTEN by commit 3 must report LOST_DOC
+    (commit 2's verdict) + PHANTOM_DOC (commit 3's) in batched mode,
+    row-identical to per-commit validation — not cancel out to clean."""
+    from ovalspark.operators.incremental import validate_snapshot_tail
+
+    spec, cat, docs, _ = small_world
+    bucket = F.pmod(F.xxhash64("doc_id", F.lit(41)), F.lit(3))
+    parts = [docs.filter(bucket == i).localCheckpoint() for i in range(3)]
+    cats = [cat.join(p.select("doc_id"), "doc_id", "semi").localCheckpoint() for p in parts]
+
+    # move one of part-1's docs into part 2's files; catalogs unchanged
+    moved_id = parts[1].select("doc_id").orderBy("doc_id").first()["doc_id"]
+    moved_doc = parts[1].filter(F.col("doc_id") == moved_id).localCheckpoint()
+    part1 = parts[1].filter(F.col("doc_id") != moved_id).localCheckpoint()
+    part2 = parts[2].unionByName(moved_doc).localCheckpoint()
+
+    def build(name):
+        root = str(tmp_path / name)
+        snapshot_write(parts[0], root)
+        snapshot_write(part1, root, mode="append")
+        snapshot_write(part2, root, mode="append")
+        return root
+
+    def run(root, batch):
+        rows = []
+        for _sid, v in validate_snapshot_tail(
+            spark, root, lambda s: cats[s - 1], spec.n_assets,
+            after_id=0, timeout_s=1.0, batch_commits=batch,
+        ):
+            rows.extend(v.collect())
+        return sorted(map(tuple, rows))
+
+    per_commit = run(build("mis_pc"), batch=False)
+    batched = run(build("mis_b"), batch=True)
+    assert batched == per_commit  # row-identical, including the pair below
+    classes = [(r[1], r[6]) for r in batched if r[1] == moved_id]  # (doc_id, class)
+    assert sorted(c for _, c in classes) == ["LOST_DOC", "PHANTOM_DOC"]
+
+
 def test_tail_backlog_overwrite_span_falls_back_to_per_commit(spark, tmp_path, small_world):
     """An overwrite inside the backlog makes the span diff unsound (it
     would drop the overwritten commit's files), so the tailer must fall

@@ -357,6 +357,9 @@ def test_duplicate_groups_member_cap(spark):
     # the cap path (the cap is then meaningless — fail loudly, not ignore)
     with _pytest.raises(ValueError, match="max_members"):
         duplicate_groups(pairs, max_members=0, include_members=False)
+    # ...and a VALID cap with include_members=False is equally conflicting
+    with _pytest.raises(ValueError, match="include_members"):
+        duplicate_groups(pairs, max_members=10, include_members=False)
 
 
 def _union_find(edges):

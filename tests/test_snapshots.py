@@ -566,8 +566,15 @@ def test_expire_snapshots_retention(spark, tmp_path):
     snapshot_write(df.limit(5), root, mode="append")          # 4: shares 3's files
 
     n_dirs_before = len(g.glob(f"{root}/data/snap-*"))
+    # default min_age_s (1 h): manifests expire but FRESH data dirs are
+    # spared — they are indistinguishable from a live writer's staging
     expired = expire_snapshots(root, keep_last=2)
     assert expired == [1, 2]
+    assert len(g.glob(f"{root}/data/snap-*")) == n_dirs_before
+    # maintenance window (no writers): reclaim now
+    from ovalspark.sources.snapshots import vacuum as _vacuum
+
+    _vacuum(root, min_age_s=0)
     ids = sorted(r.snapshot_id for r in snapshot_history(spark, root).collect())
     assert ids == [3, 4]
     with pytest.raises(FileNotFoundError):
