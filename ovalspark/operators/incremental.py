@@ -400,6 +400,19 @@ def _tail_deltas(
                     broadcast_catalog=broadcast_catalog,
                     added=files,
                 )
+                # a DELETE commit carries its own read-back obligation:
+                # no surviving row in the rewritten files may match the
+                # recorded predicate (oval's delete-then-verify). Rides
+                # the same yielded plan over the same files — the scan is
+                # shared, only the predicate filter is extra. Column
+                # deletes record no predicate; the tail then validates
+                # survivors only (validate_delete can be run manually
+                # with the predicate re-supplied).
+                m_first = manifests.get(first) or load_manifest(root, first)
+                if m_first["operation"] == "delete" and m_first.get("delete_predicate"):
+                    v = v.unionByName(
+                        validate_delete(spark, root, first, m_first["delete_predicate"])
+                    )
             yield span, files, v
 
 

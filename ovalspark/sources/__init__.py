@@ -5,6 +5,7 @@ from ovalspark.sources.snapshots import (  # noqa: F401
     expire_snapshots,
     load_manifest,
     manifest_column_stats,
+    manifest_diff,
     prune_files,
     reconcile_counts,
     snapshot_compact,

@@ -338,6 +338,64 @@ def test_tail_checkpointed_batches_backlog_and_resumes_exactly(spark, tmp_path, 
     assert TailState(state_path).last_validated_id == 11
 
 
+def test_tail_verifies_delete_commits(spark, tmp_path, small_world):
+    """A tailed DELETE commit carries its read-back obligation: a clean
+    delete yields zero violations; a rewritten file with a smuggled-back
+    predicate-matching row yields DELETE_SURVIVOR through the tail."""
+    import glob as g
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ovalspark.operators.incremental import validate_snapshot_tail
+    from ovalspark.sources.snapshots import snapshot_delete
+
+    spec, cat, docs, _ = small_world
+    root = str(tmp_path / "tail_del_tbl")
+    snapshot_write(docs.localCheckpoint().repartition(2, "partition_id"), root)
+    sid = snapshot_delete(spark, root, "partition_id = 0")
+
+    def catalog_for(s):
+        # survivors of the commit's rewritten files, the CLI's scoping
+        ids = spark.read.parquet(*manifest_diff(root, s - 1, s)).select("doc_id")
+        return cat.join(ids, "doc_id", "semi")
+
+    got = list(
+        validate_snapshot_tail(
+            spark, root, catalog_for, spec.n_assets, after_id=1, timeout_s=0.5
+        )
+    )
+    assert [s for s, _ in got] == [sid]
+    assert got[0][1].count() == 0  # clean delete: survivors valid, none match
+
+    # smuggle a predicate-matching row back into a rewritten file
+    rewritten = sorted(
+        g.glob(os.path.join(root, "data", f"snap-{sid}-*", "part-*.parquet"))
+    )[0]
+    t = pq.read_table(rewritten)
+    row = t.slice(0, 1).to_pydict()
+    row["partition_id"] = [0]  # matches the delete predicate
+    # int96 timestamps: match Spark's own parquet encoding so the
+    # rewritten file stays readable by the Spark scan under test
+    pq.write_table(
+        pa.concat_tables([t, pa.Table.from_pydict(row, t.schema)]),
+        rewritten,
+        use_deprecated_int96_timestamps=True,
+    )
+    crc = os.path.join(os.path.dirname(rewritten), f".{os.path.basename(rewritten)}.crc")
+    if os.path.exists(crc):
+        os.unlink(crc)
+
+    got2 = list(
+        validate_snapshot_tail(
+            spark, root, catalog_for, spec.n_assets, after_id=1, timeout_s=0.5
+        )
+    )
+    classes = {r.violation_class for r in got2[0][1].collect()}
+    assert "DELETE_SURVIVOR" in classes
+
+
 def test_snapshot_tail_never_yields_torn_commit(spark, tmp_path, small_world):
     """A manifest at CURRENT+1 whose writer died before the flip is not a
     commit: the tailer must not surface it (CURRENT is the single
