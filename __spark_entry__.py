@@ -1323,6 +1323,53 @@ def _q59_manifest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_Q60_VERSION = "v1"
+
+
+def _q60_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-level file pruning under the value gate: commit the
+    documents table range-partitioned by doc_id (8 files with disjoint
+    id ranges → real pruning opportunity), read with
+    ``prune=("doc_id", 100, 300)`` plus the actual row filter, and
+    aggregate per lang. The oracle applies the same filter to the raw
+    table — pruning that wrongly drops a file (or a stats fold that
+    mis-records a bound) loses rows and hash-mismatches; pruning that
+    fails open only costs scan time, which is the designed failure
+    direction."""
+    from ovalspark.sources.snapshots import current_snapshot_id, snapshot_read, snapshot_write
+
+    root = _oracle_dir("q60", _Q60_VERSION, sf_dir)
+
+    def build(stage):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        snapshot_write(docs.repartitionByRange(8, "doc_id"), stage)
+
+    _publish_once(root, build, is_valid=lambda: current_snapshot_id(root) == 1)
+    df = snapshot_read(spark, root, 1, prune=("doc_id", 100, 300))
+    return (
+        df.filter((F.col("doc_id") >= 100) & (F.col("doc_id") <= 300))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+_Q60_ORACLE = """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id
+    FROM documents
+    WHERE doc_id BETWEEN 100 AND 300
+    GROUP BY lang ORDER BY lang
+"""
+
+
 _Q59_ORACLE = """
     SELECT * FROM (
         SELECT 'doc_id' AS col_name,
@@ -1628,6 +1675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q57_snapshot_delete": _q57_snapshot_delete,
             "q58_snapshot_compact": _q58_snapshot_compact,
             "q59_manifest_stats": _q59_manifest_stats,
+            "q60_pruned_read": _q60_pruned_read,
         }
     )
     return out
@@ -1667,6 +1715,7 @@ def oracle_sql() -> dict[str, str]:
             "q57_snapshot_delete": _Q57_ORACLE,
             "q58_snapshot_compact": _Q58_ORACLE,
             "q59_manifest_stats": _Q59_ORACLE,
+            "q60_pruned_read": _Q60_ORACLE,
         }
     )
     return out
