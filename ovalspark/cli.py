@@ -135,6 +135,33 @@ def build_parser() -> argparse.ArgumentParser:
         "back to per-commit) — the sink partition and reported id are "
         "the span's last snapshot",
     )
+
+    m = sub.add_parser(
+        "maintain",
+        help="snapshot-table lifecycle from spark-submit: predicate delete "
+        "(rewrites only affected files, then read-back verifies), "
+        "compaction, retention, vacuum — each action commits a new "
+        "snapshot or reclaims debris; combine freely, actions run in the "
+        "order delete → compact → expire → vacuum",
+    )
+    m.add_argument("--root", required=True, help="snapshot table root (e.g. <world>/documents)")
+    m.add_argument("--delete-where", default=None, metavar="SQL", help="predicate: rows to DELETE")
+    m.add_argument(
+        "--compact-target-mb", type=int, default=None, help="bin-pack files smaller than this"
+    )
+    m.add_argument(
+        "--expire-keep-last", type=int, default=None, help="retention: keep newest N snapshots"
+    )
+    m.add_argument("--vacuum", action="store_true", help="reclaim unreferenced data/debris")
+    m.add_argument(
+        "--min-age-s",
+        type=float,
+        default=3600.0,
+        help="vacuum/expire safety window: never reclaim data younger than this "
+        "(a live writer's staging is unreferenced by construction; 0 only in a "
+        "single-writer maintenance window)",
+    )
+    m.add_argument("--guard", default=None, help="commit guard: flock|dirlock|sqlite (default env/flock)")
     return p
 
 
@@ -253,6 +280,45 @@ def main(argv: list[str] | None = None) -> int:
             log.info("tail.snapshot", snapshot_id=sid, violations=n)
             print(json.dumps({"snapshot_id": sid, "violations": n}))
         print(json.dumps({"tailed": n_snapshots, "state": state}))
+        return 0
+
+    if args.cmd == "maintain":
+        from ovalspark.operators.incremental import validate_delete
+        from ovalspark.sources.snapshots import (
+            current_snapshot_id,
+            expire_snapshots,
+            snapshot_compact,
+            snapshot_delete,
+            vacuum,
+        )
+
+        report: dict = {"root": args.root}
+        if args.delete_where:
+            prev = current_snapshot_id(args.root)
+            sid = snapshot_delete(spark, args.root, args.delete_where, guard=args.guard)
+            # sid == prev means the predicate matched nothing (no commit)
+            n_surv = validate_delete(spark, args.root, sid).count() if sid != prev else None
+            log.info("maintain.delete", snapshot_id=sid, delete_survivors=n_surv)
+            report["delete"] = {"snapshot_id": sid, "survivors": n_surv}
+            if n_surv:
+                print(json.dumps(report))
+                return 1  # read-back verification failed: rows matched post-delete
+        if args.compact_target_mb:
+            sid = snapshot_compact(spark, args.root, args.compact_target_mb, guard=args.guard)
+            log.info("maintain.compact", snapshot_id=sid)
+            report["compact"] = {"snapshot_id": sid}
+        if args.expire_keep_last:
+            expired = expire_snapshots(
+                args.root, args.expire_keep_last, guard=args.guard,
+                do_vacuum=False,  # the single vacuum below covers it
+            )
+            log.info("maintain.expire", expired=len(expired))
+            report["expired"] = expired
+        if args.vacuum or args.expire_keep_last:
+            removed = vacuum(args.root, min_age_s=args.min_age_s)
+            log.info("maintain.vacuum", removed=len(removed))
+            report["vacuumed"] = len(removed)
+        print(json.dumps(report))
         return 0
     return 2
 

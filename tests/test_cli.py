@@ -157,3 +157,41 @@ def test_cli_tail_sees_catalog_of_mid_flight_commit(spark, tmp_path, capsys):
     per_snap = {d["snapshot_id"]: d["violations"] for d in lines}
     assert set(per_snap) == {1, 2}
     assert per_snap[2] == 0  # clean commit, validated against ITS catalog
+
+
+def test_cli_maintain_lifecycle(spark, tmp_path, capsys):
+    """The spark-submit table-lifecycle surface: delete (with read-back
+    verification folded in), compact, retention, vacuum — one command,
+    one machine-readable report; rows and history behave."""
+    from ovalspark.sources.snapshots import snapshot_history, snapshot_read
+
+    root = str(tmp_path / "mw")
+    main(["generate", "--root", root, "--writers", "2", "--docs-per-writer", "100",
+          "--table-format", "snapshot"])
+    capsys.readouterr()
+    docs_root = f"{root}/documents"
+    n0 = snapshot_read(spark, docs_root).count()
+
+    rc = main(["maintain", "--root", docs_root,
+               "--delete-where", "partition_id = 0",
+               "--compact-target-mb", "256"])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert report["delete"]["survivors"] == 0  # read-back verified in-line
+    after = snapshot_read(spark, docs_root)
+    assert 0 < after.count() < n0
+    assert after.filter("partition_id = 0").count() == 0
+    assert report["compact"]["snapshot_id"] == report["delete"]["snapshot_id"] + 1
+
+    # retention + vacuum in a maintenance window (min-age 0)
+    rc = main(["maintain", "--root", docs_root, "--expire-keep-last", "1",
+               "--min-age-s", "0"])
+    report2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and report2["expired"] and report2["vacuumed"] >= 1
+    ids = [r.snapshot_id for r in snapshot_history(spark, docs_root).collect()]
+    assert len(ids) == 1  # only the newest snapshot remains
+
+    # a predicate matching nothing commits nothing and verifies nothing
+    rc = main(["maintain", "--root", docs_root, "--delete-where", "partition_id = 9999"])
+    report3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and report3["delete"]["survivors"] is None
