@@ -438,6 +438,18 @@ def simhash_near_duplicates(
     )
     left = bands.select("_band", F.col("id").alias("id_a"), F.col("simhash").alias("fp_a"))
     right = bands.select("_band", F.col("id").alias("id_b"), F.col("simhash").alias("fp_b"))
-    pairs = left.join(right, "_band").filter(F.col("id_a") < F.col("id_b")).dropDuplicates(["id_a", "id_b"])
-    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).alias("hamming")
-    return pairs.select("id_a", "id_b", ham).filter(F.col("hamming") <= max_hamming)
+    # verify-BEFORE-dedupe: the hamming check is a flat codegen expression
+    # on the join output, so filtering first means the dropDuplicates
+    # shuffle carries only confirmed near-dups instead of every band
+    # collision — measured 1.5× at sf0.1 (0.49→0.32 s pair stage,
+    # identical pairs), and structurally load-bearing at web scale where
+    # boilerplate bands collide massively
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        left.join(right, "_band")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", "hamming")
+    )
