@@ -398,6 +398,7 @@ def simhash_near_duplicates(
     text_col: str = "text",
     max_hamming: int = 3,
     impl: str = "udf",
+    materialize: bool = True,
 ) -> DataFrame:
     """Candidate pairs from 16-bit fingerprint bands (4 bands → any pair
     within Hamming ≤ 3 shares at least one exact band), verified by exact
@@ -422,6 +423,14 @@ def simhash_near_duplicates(
         "joined": simhash_fingerprints_joined,
     }[impl]
     fp = fp_fn(df, id_col, text_col)
+    if materialize:
+        # the fingerprint lineage feeds BOTH band-join sides — trap #2
+        # (BASELINE.md): unmaterialized, the pandas UDF re-runs per
+        # subtree and even inverts the verify-first win below. Measured
+        # four ways at sf0.1 (round 5): lazy 1.11/1.35 s (old/new order)
+        # vs materialized 0.76/0.64 s — checkpoint + verify-first is the
+        # plan. At real scale fingerprints are a stored column anyway.
+        fp = fp.localCheckpoint()
     # band value carries the band index so bands only collide with the
     # SAME band of other docs; one exploded self-join (not 4)
     bands = fp.select(
