@@ -269,16 +269,50 @@ _Q17_ORACLE = """
 
 
 def _q29_hll_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog column profile (north_star) — estimates are not
-    engine-reproducible, so the driver records rows-only; the query is
-    SELF-validating instead: one pass computes estimate AND exact count
-    and raise_errors if |est-exact| > 3·rsd·exact, so a bad sketch turns
-    this gate row red rather than passing silently. The exact-distinct
-    twin q12 is the hash-checked one."""
+    """HyperLogLog column profile (north_star), ORACLE-ABLE form: the
+    query still computes the HLL estimate and raise_errors in-query if
+    |est-exact| > 3·rsd·exact (a bad sketch turns the row red, it can
+    never pass silently), but the OUTPUT carries only engine-reproducible
+    values — exact distinct counts plus the deterministic bound boolean —
+    so DuckDB can recompute every emitted cell and the gate checks
+    rows+schema+hash instead of rows-only. The estimate itself (not
+    cross-engine reproducible) is asserted, not emitted."""
     from ovalspark.operators.stats import column_profile_checked
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    return column_profile_checked(li, ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"])
+    prof = column_profile_checked(li, ["l_orderkey", "l_partkey", "l_suppkey", "l_returnflag"])
+    return (
+        prof.select(
+            F.col("column").alias("col_name"),
+            "n_rows",
+            "n_nulls",
+            F.col("min").alias("min_v"),
+            F.col("max").alias("max_v"),
+            "n_distinct",
+            "est_within_bound",
+        )
+        .orderBy("col_name")
+    )
+
+
+def _q29_oracle_leg(col: str) -> str:
+    return f"""
+      SELECT '{col}' AS col_name, COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             CAST(MIN({col}) AS VARCHAR) AS min_v, CAST(MAX({col}) AS VARCHAR) AS max_v,
+             COUNT(DISTINCT {col}) AS n_distinct, TRUE AS est_within_bound
+      FROM lineitem"""
+
+
+# the oracle recomputes the exact legs; est_within_bound is literal TRUE
+# because the Spark side RAISES (row never arrives) when the bound fails —
+# a passing run's boolean is deterministically true by construction
+_Q29_ORACLE = (
+    " UNION ALL ".join(
+        _q29_oracle_leg(c) for c in ("l_orderkey", "l_partkey", "l_suppkey", "l_returnflag")
+    )
+    + " ORDER BY col_name"
+)
 
 
 def _q20_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1263,8 +1297,14 @@ def _q58_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     a per-commit append tail accumulates), ``snapshot_compact`` into
     target-sized files (snapshot 2), then aggregate the compacted state
     per lang WITH the file count folded in as a constant column — the
-    oracle pins it to 1, so a compaction that lost or duplicated rows
-    OR failed to actually bin-pack the layout hash-mismatches."""
+    oracle pins a BOOLEAN derived from the manifests — post-compaction
+    file count must equal the bin-pack expectation ceil(small_bytes /
+    target) + carried-over large files AND be strictly below the
+    pre-compaction count — so a compaction that lost or duplicated rows
+    OR failed to actually bin-pack the layout hash-mismatches. (A literal
+    file-count pin would break at any scale factor where the data
+    exceeds one target file — the expectation is computed, not assumed.)
+    """
     from ovalspark.sources.snapshots import (
         current_snapshot_id,
         load_manifest,
@@ -1277,14 +1317,20 @@ def _q58_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda stage: _q58_build(spark, sf_dir, stage),
         is_valid=lambda: current_snapshot_id(root) == 2,
     )
+    threshold = 256 * 1024 * 1024
+    pre = load_manifest(root, 1)["files"]
+    small_bytes = sum(f["bytes"] for f in pre if f["bytes"] < threshold)
+    n_keep = sum(1 for f in pre if f["bytes"] >= threshold)
+    expected = n_keep + max(1, -(-small_bytes // threshold))
     n_files = len(load_manifest(root, 2)["files"])
+    compacted = bool(n_files == expected and n_files < len(pre))
     return (
         snapshot_read(spark, root, 2)
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
             F.count_distinct("doc_id").alias("n_ids"),
-            F.lit(n_files).cast("int").alias("n_files"),
+            F.lit(compacted).alias("compacted"),
         )
         .orderBy("lang")
     )
@@ -1293,7 +1339,7 @@ def _q58_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q58_ORACLE = """
     SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids,
-           CAST(1 AS INTEGER) AS n_files
+           TRUE AS compacted
     FROM documents GROUP BY lang ORDER BY lang
 """
 
@@ -1686,6 +1732,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(
         {
             "q17_quantiles": _Q17_ORACLE,
+            "q29_hll_profile": _Q29_ORACLE,
             "q20_token_stats": _Q20_ORACLE,
             "q21_quality_by_lang": _Q21_ORACLE,
             "q22_lang_id_confusion": _Q22_ORACLE,

@@ -303,18 +303,21 @@ def main(argv: list[str] | None = None) -> int:
             if n_surv:
                 print(json.dumps(report))
                 return 1  # read-back verification failed: rows matched post-delete
-        if args.compact_target_mb:
+        # `is not None`, never truthiness: a user passing 0 must reach the
+        # library's loud ValueError, not silently skip the step and walk
+        # away believing retention/compaction ran
+        if args.compact_target_mb is not None:
             sid = snapshot_compact(spark, args.root, args.compact_target_mb, guard=args.guard)
             log.info("maintain.compact", snapshot_id=sid)
             report["compact"] = {"snapshot_id": sid}
-        if args.expire_keep_last:
+        if args.expire_keep_last is not None:
             expired = expire_snapshots(
                 args.root, args.expire_keep_last, guard=args.guard,
                 do_vacuum=False,  # the single vacuum below covers it
             )
             log.info("maintain.expire", expired=len(expired))
             report["expired"] = expired
-        if args.vacuum or args.expire_keep_last:
+        if args.vacuum or args.expire_keep_last is not None:
             removed = vacuum(args.root, min_age_s=args.min_age_s)
             log.info("maintain.vacuum", removed=len(removed))
             report["vacuumed"] = len(removed)

@@ -244,6 +244,11 @@ def duplicate_groups(
     # silently meaningless — must fail loudly, not be ignored
     if max_members is not None and max_members < 1:
         raise ValueError(f"max_members must be >= 1, got {max_members}")
+    # salt_partitions < 1 would be silent data corruption, not just slow:
+    # pmod(x, 0) yields NULL, collapsing every row into one window
+    # partition — the exact single-task straggler the salting prevents
+    if salt_partitions < 1:
+        raise ValueError(f"salt_partitions must be >= 1, got {salt_partitions}")
     if max_members is not None and not include_members:
         raise ValueError(
             "max_members requires include_members=True (with no member "

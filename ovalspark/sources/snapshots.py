@@ -553,6 +553,8 @@ def snapshot_compact(
     import shutil
     import uuid
 
+    if target_file_mb < 1:
+        raise ValueError(f"target_file_mb must be >= 1, got {target_file_mb}")
     parent = current_snapshot_id(root)
     if parent is None:
         raise FileNotFoundError(f"no committed snapshot at {root}")

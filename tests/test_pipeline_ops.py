@@ -360,6 +360,12 @@ def test_duplicate_groups_member_cap(spark):
     # ...and a VALID cap with include_members=False is equally conflicting
     with _pytest.raises(ValueError, match="include_members"):
         duplicate_groups(pairs, max_members=10, include_members=False)
+    # salt_partitions=0 would pmod-by-zero into NULL salts — every row in
+    # ONE window partition, the exact straggler the salting prevents
+    with _pytest.raises(ValueError, match="salt_partitions"):
+        duplicate_groups(pairs, max_members=10, salt_partitions=0)
+    with _pytest.raises(ValueError, match="salt_partitions"):
+        duplicate_groups(pairs, max_members=10, salt_partitions=-4)
 
 
 def _union_find(edges):

@@ -658,6 +658,12 @@ def test_expire_snapshots_retention(spark, tmp_path):
     assert remaining == live
     with pytest.raises(ValueError, match="keep_last"):
         expire_snapshots(root, keep_last=0)
+    # target_file_mb=0 must raise loudly, not silently no-op (threshold 0
+    # classifies every file as "large enough" and returns parent)
+    from ovalspark.sources.snapshots import snapshot_compact as _compact
+
+    with pytest.raises(ValueError, match="target_file_mb"):
+        _compact(spark, root, target_file_mb=0)
 
 
 def test_snapshot_delete_prune_scopes_discovery(spark, tmp_path):
