@@ -28,10 +28,20 @@ Scope honesty — what each shipped guard actually guarantees:
   see ENOENT and retry the mkdir). Correctness therefore requires the
   lease timeout to exceed the longest possible critical section — the
   section is a handful of small-file reads and renames (milliseconds),
-  the default timeout is 30 s. Residual risk, stated plainly: a breaker
-  that stalls for a full lease period between its staleness check and
-  its rename could evict a FRESH holder; no filesystem-only protocol
-  closes that window — it needs server-side fencing.
+  the default timeout is 30 s. Residual risk, stated plainly, in BOTH
+  directions: a breaker that stalls for a full lease period between its
+  staleness check and its rename could evict a FRESH holder; and
+  symmetrically a HOLDER that stalls past the lease inside the critical
+  section (GC pause, NFS hiccup) gets its fresh-by-intent lease broken,
+  letting a second writer enter concurrently. No filesystem-only
+  protocol closes either window — it needs fencing of the pointer write
+  itself. Two mitigations ship: the commit performs a post-flip
+  verification (re-reads CURRENT and its own manifest bytes before
+  releasing; a concurrent overwrite raises instead of passing silently),
+  and for real multi-host deployments the ``sqlite``/catalog guard moves
+  the pointer flip into a conditional catalog update, which makes a
+  broken lease harmless — the evicted holder's CAS loses by rowcount
+  instead of racing a rename.
 * ``sqlite`` — exclusion as a CATALOG TRANSACTION (``BEGIN IMMEDIATE``
   on ``<root>/manifest/catalog.db``): the shape of the real
   object-store answer, with the database owning both locking and crash
@@ -68,9 +78,19 @@ class CommitGuard:
     ``TimeoutError``), returning an opaque token; ``release`` must be
     called with that token in a ``finally``. Implementations must
     exclude concurrent *processes* within their documented scope and
-    must never let a dead holder wedge the table forever."""
+    must never let a dead holder wedge the table forever.
+
+    ``owns_pointer``: a guard whose token IS an open catalog transaction
+    (the ``sqlite`` guard) sets this True — the snapshot commit then runs
+    its CURRENT-pointer CAS inside that same transaction (token doubles
+    as the connection), so pointer flip and exclusion commit or roll back
+    together. Guards without a catalog leave it False; the commit still
+    routes the flip through the catalog when the TABLE's pointer is
+    catalog-owned (``snapshots._catalog_cas`` opens its own short
+    transaction)."""
 
     name = "abstract"
+    owns_pointer = False
 
     def acquire(self, root: str, timeout_s: float = 30.0):
         raise NotImplementedError
@@ -201,9 +221,20 @@ class SqliteCatalogGuard(CommitGuard):
     releases its locks, and the next opener rolls the journal back — no
     wedge, no stale lease to break. Swapping SQLite for a network
     catalog service turns this into the true multi-region guard with no
-    change above the seam."""
+    change above the seam.
+
+    This guard also OWNS the table's CURRENT pointer (``owns_pointer``):
+    the first commit under it moves the pointer into a ``current`` row in
+    catalog.db, after which every commit — under ANY guard — flips it
+    with a conditional ``UPDATE ... WHERE id = <parent>`` whose rowcount
+    decides the winner, and the file CURRENT is demoted to a read-only
+    cache. That is the object-store commit shape (S3 has no atomic
+    rename; oval's own store is S3): the pointer write itself is fenced,
+    so even a writer whose *exclusion* was wrongly revoked (a broken
+    dirlock lease) cannot tear the pointer — its CAS simply loses."""
 
     name = "sqlite"
+    owns_pointer = True
 
     def acquire(self, root: str, timeout_s: float = 30.0):
         import sqlite3

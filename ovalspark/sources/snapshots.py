@@ -23,16 +23,23 @@ critical section held under a pluggable ``CommitGuard``
 committed since this one resolved its parent, raise
 ``ConcurrentCommitError`` (the loser's data dir is removed; the caller
 retries against the new state). Otherwise write ``v<id>.json`` (tmp +
-rename) and flip CURRENT (tmp + rename). The guard covers only the
-metadata flip — milliseconds — never the data write. SCOPE: the default
-``flock`` guard excludes writers on ONE host (kernel-released on death;
-right for local[] and driver-singleton deployments); the ``dirlock``
-guard extends exclusion to multi-host shared-POSIX (NFS) via an atomic
-mkdir lease; an object-store deployment (the 100-TB target — oval's own
-store is S3) needs a catalog conditional-put implemented against the
-same seam (``commit_guard.register_guard``). This first-wins CAS is the
-semantic of an Iceberg catalog commit, delivered only within the chosen
-guard's documented scope. A reader
+rename) and flip CURRENT. The guard covers only the metadata flip —
+milliseconds — never the data write. SCOPE: the default ``flock`` guard
+excludes writers on ONE host (kernel-released on death; right for
+local[] and driver-singleton deployments); the ``dirlock`` guard
+extends exclusion to multi-host shared-POSIX (NFS) via an atomic mkdir
+lease; the ``sqlite`` guard is the catalog commit — it OWNS the CURRENT
+pointer: the flip becomes a conditional ``UPDATE current SET id=?
+WHERE id=<parent>`` inside the catalog transaction (rowcount 0 = lost
+the race), the CURRENT file demoted to a read-only cache that readers
+ignore once the catalog row exists. That is the commit primitive the
+100-TB object-store target needs (oval's own store is S3, which has no
+atomic rename) and the drop-in shape for a DynamoDB/Nessie conditional
+put; it also fences leaky exclusion — a writer whose dirlock lease was
+wrongly broken loses the CAS by rowcount instead of racing a rename.
+File-pointer commits additionally post-flip-verify their own metadata
+bytes before releasing the guard. This first-wins CAS is the semantic
+of an Iceberg catalog commit. A reader
 resolving any committed snapshot id sees an immutable file list; a
 writer killed mid-commit leaves CURRENT pointing at the previous
 complete snapshot — same guarantee oval relies on when a killed run
@@ -105,6 +112,160 @@ def _atomic_write(path: str, payload: str) -> None:
             os.unlink(tmp)
 
 
+def _catalog_db_path(root: str) -> str:
+    return os.path.join(_manifest_dir(root), "catalog.db")
+
+
+def _catalog_current(root: str) -> tuple[bool, int | None]:
+    """(owned, id): ``owned`` is True iff the table's CURRENT pointer
+    lives in the sqlite catalog (a ``current`` row exists in
+    ``manifest/catalog.db``), in which case ``id`` is authoritative and
+    the CURRENT file is merely a read cache. A catalog.db without the
+    row is the pre-adoption state (the sqlite guard used for exclusion
+    only) — the file pointer still rules."""
+    p = _catalog_db_path(root)
+    if not os.path.exists(p):
+        return False, None
+    import sqlite3
+
+    try:
+        con = sqlite3.connect(p, timeout=30.0)
+        try:
+            row = con.execute("SELECT id FROM current WHERE k='CURRENT'").fetchone()
+        finally:
+            con.close()
+    except sqlite3.OperationalError as e:
+        if "no such table" in str(e):
+            return False, None
+        raise  # locked/corrupt must surface, never silently fall back
+    if row is None:
+        return False, None
+    return True, int(row[0])
+
+
+def _catalog_cas(root: str, parent: int | None, sid: int, loc: str | None, con=None) -> bool:
+    """The catalog-owned commit: inside ONE transaction, record the new
+    manifest's LOCATION (``manifests(id, loc)`` — the id column's
+    PRIMARY KEY rejects a second manifest for the same sid) and flip the
+    pointer with a conditional ``UPDATE current SET id=? WHERE
+    id=<parent>`` whose ROWCOUNT decides the winner. This is the commit
+    primitive an object-store deployment needs (S3 has no atomic rename;
+    it is the drop-in shape for a DynamoDB/Nessie conditional put), and
+    recording the manifest location — not just the id — is what makes a
+    LEAKY exclusion harmless end to end: every writer publishes its
+    manifest under a writer-unique filename, so a loser can neither tear
+    the pointer (CAS loses) nor overwrite the winner's manifest (paths
+    never collide) nor leave resolvable debris (readers resolve ids
+    through the catalog's loc, never by filename guessing).
+
+    Returns True iff this writer won. ``con``: the sqlite guard's held
+    transaction (flip and exclusion then commit together at release);
+    None opens a short ``BEGIN IMMEDIATE`` of its own (for catalog-owned
+    tables committed under a non-catalog guard). ``loc=None`` records no
+    manifest row (the adoption path for a pre-existing ``v<sid>.json``).
+
+    A missing ``current`` row is the ADOPTION path: the caller verified
+    under its guard that the file pointer equals ``parent``, so the
+    first catalog commit INSERTs and from then on the catalog owns the
+    pointer."""
+    import sqlite3
+
+    own = con is None
+    if own:
+        con = sqlite3.connect(_catalog_db_path(root), timeout=30.0)
+        try:
+            con.execute("BEGIN IMMEDIATE")
+        except sqlite3.OperationalError:
+            con.close()
+            raise
+    try:
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS current "
+            "(k TEXT PRIMARY KEY CHECK (k='CURRENT'), id INTEGER NOT NULL)"
+        )
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS manifests (id INTEGER PRIMARY KEY, loc TEXT NOT NULL)"
+        )
+        row = con.execute("SELECT id FROM current WHERE k='CURRENT'").fetchone()
+        if row is None:
+            con.execute("INSERT INTO current (k, id) VALUES ('CURRENT', ?)", (sid,))
+            won = True
+        elif parent is None:
+            won = False  # writer resolved an empty table but a pointer exists
+        else:
+            cur = con.execute(
+                "UPDATE current SET id=? WHERE k='CURRENT' AND id=?", (sid, parent)
+            )
+            won = cur.rowcount == 1
+        if won and loc is not None:
+            try:
+                con.execute("INSERT INTO manifests (id, loc) VALUES (?, ?)", (sid, loc))
+            except sqlite3.IntegrityError:
+                won = False  # a manifest row for sid already exists
+        if own:
+            con.execute("COMMIT" if won else "ROLLBACK")
+        return won
+    finally:
+        if own:
+            con.close()
+
+
+def _catalog_manifest_locs(root: str) -> dict[int, str]:
+    """id → manifest filename for every catalog-recorded commit. Empty
+    for pre-adoption history / file-pointered tables (those resolve via
+    the deterministic ``v<sid>.json``)."""
+    import sqlite3
+
+    p = _catalog_db_path(root)
+    if not os.path.exists(p):
+        return {}
+    try:
+        con = sqlite3.connect(p, timeout=30.0)
+        try:
+            rows = con.execute("SELECT id, loc FROM manifests").fetchall()
+        finally:
+            con.close()
+    except sqlite3.OperationalError as e:
+        if "no such table" in str(e):
+            return {}
+        raise
+    return {int(i): loc for i, loc in rows}
+
+
+def _resolve_manifest_path(root: str, sid: int) -> str:
+    """The committed manifest file for ``sid``: the catalog-recorded
+    location when one exists (catalog-owned commits use writer-unique
+    filenames), else the deterministic ``v<sid>.json`` (file-pointered
+    tables and pre-adoption history)."""
+    loc = _catalog_manifest_locs(root).get(sid)
+    if loc is not None:
+        return os.path.join(_manifest_dir(root), loc)
+    return _manifest_path(root, sid)
+
+
+def adopt_catalog_pointer(root: str, guard=None) -> int:
+    """Migrate an existing table's CURRENT pointer into the sqlite
+    catalog without writing data: after this, every commit (under any
+    guard) flips the pointer via the catalog CAS and the CURRENT file is
+    a read cache. Returns the adopted snapshot id. Idempotent."""
+    from ovalspark.sources.commit_guard import resolve_guard
+
+    g = resolve_guard(guard)
+    token = g.acquire(root)
+    try:
+        owned, cid = _catalog_current(root)
+        if owned:
+            return cid
+        cur = current_snapshot_id(root)
+        if cur is None:
+            raise FileNotFoundError(f"no committed snapshot at {root}")
+        # loc=None: history stays resolvable via the existing v<id>.json
+        _catalog_cas(root, None, cur, None, token if g.owns_pointer else None)
+        return cur
+    finally:
+        g.release(token)
+
+
 def _commit_manifest(
     root: str,
     parent: int | None,
@@ -117,7 +278,19 @@ def _commit_manifest(
     if the table's parent moved since this writer resolved ``parent``,
     raise ``ConcurrentCommitError``; otherwise publish the manifest and
     flip CURRENT. ``guard`` is a name, instance, or None (env default) —
-    see ``sources/commit_guard.resolve_guard``."""
+    see ``sources/commit_guard.resolve_guard``.
+
+    Pointer flip, two regimes. (a) CATALOG-OWNED (the table has a
+    ``current`` row in catalog.db, or the guard owns the pointer — the
+    sqlite guard adopts on first commit): the flip is a conditional
+    UPDATE whose rowcount picks exactly one winner even if the guard's
+    exclusion was leaky (a broken dirlock lease); the CURRENT file is
+    then rewritten only as a read cache. (b) FILE-OWNED (default local
+    deployments): atomic rename, followed by a post-flip verification —
+    re-read CURRENT and the manifest bytes before releasing, so a
+    concurrent writer that slipped a leaky guard and replaced our
+    just-published metadata raises loudly instead of silently losing
+    the commit (last-wins would otherwise be invisible)."""
     from ovalspark.sources.commit_guard import resolve_guard
 
     g = resolve_guard(guard)
@@ -128,18 +301,53 @@ def _commit_manifest(
                 f"snapshot {sid} at {root}: parent moved from {parent} to "
                 f"{current_snapshot_id(root)} — another writer committed first"
             )
-        # a manifest already at sid is debris from a torn commit (its
-        # writer died pre-flip; a LIVE writer would be holding this guard)
-        if os.path.exists(_manifest_path(root, sid)):
-            os.unlink(_manifest_path(root, sid))
-        _atomic_write(_manifest_path(root, sid), json.dumps(manifest, indent=1, sort_keys=True))
-        _atomic_write(_current_path(root), str(sid))
+        payload = json.dumps(manifest, indent=1, sort_keys=True)
+        catalog_owned, _ = _catalog_current(root)
+        if catalog_owned or g.owns_pointer:
+            # writer-unique manifest filename + catalog-recorded location:
+            # concurrent writers' manifests can never alias, and a loser's
+            # file is safe to unlink (nobody else can reference it)
+            import uuid as _uuid
+
+            loc = f"v{sid}-{_uuid.uuid4().hex[:8]}.json"
+            mpath = os.path.join(_manifest_dir(root), loc)
+            _atomic_write(mpath, payload)
+            if not _catalog_cas(root, parent, sid, loc, token if g.owns_pointer else None):
+                os.unlink(mpath)
+                raise ConcurrentCommitError(
+                    f"snapshot {sid} at {root}: catalog pointer CAS lost — "
+                    f"another writer committed first"
+                )
+            _atomic_write(_current_path(root), str(sid))  # read cache only
+        else:
+            # a manifest already at sid is debris from a torn commit (its
+            # writer died pre-flip; a LIVE writer would hold this guard)
+            if os.path.exists(_manifest_path(root, sid)):
+                os.unlink(_manifest_path(root, sid))
+            _atomic_write(_manifest_path(root, sid), payload)
+            _atomic_write(_current_path(root), str(sid))
+            if (
+                open(_current_path(root)).read().strip() != str(sid)
+                or open(_manifest_path(root, sid)).read() != payload
+            ):
+                raise RuntimeError(
+                    f"snapshot {sid} at {root}: post-flip verification failed — "
+                    f"a concurrent writer replaced this commit's metadata "
+                    f"(guard exclusion was violated, e.g. a broken dirlock "
+                    f"lease); use the catalog guard for multi-host writers"
+                )
     finally:
         g.release(token)
 
 
 def current_snapshot_id(root: str) -> int | None:
-    """Latest committed snapshot id, or None for an uninitialized table."""
+    """Latest committed snapshot id, or None for an uninitialized table.
+    Resolution order: the sqlite catalog's ``current`` row when the
+    table's pointer is catalog-owned (authoritative — survives the
+    CURRENT file being stale or deleted), else the CURRENT file."""
+    owned, cid = _catalog_current(root)
+    if owned:
+        return cid
     p = _current_path(root)
     if not os.path.exists(p):
         return None
@@ -156,7 +364,7 @@ def load_manifest(root: str, snapshot_id: int | None = None) -> dict[str, Any]:
     # becomes readable, then vanishes when the debris is reclaimed.
     if cur is None or sid > cur:
         raise FileNotFoundError(f"snapshot {sid} not committed at {root} (CURRENT={cur})")
-    p = _manifest_path(root, sid)
+    p = _resolve_manifest_path(root, sid)
     if not os.path.exists(p):
         raise FileNotFoundError(f"snapshot {sid} not found at {root}")
     with open(p) as f:
@@ -623,12 +831,36 @@ def expire_snapshots(
         cur = current_snapshot_id(root)
         if cur is None:
             return []
+        locs = _catalog_manifest_locs(root)
         expired = []
         for sid in range(1, cur - keep_last + 1):
-            p = _manifest_path(root, sid)
+            loc = locs.get(sid)
+            p = (
+                os.path.join(_manifest_dir(root), loc)
+                if loc is not None
+                else _manifest_path(root, sid)
+            )
             if os.path.exists(p):
                 os.unlink(p)
                 expired.append(sid)
+        if locs and expired:
+            # drop the expired ids' catalog rows so resolution and vacuum
+            # agree with the file state (the pointer row is untouched).
+            # The sqlite guard's token IS an open transaction on this db —
+            # reuse it (a second BEGIN IMMEDIATE would self-deadlock)
+            rows = [(s,) for s in expired]
+            if g.owns_pointer:
+                token.executemany("DELETE FROM manifests WHERE id=?", rows)
+            else:
+                import sqlite3
+
+                con = sqlite3.connect(_catalog_db_path(root), timeout=30.0)
+                try:
+                    con.execute("BEGIN IMMEDIATE")
+                    con.executemany("DELETE FROM manifests WHERE id=?", rows)
+                    con.execute("COMMIT")
+                finally:
+                    con.close()
     finally:
         g.release(token)
     if do_vacuum:
@@ -662,16 +894,20 @@ def vacuum(root: str, min_age_s: float = 0.0) -> list[str]:
 
     removed: list[str] = []
     live_dirs: set[str] = set()
+    live_manifests: set[str] = set()
     if cur is not None:
         for sid in range(1, cur + 1):
-            p = _manifest_path(root, sid)
+            p = _resolve_manifest_path(root, sid)
             if os.path.exists(p):
+                live_manifests.add(os.path.normpath(p))
                 with open(p) as f:
                     for fe in json.load(f)["files"]:
                         live_dirs.add(os.path.dirname(os.path.normpath(_abs_path(root, fe["path"]))))
+    # debris = any manifest file that is not the resolved path of a
+    # committed id: torn commits past CURRENT, CAS losers' unique-named
+    # files, retention leftovers — membership, not filename parsing
     for mp in glob.glob(os.path.join(_manifest_dir(root), "v*.json")):
-        sid = int(os.path.basename(mp)[1:-5])
-        if (cur is None or sid > cur) and _old_enough(mp):
+        if os.path.normpath(mp) not in live_manifests and _old_enough(mp):
             os.unlink(mp)
             removed.append(mp)
     for dd in glob.glob(os.path.join(root, "data", "snap-*")):
@@ -797,11 +1033,14 @@ def snapshot_history(spark: SparkSession, root: str) -> DataFrame:
     flip makes that durable."""
     rows = []
     sid = current_snapshot_id(root)
-    for p in sorted(glob.glob(os.path.join(_manifest_dir(root), "v*.json"))):
-        with open(p) as f:
-            m = json.load(f)
-        if sid is None or m["snapshot_id"] > sid:
-            continue
+    for s in range(1, (sid or 0) + 1):
+        # resolve each id through the committed chain (catalog loc or
+        # v<id>.json) — never by globbing, which would surface loser
+        # debris whose id collides with a committed one
+        try:
+            m = load_manifest(root, s)
+        except FileNotFoundError:
+            continue  # expired by retention
         rows.append(
             (
                 m["snapshot_id"],

@@ -1,0 +1,267 @@
+"""Catalog-owned CURRENT pointer — the object-store commit shape.
+
+The file CURRENT flip is a POSIX atomic rename, which the 100-TB target
+(an S3-like object store) does not have. These tests prove the round-6
+fix end to end: once a table's pointer is adopted into the sqlite
+catalog, the commit point is a conditional ``UPDATE current SET id=?
+WHERE id=<parent>`` (rowcount decides the winner) plus a catalog-recorded
+manifest LOCATION under a writer-unique filename — so correctness no
+longer depends on the guard's exclusion at all:
+
+* two writers that BOTH passed staging and BOTH entered the critical
+  section (exclusion deliberately disabled via a no-op guard) still
+  commit exactly one winner, whose manifest content is what readers
+  resolve;
+* a writer killed mid-commit (after the manifest write and the
+  uncommitted CAS, before the transaction commits) leaves no torn
+  pointer — the table reads at the parent and the slot is retryable;
+* readers resolve every committed id with the CURRENT file deleted or
+  stale (it is a cache, not the pointer).
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import os
+import uuid
+
+import pytest
+
+from tests.test_commit_race import _manifest, _write_data_dir
+
+
+from ovalspark.sources.commit_guard import CommitGuard
+
+
+class NullGuard(CommitGuard):
+    """NO exclusion at all — both writers run the critical section
+    concurrently. Used to prove the catalog CAS alone picks one winner
+    (the dirlock lease-break scenario, distilled)."""
+
+    name = "null"
+    owns_pointer = False
+
+    def acquire(self, root, timeout_s=30.0):
+        return None
+
+    def release(self, token):
+        pass
+
+
+def _null_guard_child(root, n_rows, tag, barrier, q):
+    import shutil
+
+    from ovalspark.sources.snapshots import ConcurrentCommitError, _commit_manifest
+
+    try:
+        files = _write_data_dir(root, 2, n_rows, tag)
+        data_dir = os.path.dirname(os.path.join(root, files[0]["path"]))
+        barrier.wait(timeout=60)
+        try:
+            _commit_manifest(root, 1, 2, _manifest(2, 1, files), NullGuard())
+            q.put((tag, "ok", n_rows))
+        except ConcurrentCommitError:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            q.put((tag, "lost", n_rows))
+    except BaseException as e:  # pragma: no cover - diagnostics only
+        q.put((tag, f"err:{type(e).__name__}:{e}", n_rows))
+
+
+def test_catalog_cas_one_winner_without_any_exclusion(spark, tmp_path):
+    """Both writers pass staging AND both enter the commit concurrently
+    (no-op guard): the catalog CAS alone picks exactly one winner, and
+    the committed manifest is the WINNER's (writer-unique filenames mean
+    the loser could not have overwritten it)."""
+    from ovalspark.sources.snapshots import (
+        _commit_manifest,
+        current_snapshot_id,
+        load_manifest,
+        snapshot_read,
+    )
+
+    root = str(tmp_path / "nullguard_race")
+    files1 = _write_data_dir(root, 1, 5, "seed")
+    # seed under the sqlite guard: adopts the pointer into the catalog
+    _commit_manifest(root, None, 1, _manifest(1, None, files1), "sqlite")
+
+    ctx = mp.get_context("spawn")
+    barrier = ctx.Barrier(2)
+    q = ctx.Queue()
+    procs = [
+        ctx.Process(target=_null_guard_child, args=(root, n, tag, barrier, q))
+        for tag, n in (("alpha", 3), ("beta", 7))
+    ]
+    [p.start() for p in procs]
+    [p.join(timeout=120) for p in procs]
+    assert all(p.exitcode == 0 for p in procs), [p.exitcode for p in procs]
+
+    results = {tag: (status, n) for tag, status, n in (q.get(timeout=10), q.get(timeout=10))}
+    statuses = sorted(s for s, _ in results.values())
+    assert statuses == ["lost", "ok"], results
+
+    assert current_snapshot_id(root) == 2
+    winner_tag = next(t for t, (s, _) in results.items() if s == "ok")
+    winner_rows = next(n for s, n in results.values() if s == "ok")
+    assert snapshot_read(spark, root, 2).count() == winner_rows
+    # the resolved manifest is the winner's file, not the loser's debris
+    assert winner_tag in load_manifest(root, 2)["files"][0]["path"]
+
+
+def _kill_mid_commit_child(root, q):
+    """Run the catalog commit protocol up to and INCLUDING the CAS, then
+    die before the transaction commits — the torn-commit window. The CAS
+    result is signalled through a FILE (an mp.Queue's feeder thread does
+    not survive os._exit)."""
+    import json
+
+    from ovalspark.sources.commit_guard import SqliteCatalogGuard
+    from ovalspark.sources.snapshots import _atomic_write, _catalog_cas, _manifest_dir
+
+    files = _write_data_dir(root, 2, 9, "doomed")
+    g = SqliteCatalogGuard()
+    token = g.acquire(root)
+    loc = f"v2-{uuid.uuid4().hex[:8]}.json"
+    _atomic_write(
+        os.path.join(_manifest_dir(root), loc), json.dumps(_manifest(2, 1, files))
+    )
+    won = _catalog_cas(root, 1, 2, loc, token)
+    _atomic_write(os.path.join(root, "cas_result"), str(bool(won)))
+    os._exit(9)  # die holding the open transaction: no COMMIT ever runs
+
+
+def test_kill_mid_commit_leaves_no_torn_pointer(spark, tmp_path):
+    from ovalspark.sources.snapshots import (
+        _commit_manifest,
+        current_snapshot_id,
+        load_manifest,
+        snapshot_read,
+    )
+
+    root = str(tmp_path / "kill_mid_commit")
+    files1 = _write_data_dir(root, 1, 5, "seed")
+    _commit_manifest(root, None, 1, _manifest(1, None, files1), "sqlite")
+
+    ctx = mp.get_context("spawn")
+    p = ctx.Process(target=_kill_mid_commit_child, args=(root, None))
+    p.start()
+    p.join(timeout=120)
+    assert p.exitcode == 9
+    with open(os.path.join(root, "cas_result")) as f:
+        assert f.read() == "True"  # the CAS itself succeeded...
+
+    # ...but never committed: pointer still at 1, sid 2 unreadable
+    assert current_snapshot_id(root) == 1
+    with pytest.raises(FileNotFoundError):
+        load_manifest(root, 2)
+
+    # the slot is retryable: a fresh commit of sid 2 wins cleanly
+    files2 = _write_data_dir(root, 2, 4, "retry")
+    _commit_manifest(root, 1, 2, _manifest(2, 1, files2), "sqlite")
+    assert current_snapshot_id(root) == 2
+    assert snapshot_read(spark, root, 2).count() == 4
+    assert "retry" in load_manifest(root, 2)["files"][0]["path"]
+
+
+def test_readers_resolve_without_current_file(spark, tmp_path):
+    """The CURRENT file is a read cache once the catalog owns the
+    pointer: delete it, corrupt it — every committed id still resolves."""
+    from ovalspark.sources.snapshots import (
+        _current_path,
+        current_snapshot_id,
+        snapshot_history,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    root = str(tmp_path / "no_current_file")
+    df = spark.range(20).selectExpr("cast(id as string) as doc_id")
+    snapshot_write(df, root, guard="sqlite")
+    snapshot_write(df.limit(5), root, mode="append", guard="sqlite")
+
+    os.unlink(_current_path(root))
+    assert current_snapshot_id(root) == 2
+    assert snapshot_read(spark, root, 1).count() == 20
+    assert snapshot_read(spark, root, 2).count() == 25
+    assert snapshot_history(spark, root).count() == 2
+
+    # a STALE cache (crash between CAS and cache rewrite) is ignored too
+    with open(_current_path(root), "w") as f:
+        f.write("1")
+    assert current_snapshot_id(root) == 2
+
+
+def test_adoption_from_file_pointered_history(spark, tmp_path):
+    """A table born under the file pointer (flock commits) is adopted by
+    its first sqlite-guard commit; afterwards even FLOCK commits route
+    the flip through the catalog, and pre-adoption history still reads."""
+    from ovalspark.sources.snapshots import (
+        _catalog_current,
+        current_snapshot_id,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    root = str(tmp_path / "adopted")
+    df = spark.range(10).selectExpr("cast(id as string) as doc_id")
+    snapshot_write(df, root, guard="flock")
+    snapshot_write(df.limit(3), root, mode="append", guard="flock")
+    assert _catalog_current(root) == (False, None)
+
+    snapshot_write(df.limit(2), root, mode="append", guard="sqlite")
+    assert _catalog_current(root) == (True, 3)
+
+    # post-adoption flock commit: pointer advances IN THE CATALOG
+    snapshot_write(df.limit(1), root, mode="append", guard="flock")
+    assert _catalog_current(root) == (True, 4)
+    assert current_snapshot_id(root) == 4
+    for sid, want in ((1, 10), (2, 13), (3, 15), (4, 16)):
+        assert snapshot_read(spark, root, sid).count() == want
+
+
+def test_adopt_helper_idempotent(spark, tmp_path):
+    from ovalspark.sources.snapshots import (
+        _catalog_current,
+        adopt_catalog_pointer,
+        snapshot_write,
+    )
+
+    root = str(tmp_path / "adopt_helper")
+    df = spark.range(6).selectExpr("cast(id as string) as doc_id")
+    snapshot_write(df, root)  # default flock: file-pointered
+    assert adopt_catalog_pointer(root) == 1
+    assert _catalog_current(root) == (True, 1)
+    assert adopt_catalog_pointer(root) == 1  # idempotent
+
+
+def test_maintenance_on_catalog_owned_table(spark, tmp_path):
+    """Delete, compact, retention and vacuum all run against a
+    catalog-pointered table: resolution goes through catalog locs, and
+    vacuum removes CAS-loser debris by membership, not filename parse."""
+    from ovalspark.sources.snapshots import (
+        expire_snapshots,
+        load_manifest,
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_history,
+        snapshot_read,
+        snapshot_write,
+        vacuum,
+    )
+
+    root = str(tmp_path / "catalog_maint")
+    df = spark.range(400).selectExpr("id as v", "cast(id as string) as doc_id")
+    snapshot_write(df.repartition(6), root, guard="sqlite")
+    sid2 = snapshot_delete(spark, root, "v < 50", guard="sqlite")
+    assert sid2 == 2
+    assert snapshot_read(spark, root, 2).count() == 350
+    sid3 = snapshot_compact(spark, root, target_file_mb=64, guard="sqlite")
+    assert sid3 == 3
+    assert snapshot_read(spark, root, 3).count() == 350
+    assert load_manifest(root, 3)["operation"] == "replace"
+
+    expired = expire_snapshots(root, keep_last=2, guard="sqlite", do_vacuum=False)
+    assert expired == [1]
+    removed = vacuum(root, min_age_s=0)
+    assert removed  # snapshot 1's unshared data is reclaimed
+    assert sorted(r.snapshot_id for r in snapshot_history(spark, root).collect()) == [2, 3]
+    assert snapshot_read(spark, root, 3).count() == 350
