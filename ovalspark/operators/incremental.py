@@ -539,12 +539,23 @@ def validate_snapshot_tail_checkpointed(
 
     ``batch_commits=True``: a backlog that passes the safety checks
     (``_tail_deltas``) is validated by ONE spanning delta job; the sink
-    partition and the yielded id are the span's LAST snapshot (the sink
-    stays idempotent — a rerun of the same span overwrites the same
-    partition), and the lineage records the full id list, so resume
-    after a mid-span crash re-runs the whole span (at-least-once, same
-    contract as single commits).
+    partition and the yielded id are the span's LAST snapshot, and the
+    lineage records the full id list, so resume after a mid-span crash
+    re-runs the whole span (at-least-once, same contract as single
+    commits). Batched-mode convergence: the sink partition key is the
+    span's last id, which is TIMING-dependent — a crash between the sink
+    write (partition snapshot=K) and the state advance, with more
+    commits landing during downtime, makes the rerun form a LONGER span
+    ending K' > K, and a plain overwrite of snapshot=K' would leave the
+    orphaned snapshot=K partition double-counting its commits. Because
+    the rerun span restarts from the same un-advanced position, it
+    always COVERS every id a crashed attempt could have keyed a
+    partition by — so each write first deletes the sink partitions of
+    ALL ids in its span, making the rerun converge to the same bytes as
+    an uninterrupted run regardless of where the crash fell.
     """
+    import shutil
+
     state = TailState(state_path)
     for sids, files, v in _tail_deltas(
         spark,
@@ -560,6 +571,10 @@ def validate_snapshot_tail_checkpointed(
         sid = sids[-1]
         if sink_dir is not None:
             v = v.localCheckpoint()  # one execution feeds sink AND count
+            for s in sids:
+                # crashed-attempt partitions keyed by ANY id this span
+                # covers (see docstring) — remove before writing ours
+                shutil.rmtree(f"{sink_dir}/snapshot={s}", ignore_errors=True)
             v.write.mode("overwrite").parquet(f"{sink_dir}/snapshot={sid}")
             n = v.count()
         else:

@@ -338,6 +338,86 @@ def test_tail_checkpointed_batches_backlog_and_resumes_exactly(spark, tmp_path, 
     assert TailState(state_path).last_validated_id == 11
 
 
+def test_tail_checkpointed_batched_crash_orphan_partition_converges(
+    spark, tmp_path, small_world
+):
+    """The batched sink's partition key is the span's LAST id — which is
+    timing-dependent: a crash between the sink write (snapshot=K) and the
+    state advance, with more commits landing during downtime, makes the
+    rerun form a LONGER span ending K' > K. Without cleanup the orphaned
+    snapshot=K partition would double-count its commits' violations next
+    to snapshot=K'. The rerun must delete every partition its span covers
+    before writing, converging to the same sink bytes as an uninterrupted
+    run."""
+    from ovalspark.datagen import inject_faults
+    from ovalspark.operators.incremental import (
+        TailState,
+        validate_snapshot_tail_checkpointed,
+    )
+
+    spec, cat, docs, _ = small_world
+    bucket = F.pmod(F.xxhash64("doc_id", F.lit(11)), F.lit(12))
+    parts = [docs.filter(bucket == i).localCheckpoint() for i in range(12)]
+    cats = [cat.join(p.select("doc_id"), "doc_id", "semi").localCheckpoint() for p in parts]
+    bad, _ = inject_faults(parts[4], cats[4], spec, {"WRONG_KIND": 0.3})
+    parts[4] = bad.localCheckpoint()
+
+    root = str(tmp_path / "orphan_tbl")
+    snapshot_write(parts[0], root)
+    for p in parts[1:10]:
+        snapshot_write(p, root, mode="append")
+
+    def catalog_for(sid):
+        return cats[sid - 1]
+
+    state_path = str(tmp_path / "orphan_state.json")
+    sink = str(tmp_path / "orphan_sink")
+    first = list(
+        validate_snapshot_tail_checkpointed(
+            spark, root, catalog_for, state_path, sink_dir=sink,
+            n_assets=spec.n_assets, timeout_s=0.5, batch_commits=True,
+        )
+    )
+    assert [s for s, _ in first] == [10]
+    assert os.path.isdir(f"{sink}/snapshot=10")
+
+    # CRASH SIMULATION: partition snapshot=10 was written but the state
+    # never advanced — and two more commits land during the downtime
+    os.unlink(state_path)
+    os.unlink(state_path + ".lineage.jsonl")
+    snapshot_write(parts[10], root, mode="append")
+    snapshot_write(parts[11], root, mode="append")
+
+    second = list(
+        validate_snapshot_tail_checkpointed(
+            spark, root, catalog_for, state_path, sink_dir=sink,
+            n_assets=spec.n_assets, timeout_s=0.5, batch_commits=True,
+        )
+    )
+    assert [s for s, _ in second] == [12]  # rerun spans 1..12 in one job
+    # the orphaned snapshot=10 partition is GONE — no double counting
+    partitions = sorted(
+        os.path.basename(d) for d in __import__("glob").glob(f"{sink}/snapshot=*")
+    )
+    assert partitions == ["snapshot=12"]
+    assert TailState(state_path).last_validated_id == 12
+
+    # uninterrupted control run over the same 12 commits: same bytes
+    ctrl_state = str(tmp_path / "orphan_ctrl_state.json")
+    ctrl_sink = str(tmp_path / "orphan_ctrl_sink")
+    list(
+        validate_snapshot_tail_checkpointed(
+            spark, root, catalog_for, ctrl_state, sink_dir=ctrl_sink,
+            n_assets=spec.n_assets, timeout_s=0.5, batch_commits=True,
+        )
+    )
+    got = spark.read.parquet(f"{sink}/snapshot=12")
+    want = spark.read.parquet(f"{ctrl_sink}/snapshot=12")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    assert got.count() == second[0][1] > 0
+
+
 def test_tail_verifies_delete_commits(spark, tmp_path, small_world):
     """A tailed DELETE commit carries its read-back obligation: a clean
     delete yields zero violations; a rewritten file with a smuggled-back
