@@ -112,14 +112,16 @@ def build_parser() -> argparse.ArgumentParser:
     t = sub.add_parser(
         "tail",
         help="continuously validate a snapshot-format world as commits land "
-        "(delta-scoped per commit; durable resume via --state). Scope "
-        "limitation: the CLI derives each commit's expected set from the "
-        "stored catalog semi-joined on the docs the commit actually wrote, "
-        "so it detects every span/field violation and PHANTOM_DOC but "
-        "structurally CANNOT detect LOST_DOC (a doc the catalog expected "
-        "but the commit never wrote has no row to join on) — for LOST_DOC "
-        "coverage use the API with writer-supplied expected sets "
-        "(validate_snapshot_tail(catalog_for=...)) or a full batch validate",
+        "(delta-scoped per commit; durable resume via --state). Expected "
+        "sets: commits that recorded their promise in the manifest "
+        "(snapshot_write(expect=...) / TableSet.save — the default for "
+        "worlds written by this engine) get FULL coverage including "
+        "LOST_DOC, self-contained from the stored state. Commits without "
+        "a recorded expectation fall back to the stored catalog scoped to "
+        "the docs actually written — every span/field violation and "
+        "PHANTOM_DOC, but structurally no LOST_DOC (an unwritten doc has "
+        "no row to join on); for those use the API with writer-supplied "
+        "sets (validate_snapshot_tail(catalog_for=...)) or a batch validate",
     )
     t.add_argument("--root", required=True, help="TableSet root written with --table-format snapshot")
     t.add_argument("--out", required=True, help="violations sink dir (parquet, one subdir per snapshot)")
@@ -231,37 +233,13 @@ def main(argv: list[str] | None = None) -> int:
         return 0 if res.passed else 1
 
     if args.cmd == "tail":
-        from ovalspark.operators.incremental import validate_snapshot_tail_checkpointed
-        from ovalspark.sources import read_table
-        from ovalspark.sources.snapshots import manifest_diff, load_manifest
+        from ovalspark.operators.incremental import (
+            stored_catalog_for,
+            validate_snapshot_tail_checkpointed,
+        )
 
         docs_root = f"{args.root}/documents"
-
-        def catalog_for(sid: int):
-            # Scope the stored catalog to the doc_ids the commit actually
-            # added (one column-pruned read of the delta files). This
-            # catches every span/field violation and PHANTOM_DOC in the
-            # delta; LOST_DOC needs writer-supplied per-commit expected
-            # sets (API: validate_snapshot_tail(catalog_for=...)) or a
-            # full batch `validate` — a stored catalog cannot say which
-            # of its entries THIS append was supposed to carry.
-            #
-            # The catalog is re-read PER COMMIT, never frozen at startup:
-            # a long-running tailer that cached it would validate later
-            # commits against a stale catalog — their legitimately new
-            # docs all false-PHANTOM and their span checks silently
-            # skipped (the validator's catalog join would drop them).
-            catalog = read_table(spark, f"{args.root}/catalog", fmt="snapshot")
-            parent = load_manifest(docs_root, sid)["parent_id"]
-            added = manifest_diff(docs_root, parent if parent else None, sid)
-            if not added:
-                # empty commit (no-op append): nothing claimed, nothing
-                # expected — validate_snapshot_delta handles the empty
-                # scope; spark.read.parquet() with zero paths would not
-                return catalog.limit(0)
-            ids = spark.read.parquet(*added).select("doc_id")
-            return catalog.join(ids, "doc_id", "semi")
-
+        catalog_for = stored_catalog_for(spark, args.root)
         log.info("tail.start", root=args.root, out=args.out)
         n_snapshots = 0
         state = args.state or f"{args.out}/tail_state.json"

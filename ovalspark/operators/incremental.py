@@ -143,6 +143,48 @@ def validate_delete(
     )
 
 
+def stored_catalog_for(spark: SparkSession, table_root: str):
+    """A ``catalog_for`` callable for tailers WITHOUT the writer's
+    in-memory expected sets, deriving each commit's expectation from the
+    stored state (the CLI tail's mode). Per commit, in preference order:
+
+    1. The commit's manifest-recorded EXPECTED doc set
+       (``snapshot_write(..., expect=...)`` / ``TableSet.save`` sidecar):
+       the stored catalog semi-joined on the ids the writer PROMISED —
+       full coverage including LOST_DOC (a promised doc that was never
+       written has an expectation row but no doc row, so the existence
+       anti-join reports it), self-contained from the manifest alone.
+    2. Fallback for commits that recorded no expectation: the stored
+       catalog semi-joined on the ids the commit actually WROTE — every
+       span/field violation and PHANTOM_DOC, but structurally no
+       LOST_DOC (an unwritten doc has no row to join on).
+
+    The catalog is re-read PER COMMIT, never frozen at startup: a
+    long-running tailer that cached it would validate later commits
+    against a stale catalog — their legitimately new docs all
+    false-PHANTOM and their span checks silently skipped."""
+    from ovalspark.sources import read_table
+    from ovalspark.sources.snapshots import load_manifest, read_expected_docs
+
+    docs_root = f"{table_root}/documents"
+
+    def catalog_for(sid: int):
+        catalog = read_table(spark, f"{table_root}/catalog", fmt="snapshot")
+        exp = read_expected_docs(spark, docs_root, sid)
+        if exp is not None:
+            return catalog.join(exp.select("doc_id"), "doc_id", "semi")
+        parent = load_manifest(docs_root, sid)["parent_id"]
+        added = manifest_diff(docs_root, parent if parent else None, sid)
+        if not added:
+            # empty commit (no-op append): nothing claimed, nothing
+            # expected — validate_snapshot_delta handles the empty scope
+            return catalog.limit(0)
+        ids = spark.read.parquet(*added).select("doc_id")
+        return catalog.join(ids, "doc_id", "semi")
+
+    return catalog_for
+
+
 def iter_commit_batches(
     root: str,
     after_id: int = 0,

@@ -537,6 +537,7 @@ def snapshot_write(
     mode: str = "overwrite",
     target_file_mb: int | None = None,
     guard=None,
+    expect: DataFrame | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot; returns the new snapshot id.
 
@@ -563,6 +564,16 @@ def snapshot_write(
     commit uses the plan's sizeInBytes statistic (metadata only) and, if
     that private API is unavailable, a parquet-encoded sample's bytes/row
     × row count. Without it, the upstream partitioning decides file count.
+
+    ``expect`` — the writer's EXPECTED document set for this commit (any
+    frame with a ``doc_id`` column): persisted as a parquet sidecar
+    inside the commit's data dir and recorded in the manifest
+    (``expect.loc`` + ``expect.n_docs``), making the commit
+    self-describing for downstream validators — a tailer without the
+    writer's in-memory catalog can still reconcile LOST_DOC (a doc the
+    writer promised but never wrote) from the manifest alone
+    (``read_expected_docs``). The sidecar is O(commit's doc count)
+    and shares the data dir's lifecycle (vacuum/retention-safe).
     """
     import shutil
     import uuid
@@ -619,12 +630,42 @@ def snapshot_write(
         "total_bytes": sum(f["bytes"] for f in files),
         "files": files,
     }
+    if expect is not None:
+        import pyarrow.parquet as pq
+
+        # the leading underscore keeps the sidecar invisible to Spark's
+        # parquet discovery over the data dir (and to our own part-* glob)
+        expect_dir = os.path.join(data_dir, "_expect")
+        expect.select("doc_id").write.mode("error").parquet(expect_dir)
+        n_expected = sum(
+            pq.ParquetFile(p).metadata.num_rows
+            for p in glob.glob(os.path.join(expect_dir, "part-*.parquet"))
+        )
+        manifest["expect"] = {
+            "loc": os.path.relpath(expect_dir, root),
+            "n_docs": int(n_expected),
+        }
     try:
         _commit_manifest(root, parent, sid, manifest, guard)
     except ConcurrentCommitError:
         shutil.rmtree(data_dir, ignore_errors=True)
         raise
     return sid
+
+
+def read_expected_docs(
+    spark: SparkSession, root: str, snapshot_id: int | None = None
+) -> DataFrame | None:
+    """The writer-recorded expected doc set of a commit (``doc_id``
+    frame), or None when the commit recorded none. This is what makes a
+    tailer self-contained for LOST_DOC: the manifest names the docs the
+    writer promised, so a commit that wrote fewer than it promised is
+    caught without any caller-supplied catalog."""
+    m = load_manifest(root, snapshot_id)
+    exp = m.get("expect")
+    if exp is None:
+        return None
+    return spark.read.parquet(_abs_path(root, exp["loc"]))
 
 
 def _file_basename(col):

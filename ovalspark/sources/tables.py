@@ -55,6 +55,7 @@ def write_table(
     fmt: str = "auto",
     partition_by: tuple[str, ...] = ("partition_id",),
     mode: str = "overwrite",
+    expect: DataFrame | None = None,
 ) -> None:
     spark = df.sparkSession
     if fmt == "snapshot":
@@ -69,8 +70,13 @@ def write_table(
             )
         if mode not in ("overwrite", "append"):
             raise ValueError(f"fmt='snapshot' supports mode overwrite|append, got {mode!r}")
-        snapshot_write(df, path_or_ident, mode=mode)
+        snapshot_write(df, path_or_ident, mode=mode, expect=expect)
         return
+    if expect is not None:
+        raise ValueError(
+            "expect= (writer-recorded expected doc set) requires fmt='snapshot' "
+            "— only the manifest layer can persist it with the commit"
+        )
     if fmt == "iceberg" or (fmt == "auto" and not path_or_ident.startswith("/") and _iceberg_available(spark)):
         w = df.writeTo(path_or_ident)
         if partition_by:
@@ -118,7 +124,22 @@ class TableSet:
         write_table(self.catalog, f"{root}/catalog", fmt=fmt, partition_by=pb)
         if self.assets is not None:
             write_table(self.assets, f"{root}/assets", fmt=fmt, partition_by=())
-        write_table(self.docs, f"{root}/documents", fmt=fmt, partition_by=pb)
+        if fmt == "snapshot":
+            from pyspark.sql import functions as F
+
+            # record the writer's promise WITH the commit: the catalog's
+            # exists=True doc set is exactly what this save claims to
+            # write, so a tailer can reconcile LOST_DOC self-contained
+            # (no caller-supplied catalog) from the manifest sidecar
+            write_table(
+                self.docs,
+                f"{root}/documents",
+                fmt=fmt,
+                partition_by=pb,
+                expect=self.catalog.filter(F.col("exists")),
+            )
+        else:
+            write_table(self.docs, f"{root}/documents", fmt=fmt, partition_by=pb)
 
 
 def write_bucketed(df: DataFrame, name: str, warehouse: str, n_buckets: int = 64, key: str = "doc_id") -> None:

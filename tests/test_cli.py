@@ -159,6 +159,45 @@ def test_cli_tail_sees_catalog_of_mid_flight_commit(spark, tmp_path, capsys):
     assert per_snap[2] == 0  # clean commit, validated against ITS catalog
 
 
+def test_cli_tail_self_contained_lost_doc(spark, tmp_path, capsys):
+    """A commit that writes FEWER docs than its catalog promises is
+    caught by the stored-catalog tail with no writer-supplied sets: the
+    manifest-recorded expected doc set (TableSet.save sidecar) names the
+    missing doc_ids as LOST_DOC — the coverage gap the round-5 help text
+    documented, now closed."""
+    from ovalspark.sources import read_table
+
+    root, out = str(tmp_path / "ldw"), str(tmp_path / "ldout")
+    assert main(
+        ["generate", "--root", root, "--writers", "2", "--docs-per-writer", "80",
+         "--spans", "1-4", "--table-format", "snapshot"]
+    ) == 0
+    capsys.readouterr()
+    assert main(
+        ["generate", "--root", root, "--writers", "2", "--docs-per-writer", "80",
+         "--spans", "1-4", "--faults", "LOST_DOC=0.15", "--table-format", "snapshot"]
+    ) == 0
+    capsys.readouterr()
+
+    assert main(["tail", "--root", root, "--out", out, "--timeout", "1"]) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    per_snap = {d["snapshot_id"]: d["violations"] for d in lines if "snapshot_id" in d}
+    assert per_snap[1] == 0 and per_snap[2] > 0
+
+    lost = (
+        spark.read.parquet(f"{out}/snapshot=2")
+        .filter("violation_class = 'LOST_DOC'")
+        .localCheckpoint()
+    )
+    assert lost.count() > 0
+    # every named doc_id is genuinely absent from the written docs...
+    docs = read_table(spark, f"{root}/documents", fmt="snapshot")
+    assert lost.join(docs, "doc_id", "semi").count() == 0
+    # ...and genuinely promised by the stored catalog
+    cat = read_table(spark, f"{root}/catalog", fmt="snapshot").filter("exists")
+    assert lost.join(cat, "doc_id", "semi").count() == lost.count()
+
+
 def test_cli_maintain_lifecycle(spark, tmp_path, capsys):
     """The spark-submit table-lifecycle surface: delete (with read-back
     verification folded in), compact, retention, vacuum — one command,

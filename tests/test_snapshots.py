@@ -666,6 +666,33 @@ def test_expire_snapshots_retention(spark, tmp_path):
         _compact(spark, root, target_file_mb=0)
 
 
+def test_snapshot_write_records_expected_docs(spark, tmp_path):
+    """``expect=`` persists the writer's promised doc set as a manifest
+    sidecar: count recorded, ids readable back, absent when not given,
+    and the sidecar survives vacuum (it shares the live data dir)."""
+    from ovalspark.sources.snapshots import read_expected_docs
+    from ovalspark.sources.snapshots import vacuum as _vacuum
+
+    root = str(tmp_path / "expect_tbl")
+    df = spark.range(30).selectExpr("cast(id as string) as doc_id")
+    promised = spark.range(35).selectExpr("cast(id as string) as doc_id", "id as extra")
+    sid = snapshot_write(df, root, expect=promised)
+    m = load_manifest(root, sid)
+    assert m["expect"]["n_docs"] == 35
+    got = read_expected_docs(spark, root, sid)
+    assert got.columns == ["doc_id"]  # sidecar stores ids only
+    assert got.count() == 35
+    # 5 promised ids never written — the self-contained LOST_DOC signal
+    assert got.join(snapshot_read(spark, root, sid), "doc_id", "anti").count() == 5
+
+    sid2 = snapshot_write(df.limit(5), root, mode="append")
+    assert read_expected_docs(spark, root, sid2) is None
+    assert "expect" not in load_manifest(root, sid2)
+
+    _vacuum(root, min_age_s=0)
+    assert read_expected_docs(spark, root, sid).count() == 35
+
+
 def test_snapshot_delete_prune_scopes_discovery(spark, tmp_path):
     """A range-shaped delete with caller-supplied prune bounds opens only
     the overlapping files at discovery time; the committed result is
