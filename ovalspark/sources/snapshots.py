@@ -70,13 +70,16 @@ from pyspark.sql import functions as F
 
 
 class SchemaMismatchError(ValueError):
-    """An append's schema differs from the table's committed schema. The
-    snapshot read hands Spark an explicit parquet file list, so a
-    mismatched append would not fail at write time — it would surface
-    later as a read whose columns depend on WHICH file Spark samples
-    first (missing columns silently null-filled). Appends therefore
-    require the exact committed schema; evolve via an ``overwrite``
-    commit, which establishes the new schema for subsequent appends."""
+    """An append's schema CONFLICTS with the table's committed schema —
+    a committed column dropped, retyped, or reordered. Additive evolution
+    is allowed (Iceberg's add-column): an append may carry NEW nullable
+    columns after the committed prefix; the commit records the widened
+    schema and reads NULL-fill the new columns for older files (the
+    snapshot read passes the committed schema explicitly, so column
+    presence never depends on which file Spark samples first). Appends
+    NARROWER than the committed schema still raise — once widened, every
+    writer must carry the full schema; incompatible reshapes evolve via
+    an ``overwrite`` commit, which establishes a fresh schema."""
 
 
 class ConcurrentCommitError(RuntimeError):
@@ -415,7 +418,13 @@ def _column_stats(md) -> dict[str, dict[str, Any]]:
             st = col.statistics
             ok = st is not None and st.has_min_max
             if ok:
-                lo, hi = st.min, st.max
+                try:
+                    lo, hi = st.min, st.max
+                except Exception:
+                    # pyarrow can't extract stats for every physical type
+                    # (e.g. decimals) — absent stats mean "cannot prune"
+                    ok = False
+            if ok:
                 ok = (
                     type(lo) in (int, float, str, bool)
                     and type(hi) in (int, float, str, bool)
@@ -531,6 +540,43 @@ def _sampled_size_estimate(df: DataFrame, sample_rows: int = 1024) -> int:
         shutil.rmtree(d, ignore_errors=True)
 
 
+def _check_append_schema(root: str, parent_manifest: dict, df: DataFrame) -> None:
+    """Additive-evolution gate for appends: the committed columns must
+    appear as a PREFIX of the append's schema, same names and types in
+    the same order (compared via per-field simpleString — parquet
+    read-back flips nullability and producers vary metadata; neither
+    should reject a sound append); columns past the prefix are NEW and
+    become nullable in the table regardless of the frame's flag (older
+    files read NULL for them — ``_committed_schema`` forces nullability
+    at read, so a literal-derived non-nullable column is accepted, not
+    lied about). Dropped, retyped, or reordered committed columns raise
+    ``SchemaMismatchError``."""
+    committed_ddl = parent_manifest["schema_ddl"]
+    if committed_ddl == df.schema.simpleString():
+        return
+    from pyspark.sql.types import StructType
+
+    committed = StructType.fromJson(json.loads(parent_manifest["schema_json"]))
+    new_fields = df.schema.fields
+    if len(new_fields) < len(committed.fields):
+        dropped = [f.name for f in committed.fields]
+        dropped = sorted(set(dropped) - {f.name for f in new_fields}) or dropped
+        raise SchemaMismatchError(
+            f"append to {root}: committed column(s) {dropped} missing — "
+            f"appends may add nullable columns but never drop committed "
+            f"ones; reshape via an overwrite commit"
+        )
+    for cf, nf in zip(committed.fields, new_fields):
+        if nf.name != cf.name or nf.dataType.simpleString() != cf.dataType.simpleString():
+            raise SchemaMismatchError(
+                f"append to {root}: column {cf.name!r} "
+                f"({cf.dataType.simpleString()}) conflicts with append's "
+                f"{nf.name!r} ({nf.dataType.simpleString()}) — committed "
+                f"columns must form an identical prefix (no retype/"
+                f"reorder); reshape via an overwrite commit"
+            )
+
+
 def snapshot_write(
     df: DataFrame,
     root: str,
@@ -582,15 +628,7 @@ def snapshot_write(
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     parent = current_snapshot_id(root)
     if mode == "append" and parent is not None:
-        # compare names+types+order via simpleString, NOT schema_json:
-        # parquet read-back flips every field nullable, and metadata
-        # differs per producer — neither should reject a sound append
-        committed = load_manifest(root, parent)["schema_ddl"]
-        if committed != df.schema.simpleString():
-            raise SchemaMismatchError(
-                f"append to {root}: schema {df.schema.simpleString()} != "
-                f"committed {committed}; evolve via an overwrite commit"
-            )
+        _check_append_schema(root, load_manifest(root, parent), df)
     if target_file_mb is not None:
         est_bytes = None
         if parent is not None:
@@ -675,15 +713,19 @@ def _file_basename(col):
     return F.element_at(F.split(F.url_decode(col), "/"), -1)
 
 
-def _delete_discovery_frame(spark: SparkSession, paths: list[str], pred) -> DataFrame:
+def _delete_discovery_frame(spark: SparkSession, paths: list[str], pred, schema=None) -> DataFrame:
     """The affected-file discovery scan: distinct basenames of files with
     predicate-TRUE rows. Plain ``filter(pred)`` on purpose — identical
     semantics to pred-IS-TRUE (filter drops NULLs) and, unlike a
     ``coalesce(pred, false)`` wrapper, it reaches the parquet scan as
     PushedFilters so row-group stats skip non-matching files cheaply
-    (plan-asserted in tests/test_plan_shape.py)."""
+    (plan-asserted in tests/test_plan_shape.py). ``schema``: the
+    committed schema, so a predicate on a post-evolution column
+    null-matches (and keeps) pre-evolution files instead of failing
+    analysis on whichever file inference sampled."""
+    r = spark.read if schema is None else spark.read.schema(schema)
     return (
-        spark.read.parquet(*paths)
+        r.parquet(*paths)
         .filter(pred)
         .select(_file_basename(F.input_file_name()).alias("_f"))
         .distinct()
@@ -738,7 +780,10 @@ def snapshot_delete(
         return parent
     pred_sql = None if isinstance(predicate, Column) else str(predicate)
     pred = predicate if isinstance(predicate, Column) else F.expr(predicate)
-    affected = {r["_f"] for r in _delete_discovery_frame(spark, paths, pred).collect()}
+    affected = {
+        r["_f"]
+        for r in _delete_discovery_frame(spark, paths, pred, _committed_schema(m)).collect()
+    }
     # survivors = NOT(pred IS TRUE): rows where pred is NULL are KEPT
     # (SQL DELETE semantics), so THIS side genuinely needs the coalesce
     hit = F.coalesce(pred.cast("boolean"), F.lit(False))
@@ -752,7 +797,10 @@ def snapshot_delete(
     ]
     sid = parent + 1
     data_dir = os.path.join(root, "data", f"snap-{sid}-{uuid.uuid4().hex[:8]}")
-    survivors = spark.read.parquet(*rewrite).filter(~hit)
+    # committed schema on the rewrite read: a delete across an additive
+    # schema evolution must not NARROW the rewritten files to whatever
+    # pre-evolution shape inference sampled
+    survivors = spark.read.schema(_committed_schema(m)).parquet(*rewrite).filter(~hit)
     survivors.write.mode("error").parquet(data_dir)
     new_files = [
         fe
@@ -816,7 +864,9 @@ def snapshot_compact(
     sid = parent + 1
     data_dir = os.path.join(root, "data", f"snap-{sid}-{uuid.uuid4().hex[:8]}")
     n_files = max(1, -(-sum(f["bytes"] for f in small) // threshold))
-    df = spark.read.parquet(*[_abs_path(root, f["path"]) for f in small])
+    df = spark.read.schema(_committed_schema(m)).parquet(
+        *[_abs_path(root, f["path"]) for f in small]
+    )
     df.repartition(n_files).write.mode("error").parquet(data_dir)
     new_files = _footer_stats(glob.glob(os.path.join(data_dir, "part-*.parquet")), root)
     files = keep + new_files
@@ -1027,7 +1077,13 @@ def snapshot_read(
     skipping (``prune_files``): only files whose recorded column bounds
     overlap every range are handed to Spark at all. The caller still
     applies the actual row filter; pruning is a superset guarantee, never
-    a substitute for the predicate."""
+    a substitute for the predicate.
+
+    The read passes the COMMITTED schema explicitly (all fields
+    nullable): parquet matches columns by name per file, so files
+    committed before an additive schema evolution read their missing
+    columns as NULL — and column presence never depends on which file
+    Spark happens to sample for inference."""
     m = load_manifest(root, snapshot_id)
     if prune is not None:
         # pin to the resolved id: CURRENT may flip between the two
@@ -1036,11 +1092,20 @@ def snapshot_read(
         paths = prune_files(root, m["snapshot_id"], prune)
     else:
         paths = [_abs_path(root, f["path"]) for f in m["files"]]
+    schema = _committed_schema(m)
     if not paths:
-        from pyspark.sql.types import StructType
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(*paths)
 
-        return spark.createDataFrame([], StructType.fromJson(json.loads(m["schema_json"])))
-    return spark.read.parquet(*paths)
+
+def _committed_schema(manifest: dict):
+    """The manifest's recorded schema with every top-level field forced
+    nullable — the honest read contract: pre-evolution files NULL-fill
+    added columns, and parquet round-trips flip nullability anyway."""
+    from pyspark.sql.types import StructField, StructType
+
+    s = StructType.fromJson(json.loads(manifest["schema_json"]))
+    return StructType([StructField(f.name, f.dataType, True, f.metadata) for f in s.fields])
 
 
 def manifest_diff(root: str, from_id: int | None, to_id: int | None = None) -> list[str]:

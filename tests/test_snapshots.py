@@ -504,21 +504,25 @@ def test_column_stats_survive_delete_and_append(spark, tmp_path):
     assert prune_files(root, sid2, ("v", 0, 99)) == []
 
 
-def test_append_schema_mismatch_raises(spark, tmp_path, small_world):
-    """An append whose schema differs from the committed one must fail at
-    WRITE time (the explicit-file-list read would otherwise silently
-    null-fill, columns depending on which file Spark samples first);
-    read-back nullability drift must NOT trip it; overwrite evolves."""
+def test_append_schema_conflicts_raise_additive_evolves(spark, tmp_path, small_world):
+    """Schema gate, round-6 semantics: appends that DROP, RETYPE, or
+    REORDER committed columns fail at write time; appends that ADD
+    columns evolve the table additively (Iceberg add-column). Read-back
+    nullability drift must not trip the gate; overwrite still reshapes."""
     from ovalspark.sources.snapshots import SchemaMismatchError
 
     _, cat, _, _ = small_world
     root = str(tmp_path / "schema_tbl")
     snapshot_write(cat, root)
 
-    with pytest.raises(SchemaMismatchError, match="schema"):
-        snapshot_write(cat.withColumn("extra", F.lit(1)), root, mode="append")
-    with pytest.raises(SchemaMismatchError, match="schema"):
+    with pytest.raises(SchemaMismatchError, match="missing"):
         snapshot_write(cat.drop(cat.columns[-1]), root, mode="append")
+    retyped = cat.withColumn(cat.columns[-1], F.col(cat.columns[-1]).cast("string"))
+    with pytest.raises(SchemaMismatchError, match="conflicts"):
+        snapshot_write(retyped, root, mode="append")
+    reordered = cat.select(*reversed(cat.columns))
+    with pytest.raises(SchemaMismatchError, match="conflicts"):
+        snapshot_write(reordered, root, mode="append")
 
     # read-back of the table's own data appends cleanly (nullability and
     # metadata may differ; names+types+order are what count)
@@ -528,6 +532,76 @@ def test_append_schema_mismatch_raises(spark, tmp_path, small_world):
     s = snapshot_write(evolved, root, mode="overwrite")
     s2 = snapshot_write(evolved.limit(2), root, mode="append")
     assert s2 == s + 1
+
+
+def test_additive_schema_evolution_null_fills_and_validates(spark, tmp_path):
+    """An append ADDING a column widens the committed schema: the new
+    snapshot reads old files with the column NULL-filled, time travel
+    shows each snapshot's own shape, a delete across the boundary keeps
+    the widened schema, and the gate still rejects a narrower re-append."""
+    from ovalspark.sources.snapshots import SchemaMismatchError, snapshot_delete
+
+    root = str(tmp_path / "evolve_tbl")
+    old = spark.range(20).selectExpr("cast(id as string) as doc_id", "id as v")
+    snapshot_write(old, root)
+
+    new = spark.range(20, 30).selectExpr(
+        "cast(id as string) as doc_id", "id as v", "'en' as lang"
+    )
+    s2 = snapshot_write(new, root, mode="append")
+    m2 = load_manifest(root, s2)
+    assert "lang" in m2["schema_ddl"]
+
+    cur = snapshot_read(spark, root)
+    assert cur.columns == ["doc_id", "v", "lang"]
+    assert cur.count() == 30
+    assert cur.filter("lang IS NULL").count() == 20  # old files null-fill
+    assert cur.filter("lang = 'en'").count() == 10
+    # time travel: snapshot 1 keeps its own (narrow) shape
+    assert snapshot_read(spark, root, 1).columns == ["doc_id", "v"]
+
+    # once widened, a narrow append is a dropped-column conflict
+    with pytest.raises(SchemaMismatchError, match="missing"):
+        snapshot_write(old.limit(2), root, mode="append")
+    # ...and a further additive append keeps working
+    s3 = snapshot_write(
+        spark.range(30, 35).selectExpr(
+            "cast(id as string) as doc_id", "id as v", "'fr' as lang", "0.5 as score"
+        ),
+        root,
+        mode="append",
+    )
+    assert snapshot_read(spark, root, s3).columns == ["doc_id", "v", "lang", "score"]
+
+    # a delete whose predicate names the EVOLVED column must null-match
+    # (keep) pre-evolution rows and keep the widened schema
+    s4 = snapshot_delete(spark, root, "lang = 'fr'")
+    after = snapshot_read(spark, root, s4)
+    assert after.columns == ["doc_id", "v", "lang", "score"]
+    assert after.count() == 30  # only the 5 fr rows went
+    assert after.filter("lang IS NULL").count() == 20
+
+
+def test_delta_validation_across_schema_evolution(spark, tmp_path, small_world):
+    """Delta validation stays green across an additive boundary: the
+    evolved append's delta validates against its catalog exactly as a
+    same-shape append would (the added column rides along untouched)."""
+    from ovalspark.operators.incremental import validate_snapshot_delta
+
+    spec, cat, docs, _ = small_world
+    half = F.pmod(F.xxhash64("doc_id", F.lit(3)), F.lit(2)) == 0
+    base = docs.filter(half).localCheckpoint()
+    delta = docs.filter(~half).withColumn("ingest_batch", F.lit("b2")).localCheckpoint()
+    cat_delta = cat.join(delta.select("doc_id"), "doc_id", "semi").localCheckpoint()
+
+    root = str(tmp_path / "evolve_delta_tbl")
+    s1 = snapshot_write(base, root)
+    s2 = snapshot_write(delta, root, mode="append")  # additive evolution
+    v = validate_snapshot_delta(
+        spark, root, cat_delta, spec.n_assets, from_id=s1, to_id=s2
+    )
+    assert v.count() == 0  # clean world stays clean across the boundary
+    assert snapshot_read(spark, root, s2).filter("ingest_batch IS NULL").count() == base.count()
 
 
 def test_vacuum_age_window_spares_staged_write(spark, tmp_path, small_world):
