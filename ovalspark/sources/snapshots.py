@@ -738,6 +738,7 @@ def snapshot_delete(
     predicate,
     guard=None,
     prune: list[tuple] | tuple | None = None,
+    discovery_cap: int | None = None,
 ) -> int:
     """Predicate delete as a NEW snapshot (oval's DELETE op re-expressed
     at table granularity, ``internal/runner/worker.go`` delete path; the
@@ -780,21 +781,38 @@ def snapshot_delete(
         return parent
     pred_sql = None if isinstance(predicate, Column) else str(predicate)
     pred = predicate if isinstance(predicate, Column) else F.expr(predicate)
-    affected = {
-        r["_f"]
-        for r in _delete_discovery_frame(spark, paths, pred, _committed_schema(m)).collect()
-    }
+    # Bounded discovery: the affected-basename set lives on the DRIVER,
+    # so cap what gets collected — limit(cap+1) bounds the transfer in
+    # the same single scan. Overflow means more than half the scanned
+    # files contain matches (a delete-everything-shaped predicate): skip
+    # the name set entirely and rewrite every scanned file — at that hit
+    # rate at least half needed rewriting anyway (≤2× the selective IO),
+    # and the driver never builds a set proportional to the table.
+    # ``discovery_cap`` overrides the default max(1000, half the scanned
+    # files) — deployments with tight driver memory can lower it.
+    cap = discovery_cap if discovery_cap is not None else max(1000, len(paths) // 2)
+    hit_rows = (
+        _delete_discovery_frame(spark, paths, pred, _committed_schema(m))
+        .limit(cap + 1)
+        .collect()
+    )
     # survivors = NOT(pred IS TRUE): rows where pred is NULL are KEPT
     # (SQL DELETE semantics), so THIS side genuinely needs the coalesce
     hit = F.coalesce(pred.cast("boolean"), F.lit(False))
-    if not affected:
+    if not hit_rows:
         return parent
-    keep = [f for f in m["files"] if os.path.basename(f["path"]) not in affected]
-    rewrite = [
-        _abs_path(root, f["path"])
-        for f in m["files"]
-        if os.path.basename(f["path"]) in affected
-    ]
+    if len(hit_rows) > cap:
+        scanned = {os.path.basename(p) for p in paths}
+        keep = [f for f in m["files"] if os.path.basename(f["path"]) not in scanned]
+        rewrite = list(paths)
+    else:
+        affected = {r["_f"] for r in hit_rows}
+        keep = [f for f in m["files"] if os.path.basename(f["path"]) not in affected]
+        rewrite = [
+            _abs_path(root, f["path"])
+            for f in m["files"]
+            if os.path.basename(f["path"]) in affected
+        ]
     sid = parent + 1
     data_dir = os.path.join(root, "data", f"snap-{sid}-{uuid.uuid4().hex[:8]}")
     # committed schema on the rewrite read: a delete across an additive

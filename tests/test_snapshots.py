@@ -740,6 +740,33 @@ def test_expire_snapshots_retention(spark, tmp_path):
         _compact(spark, root, target_file_mb=0)
 
 
+def test_snapshot_delete_discovery_cap_falls_back_to_full_rewrite(spark, tmp_path):
+    """A delete whose matches overflow the discovery cap (the
+    delete-everything shape) must commit WITHOUT building the full
+    affected-basename set: every scanned file is rewritten, and the
+    result is row-identical to the selective path."""
+    import os
+
+    from ovalspark.sources.snapshots import snapshot_delete
+
+    df = spark.range(2000).selectExpr("id as v", "cast(id as string) as doc_id")
+    root = str(tmp_path / "cap_tbl")
+    snapshot_write(df.repartition(8), root)
+    # predicate matches rows in every file; cap=2 forces the overflow path
+    sid = snapshot_delete(spark, root, "v % 2 = 0", discovery_cap=2)
+    assert sid == 2
+    after = snapshot_read(spark, root, 2)
+    assert after.count() == 1000
+    assert after.filter("v % 2 = 0").count() == 0
+    m = load_manifest(root, 2)
+    assert m["deleted_rows"] == 1000
+    # overflow path: no parent file carried by reference (all rewritten)
+    parent_names = {os.path.basename(f["path"]) for f in load_manifest(root, 1)["files"]}
+    assert all(os.path.basename(f["path"]) not in parent_names for f in m["files"])
+    # time travel still shows the pre-delete state
+    assert snapshot_read(spark, root, 1).count() == 2000
+
+
 def test_snapshot_write_records_expected_docs(spark, tmp_path):
     """``expect=`` persists the writer's promised doc set as a manifest
     sidecar: count recorded, ids readable back, absent when not given,
