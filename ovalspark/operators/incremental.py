@@ -143,6 +143,80 @@ def validate_delete(
     )
 
 
+def validate_replace(
+    spark: SparkSession,
+    root: str,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Equivalence verification of a REPLACE (compaction) commit: the
+    rewritten files must carry EXACTLY the rows of the files they
+    replaced — same count, same unordered content hash — because a
+    compaction is a layout change, not a data change. This is what lets
+    the tail treat a compact commit as a cheap flat hash pass over the
+    rewritten bytes instead of an O(table) re-run of the full constraint
+    suite against a catalog that describes no new data.
+
+    Both sides hash every row with ``xxhash64`` over all committed
+    columns (order-independent SUM, widened to decimal so ANSI mode
+    cannot overflow), reading removed files at the PARENT's committed
+    schema and added files at the commit's — a compaction that dropped,
+    duplicated, or mutated any row shifts count and/or hashsum. Returns
+    VIOLATION_SCHEMA rows: empty = verified; one ``REPLACE_MISMATCH``
+    row otherwise. Hash collisions (a mutation set whose xxhash64 sum
+    cancels exactly) are the standard multiset-hash residual risk —
+    vanishing in practice, and any count change is caught exactly."""
+    import pyspark.sql.functions as F
+
+    from ovalspark.sources.snapshots import (
+        _abs_path,
+        _committed_schema,
+        load_manifest,
+    )
+
+    m = load_manifest(root, snapshot_id)
+    if m["operation"] != "replace":
+        raise ValueError(
+            f"snapshot {m['snapshot_id']} at {root} is {m['operation']!r}, not a replace commit"
+        )
+    pm = load_manifest(root, m["parent_id"])
+    new_paths = {f["path"] for f in m["files"]}
+    old_paths = {f["path"] for f in pm["files"]}
+    removed = [_abs_path(root, p) for p in sorted(old_paths - new_paths)]
+    added = [_abs_path(root, p) for p in sorted(new_paths - old_paths)]
+
+    def _sig(paths, schema):
+        if not paths:
+            return (0, 0)
+        df = spark.read.schema(schema).parquet(*paths)
+        h = F.xxhash64(*[F.col(c) for c in df.columns]).cast("decimal(38,0)")
+        row = df.agg(F.count(F.lit(1)).alias("n"), F.sum(h).alias("h")).first()
+        return (row["n"], int(row["h"] or 0))
+
+    want = _sig(removed, _committed_schema(pm))
+    got = _sig(added, _committed_schema(m))
+    empty = spark.createDataFrame([], VIOLATION_SCHEMA)
+    if want == got:
+        return empty
+    return empty.unionByName(
+        spark.createDataFrame(
+            [
+                (
+                    None,
+                    f"snapshot={m['snapshot_id']}",
+                    None,
+                    "replace_equivalence",
+                    f"rows={want[0]} hashsum={want[1]}",
+                    f"rows={got[0]} hashsum={got[1]}",
+                    "REPLACE_MISMATCH",
+                    None,
+                    None,
+                )
+            ],
+            VIOLATION_SCHEMA,
+        )
+    )
+
+
 def stored_catalog_for(spark: SparkSession, table_root: str):
     """A ``catalog_for`` callable for tailers WITHOUT the writer's
     in-memory expected sets, deriving each commit's expectation from the
@@ -424,13 +498,24 @@ def _tail_deltas(
                     spans = [pending]
         for span in spans:
             first, last = span[0], span[-1]
-            parent = (manifests.get(first) or load_manifest(root, first))["parent_id"]
+            m_first = manifests.get(first) or load_manifest(root, first)
+            manifests[first] = m_first
+            parent = m_first["parent_id"]
             from_id = parent if parent else None
             files = manifest_diff(root, from_id, last)
             if len(span) > 1:
                 v = _validate_span(
                     spark, root, span, manifests, cat_tagged, files, n_assets, broadcast_catalog
                 )
+            elif m_first["operation"] == "replace":
+                # a compaction is a LAYOUT change, not a data change: its
+                # manifest diff is the whole rewritten set, so delta
+                # validation here would re-run the full constraint suite
+                # over O(table) against a catalog describing no new data.
+                # Verify EQUIVALENCE instead — one flat count+hashsum
+                # pass over removed vs added files; a compaction that
+                # silently drops/mutates a row is still caught
+                v = validate_replace(spark, root, first)
             else:
                 v = validate_snapshot_delta(
                     spark,
@@ -450,7 +535,6 @@ def _tail_deltas(
                 # deletes record no predicate; the tail then validates
                 # survivors only (validate_delete can be run manually
                 # with the predicate re-supplied).
-                m_first = manifests.get(first) or load_manifest(root, first)
                 if m_first["operation"] == "delete" and m_first.get("delete_predicate"):
                     v = v.unionByName(
                         validate_delete(spark, root, first, m_first["delete_predicate"])

@@ -476,6 +476,80 @@ def test_tail_verifies_delete_commits(spark, tmp_path, small_world):
     assert "DELETE_SURVIVOR" in classes
 
 
+def test_tail_replace_commit_verifies_equivalence(spark, tmp_path, small_world):
+    """A compaction (replace) commit tailed as a cheap equivalence check
+    instead of an O(table) re-validation: the catalog is never consulted
+    (layout change, no new data), a clean compact yields zero violations,
+    and a replace that silently drops a row is caught as
+    REPLACE_MISMATCH — both directly and through the tail."""
+    import glob as _glob
+    import json as _json
+    import uuid as _uuid
+
+    from ovalspark.operators.incremental import validate_replace, validate_snapshot_tail
+    from ovalspark.sources.snapshots import (
+        _commit_manifest,
+        _footer_stats,
+        load_manifest,
+        snapshot_compact,
+        snapshot_read,
+    )
+
+    spec, cat, docs, _ = small_world
+    root = str(tmp_path / "replace_tbl")
+    snapshot_write(docs.repartition(6).localCheckpoint(), root)
+    assert snapshot_compact(spark, root, target_file_mb=128) == 2
+    assert load_manifest(root, 2)["operation"] == "replace"
+
+    def no_catalog(sid):  # pragma: no cover - must never run
+        raise AssertionError("replace validation must not consult the catalog")
+
+    got = list(
+        validate_snapshot_tail(
+            spark, root, no_catalog, spec.n_assets, after_id=1, timeout_s=0.5
+        )
+    )
+    assert [s for s, _ in got] == [2]
+    assert got[0][1].count() == 0  # clean compaction verifies clean
+
+    # corrupt replace: rewrite snapshot 2's rows MINUS one doc and commit
+    # it as snapshot 3 with operation=replace — the engine must not trust
+    # the operation label
+    full = snapshot_read(spark, root, 2).localCheckpoint()
+    doomed = full.select("doc_id").first()["doc_id"]
+    data_dir = f"{root}/data/snap-3-{_uuid.uuid4().hex[:8]}"
+    broken = full.filter(F.col("doc_id") != doomed)
+    broken.write.parquet(data_dir)
+    files = _footer_stats(_glob.glob(f"{data_dir}/part-*.parquet"), root)
+    m2 = load_manifest(root, 2)
+    _commit_manifest(
+        root,
+        2,
+        3,
+        {
+            "snapshot_id": 3,
+            "parent_id": 2,
+            "operation": "replace",
+            "schema_ddl": m2["schema_ddl"],
+            "schema_json": m2["schema_json"],
+            "total_rows": sum(f["rows"] for f in files),
+            "total_bytes": sum(f["bytes"] for f in files),
+            "files": files,
+        },
+    )
+    v = validate_replace(spark, root, 3)
+    rows = v.collect()
+    assert [r["violation_class"] for r in rows] == ["REPLACE_MISMATCH"]
+    assert rows[0]["expected"] != rows[0]["actual"]
+    # and the tail surfaces it the same way
+    got3 = list(
+        validate_snapshot_tail(
+            spark, root, no_catalog, spec.n_assets, after_id=2, timeout_s=0.5
+        )
+    )
+    assert got3[0][1].count() == 1
+
+
 def test_snapshot_tail_never_yields_torn_commit(spark, tmp_path, small_world):
     """A manifest at CURRENT+1 whose writer died before the flip is not a
     commit: the tailer must not surface it (CURRENT is the single
