@@ -370,62 +370,66 @@ def validate_snapshot_tail(
 
 
 def _span_catalog(spark, catalog_for, sids):
-    """Union of the per-commit expected sets for a span of appends, each
-    entry TAGGED with its commit id (``_sid``) — valid ONLY when the
-    commits' doc sets are disjoint (checked by the caller): each doc then
-    has exactly one expectation. The tag is what lets the span job keep
-    per-commit existence attribution (``_validate_span``). Returns
-    (tagged_catalog, is_disjoint)."""
+    """Union of the per-commit expected sets for a span, each entry
+    TAGGED with its commit id (``_sid``). Every span join keys on
+    (doc_id, _sid), so the same doc_id MAY appear under different
+    commits (a delete commit's survivors re-describe docs an earlier
+    append introduced); what must hold is per-commit uniqueness — one
+    expectation per doc WITHIN each commit — checked here in ONE tiny
+    aggregation over the span's catalogs (O(delta docs), not O(corpus)).
+    Returns (tagged_catalog, per_commit_unique)."""
     from functools import reduce
 
     from pyspark.sql import functions as F
 
     cats = [catalog_for(s).withColumn("_sid", F.lit(int(s))) for s in sids]
     union = reduce(lambda a, b: a.unionByName(b), cats).localCheckpoint()
-    # disjointness in ONE tiny aggregation over the span's catalogs
-    # (catalog rows are O(delta docs), not O(corpus))
-    total, distinct = union.agg(F.count("*"), F.countDistinct("doc_id")).first()
-    return union, total == distinct
+    dup = (
+        union.groupBy("_sid")
+        .agg((F.count("*") != F.countDistinct("doc_id")).alias("dup"))
+        .filter("dup")
+        .count()
+    )
+    return union, dup == 0
 
 
 def _validate_span(
-    spark, root, span, manifests, cat_tagged, files, n_assets, broadcast_catalog
+    spark, root, span, manifests, cat_tagged, per_added, n_assets, broadcast_catalog
 ):
-    """ONE Spark job validating a batched append span, row-identical to
-    the per-commit concatenation — including the misplacement case a
-    plain union-catalog join would MASK: a doc expected by commit i but
-    written by commit j is present in both the union catalog and the
-    span's combined files, so untagged existence legs cancel and it
-    validates clean, while per-commit validation reports LOST_DOC(i) +
-    PHANTOM_DOC(j). Fix: tag each doc row with the commit that wrote it
-    (file→commit map from the manifests, broadcast) and run the
-    existence anti-joins on (doc_id, _sid). Field checks run only for
-    docs attributed to their OWN commit's catalog entry (semi-join on
-    the tagged key) — exactly the rows per-commit validation's inner
-    docs⋈catalog join would check."""
+    """ONE Spark job validating a batched span of appends AND deletes,
+    row-identical to the per-commit concatenation. The scope is the
+    UNION OF PER-COMMIT DIFFS, not the span's end-state diff: a file
+    appended by commit i and rewritten away by a later delete j is still
+    read (snapshots are immutable — manifest i references it), tagged
+    with commit i, and validated against i's expectation, exactly as the
+    per-commit tail would have before the delete landed.
+
+    Every join keys on (doc_id, _sid) — the tag comes from a broadcast
+    file→commit map — which both preserves the misplacement attribution
+    (a doc expected by commit i but written by commit j reports
+    LOST_DOC(i) + PHANTOM_DOC(j) instead of cancelling in an untagged
+    union) and lets the same doc_id legitimately carry different
+    expectations in different commits (its pre- and post-delete state).
+    Delete commits additionally ride their read-back obligation on the
+    SAME tagged scan: rows of commit j's rewritten files still matching
+    the recorded predicate emit DELETE_SURVIVOR(j), byte-identical to
+    ``validate_delete``'s output."""
     import os
 
     from pyspark.sql import functions as F
 
-    from ovalspark.sources.snapshots import _file_basename, load_manifest
+    from ovalspark.sources.snapshots import _file_basename
 
+    files = [p for s in span for p in per_added[s]]
     if not files:
         # no docs anywhere in the span: misplacement is impossible and
         # every exists-entry is LOST — identical per commit and batched
         return validate_snapshot_delta(
             spark, root, cat_tagged.drop("_sid"), n_assets, added=[]
         )
-    # per-commit added-file lists, pure manifest metadata
-    def _paths(sid):
-        if sid is None:
-            return set()
-        return {f["path"] for f in (manifests.get(sid) or load_manifest(root, sid))["files"]}
-
-    fmap_rows = []
-    for s in span:
-        parent = (manifests.get(s) or load_manifest(root, s))["parent_id"]
-        for p in _paths(s) - _paths(parent):
-            fmap_rows.append((os.path.basename(p), int(s)))
+    fmap_rows = [
+        (os.path.basename(p), int(s)) for s in span for p in per_added[s]
+    ]
     fmap = spark.createDataFrame(fmap_rows, "_f string, _sid int")
     docs = spark.read.parquet(*files)
     docs_t = (
@@ -433,13 +437,34 @@ def _validate_span(
         .join(F.broadcast(fmap), "_f")
         .drop("_f")
     )
-    keys = cat_tagged.select("doc_id", "_sid")
-    docs_attr = docs_t.join(keys, ["doc_id", "_sid"], "semi").drop("_sid")
     v_fields = validate_spans(
-        docs_attr, cat_tagged.drop("_sid"), n_assets, broadcast_catalog
+        docs_t, cat_tagged, n_assets, broadcast_catalog, key=("doc_id", "_sid")
     )
     v_exist = check_existence(docs_t, cat_tagged, key=("doc_id", "_sid"))
-    return v_fields.unionByName(v_exist)
+    v = v_fields.unionByName(v_exist)
+    for s in span:
+        m = manifests[s]
+        if m["operation"] == "delete" and m.get("delete_predicate"):
+            pred_sql = m["delete_predicate"]
+            doc_id = (
+                F.col("doc_id").cast("string")
+                if "doc_id" in docs.columns
+                else F.lit(None).cast("string")
+            )
+            v = v.unionByName(
+                docs_t.filter((F.col("_sid") == int(s)) & F.expr(pred_sql)).select(
+                    F.lit(None).cast("int").alias("partition_id"),
+                    doc_id.alias("doc_id"),
+                    F.lit(None).cast("int").alias("span_idx"),
+                    F.lit("delete_predicate").alias("field"),
+                    F.lit("deleted").alias("expected"),
+                    F.lit(f"present (matches: {pred_sql})").alias("actual"),
+                    F.lit("DELETE_SURVIVOR").alias("violation_class"),
+                    F.lit(None).cast("int").alias("writer_id"),
+                    F.lit(None).cast("timestamp").alias("written_at"),
+                )
+            )
+    return v
 
 
 def _tail_deltas(
@@ -484,17 +509,20 @@ def _tail_deltas(
         cat_tagged = None  # the _sid-tagged span catalog, set when a span forms
         if batch_commits and len(pending) > 1:
             manifests = {s: load_manifest(root, s) for s in pending}
-            # every commit with a parent must be an append; only the
-            # table's very first commit (parent None) may be the initial
-            # overwrite — nothing precedes it to be dropped
-            appends_only = all(
-                manifests[s]["operation"] == "append"
+            # every commit with a parent must be an APPEND or a DELETE
+            # (a delete's per-commit diff is its rewritten survivor
+            # files, validated under its own commit tag; an overwrite or
+            # replace inside the span still falls back — their diffs
+            # redefine the whole table). Only the table's very first
+            # commit (parent None) may be the initial overwrite.
+            batchable = all(
+                manifests[s]["operation"] in ("append", "delete")
                 for s in pending
                 if manifests[s]["parent_id"] is not None
             )
-            if appends_only:
-                cat_tagged, disjoint = _span_catalog(spark, catalog_for, pending)
-                if disjoint:
+            if batchable:
+                cat_tagged, per_commit_unique = _span_catalog(spark, catalog_for, pending)
+                if per_commit_unique:
                     spans = [pending]
         for span in spans:
             first, last = span[0], span[-1]
@@ -502,10 +530,19 @@ def _tail_deltas(
             manifests[first] = m_first
             parent = m_first["parent_id"]
             from_id = parent if parent else None
-            files = manifest_diff(root, from_id, last)
             if len(span) > 1:
+                # union of per-commit diffs, NOT the end-state diff: a
+                # file appended then delete-rewritten inside the span
+                # must still be validated under its own commit
+                per_added = {
+                    s: manifest_diff(
+                        root, manifests[s]["parent_id"] or None, s
+                    )
+                    for s in span
+                }
+                files = [p for s in span for p in per_added[s]]
                 v = _validate_span(
-                    spark, root, span, manifests, cat_tagged, files, n_assets, broadcast_catalog
+                    spark, root, span, manifests, cat_tagged, per_added, n_assets, broadcast_catalog
                 )
             elif m_first["operation"] == "replace":
                 # a compaction is a LAYOUT change, not a data change: its
@@ -515,8 +552,10 @@ def _tail_deltas(
                 # Verify EQUIVALENCE instead — one flat count+hashsum
                 # pass over removed vs added files; a compaction that
                 # silently drops/mutates a row is still caught
+                files = manifest_diff(root, from_id, last)
                 v = validate_replace(spark, root, first)
             else:
+                files = manifest_diff(root, from_id, last)
                 v = validate_snapshot_delta(
                     spark,
                     root,

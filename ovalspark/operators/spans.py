@@ -95,12 +95,19 @@ def validate_spans(
     catalog: DataFrame,
     n_assets: int = sp.DEFAULT_N_ASSETS,
     broadcast_catalog: bool = False,
+    key: tuple[str, ...] = ("doc_id",),
 ) -> DataFrame:
     """Validate every existing document's spans against the catalog.
 
     Returns a violations DataFrame with VIOLATION_SCHEMA columns. Size
     mismatches yield one SIZE_MISMATCH row; field mismatches yield one row
     per (span, field).
+
+    ``key`` — the docs⋈catalog equi-join key. The default joins on
+    doc_id; a batched multi-commit span passes ``("doc_id", "_sid")`` so
+    each doc row is checked ONLY against its own commit's expectation
+    (the same doc_id may legitimately carry different expectations in
+    different commits of one span — e.g. the pre- and post-delete state).
 
     Physical shape (deliberate): ``posexplode`` + FLAT column predicates,
     NOT array higher-order functions. Spark evaluates lambda bodies inside
@@ -110,10 +117,10 @@ def validate_spans(
     spans before any violation-row construction happens. Output row count
     is proportional to corruption, not table size.
     """
-    cat = catalog.filter(F.col("exists")).select("doc_id", "generation", "n_spans", "writer_id")
+    cat = catalog.filter(F.col("exists")).select(*key, "generation", "n_spans", "writer_id")
     if broadcast_catalog:
         cat = F.broadcast(cat)
-    j = docs.alias("d").join(cat.alias("c"), "doc_id").select(
+    j = docs.alias("d").join(cat.alias("c"), list(key)).select(
         "partition_id",
         "doc_id",
         F.col("d.spans").alias("spans"),

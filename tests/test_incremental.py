@@ -476,6 +476,124 @@ def test_tail_verifies_delete_commits(spark, tmp_path, small_world):
     assert "DELETE_SURVIVOR" in classes
 
 
+def test_tail_backlog_with_interleaved_deletes_batches_one_job(spark, tmp_path, small_world):
+    """A backlog of appends WITH an interleaved predicate delete batches
+    into ONE spanning job (round-5 fell back to per-commit for any span
+    containing a delete): the job's inputs are the union of per-commit
+    diffs — including the file the delete rewrote away, still validated
+    under its own commit — results are row-identical to the per-commit
+    tail, and a survivor smuggled back into the delete's rewritten file
+    is caught as DELETE_SURVIVOR inside the batch."""
+    import glob as g
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ovalspark.operators.incremental import validate_snapshot_tail
+    from ovalspark.sources.snapshots import snapshot_delete
+
+    spec, cat, docs, _ = small_world
+    bucket = F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(4))
+    parts = [docs.filter(bucket == i).localCheckpoint() for i in range(4)]
+    cats = {
+        i + 1: cat.join(parts[i].select("doc_id"), "doc_id", "semi").localCheckpoint()
+        for i in range(3)
+    }
+
+    root = str(tmp_path / "del_span_tbl")
+    snapshot_write(parts[0], root)
+    snapshot_write(parts[1], root, mode="append")
+    snapshot_write(parts[2], root, mode="append")
+    # delete HALF of part 1 (by a stable doc_id hash): the delete's diff
+    # is its survivor files; part 1's original file leaves the manifest
+    pred = "pmod(xxhash64(doc_id, 7), 4) = 1 AND pmod(xxhash64(doc_id, 11), 2) = 0"
+    sid_del = snapshot_delete(spark, root, pred)
+    assert sid_del == 4
+    snapshot_write(parts[3], root, mode="append")
+
+    def catalog_for(s):
+        if s == 4:  # the delete: expected state = its surviving docs
+            ids = spark.read.parquet(*manifest_diff(root, 3, 4)).select("doc_id")
+            return cat.join(ids, "doc_id", "semi")
+        if s == 5:
+            return cat.join(parts[3].select("doc_id"), "doc_id", "semi")
+        return cats[s]
+
+    batched = list(
+        validate_snapshot_tail(
+            spark, root, catalog_for, spec.n_assets, after_id=0, timeout_s=0.5,
+            batch_commits=True,
+        )
+    )
+    assert [sids for sids, _ in batched] == [[1, 2, 3, 4, 5]]  # ONE span
+    v = batched[0][1]
+    # the ONE job's inputs are the union of per-commit diffs — commit 2's
+    # original file (rewritten away by the delete) included
+    want_files = {
+        os.path.basename(p)
+        for s in range(1, 6)
+        for p in manifest_diff(root, (s - 1) or None, s)
+    }
+    assert _basenames(v.inputFiles()) == want_files
+    assert v.count() == 0  # clean world, legitimate delete: no violations
+
+    per_commit = list(
+        validate_snapshot_tail(
+            spark, root, catalog_for, spec.n_assets, after_id=0, timeout_s=0.5,
+        )
+    )
+    assert [s for s, _ in per_commit] == [1, 2, 3, 4, 5]
+    for _, pv in per_commit:
+        assert pv.count() == 0  # row-identical: both sides empty
+
+    # smuggle a predicate-matching row back into a delete-rewritten file:
+    # the batched span must catch it exactly as the per-commit tail does
+    rewritten = sorted(
+        g.glob(os.path.join(root, "data", f"snap-{sid_del}-*", "part-*.parquet"))
+    )
+    target = next(p for p in rewritten if pq.ParquetFile(p).metadata.num_rows > 0)
+    t = pq.read_table(target)
+    deleted_ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(*manifest_diff(root, 1, 2))
+        .filter(pred)
+        .select("doc_id")
+        .limit(1)
+        .collect()
+    ]
+    row = t.slice(0, 1).to_pydict()
+    row["doc_id"] = [deleted_ids[0]]  # matches the delete predicate again
+    pq.write_table(
+        pa.concat_tables([t, pa.Table.from_pydict(row, t.schema)]),
+        target,
+        use_deprecated_int96_timestamps=True,
+    )
+    crc = os.path.join(os.path.dirname(target), f".{os.path.basename(target)}.crc")
+    if os.path.exists(crc):
+        os.unlink(crc)
+
+    batched2 = list(
+        validate_snapshot_tail(
+            spark, root, catalog_for, spec.n_assets, after_id=0, timeout_s=0.5,
+            batch_commits=True,
+        )
+    )
+    rows2 = batched2[0][1].collect()
+    assert "DELETE_SURVIVOR" in {r.violation_class for r in rows2}
+    per_commit2 = list(
+        validate_snapshot_tail(
+            spark, root, catalog_for, spec.n_assets, after_id=0, timeout_s=0.5,
+        )
+    )
+    flat = [r for _, pv in per_commit2 for r in pv.collect()]
+
+    def _canon(rows):  # None-safe order-insensitive comparison
+        return sorted(tuple(str(v) for v in r) for r in rows)
+
+    assert _canon(rows2) == _canon(flat)  # row-identical
+
+
 def test_tail_replace_commit_verifies_equivalence(spark, tmp_path, small_world):
     """A compaction (replace) commit tailed as a cheap equivalence check
     instead of an O(table) re-validation: the catalog is never consulted
