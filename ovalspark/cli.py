@@ -156,6 +156,14 @@ def build_parser() -> argparse.ArgumentParser:
     )
     m.add_argument("--vacuum", action="store_true", help="reclaim unreferenced data/debris")
     m.add_argument(
+        "--adopt-catalog",
+        action="store_true",
+        help="move the table's CURRENT pointer into the sqlite catalog: "
+        "commits then flip it via a conditional catalog update (the "
+        "object-store-safe commit; no atomic-rename dependency) and the "
+        "CURRENT file becomes a read cache; idempotent",
+    )
+    m.add_argument(
         "--min-age-s",
         type=float,
         default=3600.0,
@@ -271,6 +279,12 @@ def main(argv: list[str] | None = None) -> int:
         )
 
         report: dict = {"root": args.root}
+        if args.adopt_catalog:
+            from ovalspark.sources.snapshots import adopt_catalog_pointer
+
+            adopted = adopt_catalog_pointer(args.root, guard=args.guard)
+            log.info("maintain.adopt_catalog", snapshot_id=adopted)
+            report["adopt_catalog"] = {"snapshot_id": adopted}
         if args.delete_where:
             prev = current_snapshot_id(args.root)
             sid = snapshot_delete(spark, args.root, args.delete_where, guard=args.guard)

@@ -7,7 +7,9 @@ from ovalspark.operators.referential import check_referential  # noqa: F401
 from ovalspark.operators.incremental import (  # noqa: F401
     iter_commit_batches,
     iter_committed_snapshots,
+    stored_catalog_for,
     validate_delete,
+    validate_replace,
     validate_snapshot_delta,
     validate_snapshot_tail,
     validate_snapshot_tail_checkpointed,

@@ -211,11 +211,16 @@ def test_cli_maintain_lifecycle(spark, tmp_path, capsys):
     docs_root = f"{root}/documents"
     n0 = snapshot_read(spark, docs_root).count()
 
-    rc = main(["maintain", "--root", docs_root,
+    rc = main(["maintain", "--root", docs_root, "--adopt-catalog",
                "--delete-where", "partition_id = 0",
                "--compact-target-mb", "256"])
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0
+    # pointer adopted into the catalog: commits below flip it via CAS
+    from ovalspark.sources.snapshots import _catalog_current
+
+    assert report["adopt_catalog"]["snapshot_id"] == 1
+    assert _catalog_current(docs_root)[0] is True
     assert report["delete"]["survivors"] == 0  # read-back verified in-line
     after = snapshot_read(spark, docs_root)
     assert 0 < after.count() < n0
@@ -229,6 +234,7 @@ def test_cli_maintain_lifecycle(spark, tmp_path, capsys):
     assert rc == 0 and report2["expired"] and report2["vacuumed"] >= 1
     ids = [r.snapshot_id for r in snapshot_history(spark, docs_root).collect()]
     assert len(ids) == 1  # only the newest snapshot remains
+    assert _catalog_current(docs_root)[1] == ids[0]  # catalog tracked it all
 
     # a predicate matching nothing commits nothing and verifies nothing
     rc = main(["maintain", "--root", docs_root, "--delete-where", "partition_id = 9999"])
