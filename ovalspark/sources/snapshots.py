@@ -1010,8 +1010,17 @@ def vacuum(root: str, min_age_s: float = 0.0) -> list[str]:
             if os.path.exists(p):
                 live_manifests.add(os.path.normpath(p))
                 with open(p) as f:
-                    for fe in json.load(f)["files"]:
-                        live_dirs.add(os.path.dirname(os.path.normpath(_abs_path(root, fe["path"]))))
+                    m = json.load(f)
+                for fe in m["files"]:
+                    live_dirs.add(os.path.dirname(os.path.normpath(_abs_path(root, fe["path"]))))
+                exp = m.get("expect")
+                if exp is not None:
+                    # an EMPTY append that recorded a promise references
+                    # its data dir only through the expect sidecar —
+                    # that promise (= every doc LOST) must survive vacuum
+                    live_dirs.add(
+                        os.path.dirname(os.path.normpath(_abs_path(root, exp["loc"])))
+                    )
     # debris = any manifest file that is not the resolved path of a
     # committed id: torn commits past CURRENT, CAS losers' unique-named
     # files, retention leftovers — membership, not filename parsing

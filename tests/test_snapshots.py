@@ -790,8 +790,16 @@ def test_snapshot_write_records_expected_docs(spark, tmp_path):
     assert read_expected_docs(spark, root, sid2) is None
     assert "expect" not in load_manifest(root, sid2)
 
+    # an EMPTY append with a promise: its data dir is referenced ONLY by
+    # the expect sidecar — vacuum must keep it (the promise = all LOST)
+    sid3 = snapshot_write(
+        df.limit(0), root, mode="append", expect=promised.limit(3)
+    )
+    assert load_manifest(root, sid3)["expect"]["n_docs"] == 3
+
     _vacuum(root, min_age_s=0)
     assert read_expected_docs(spark, root, sid).count() == 35
+    assert read_expected_docs(spark, root, sid3).count() == 3
 
 
 def test_snapshot_delete_prune_scopes_discovery(spark, tmp_path):
