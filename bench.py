@@ -156,6 +156,24 @@ def main() -> int:
             "control_seconds": {"2": 18.33, "8": 5.06},
             "best_docs_per_sec_32": 636161,
         },
+        # round-6 re-run (2026-08-17): the STORMIEST session measured —
+        # within-series swings up to 12x at a fixed width (7.45 vs 94.14
+        # s at 8 cores) and the pure-JVM control itself swung 5.03-8.04 s
+        # at 8 cores, so the box, not the engine, set this session's
+        # ceiling (control 2->8 only 0.853 vs 0.91-0.95 in rounds 3-5).
+        # Engine tracks the box at 0.85 (std) / 0.91 (big) of control.
+        # Cross-session bests stand (round-5 std raw 0.85; round-3 755k).
+        "round6_rerun": {
+            "std_world_seconds": {"2": 21.65, "8": 7.45, "32": 6.07},
+            "std_efficiency_2_to_8": 0.726,
+            "std_engine_over_control_2_to_8": 0.85,
+            "big_world_seconds": {"2": 87.99, "8": 28.28, "32": 20.15},
+            "big_efficiency_2_to_8": 0.778,
+            "big_engine_over_control_2_to_8": 0.91,
+            "control_seconds": {"2": 17.17, "8": 5.03, "32": 2.11},
+            "control_efficiency_2_to_8": 0.853,
+            "best_docs_per_sec_32": 415162,
+        },
     }
     summary = {
         "metric": "headline query suite wall time (sf parquet, noop sink)",
