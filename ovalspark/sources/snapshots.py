@@ -235,12 +235,35 @@ def _catalog_manifest_locs(root: str) -> dict[int, str]:
     return {int(i): loc for i, loc in rows}
 
 
+def _catalog_manifest_loc(root: str, sid: int) -> str | None:
+    """Single-row primary-key lookup of one commit's manifest location —
+    O(1) regardless of table history, unlike ``_catalog_manifest_locs``
+    (the full dict is for maintenance sweeps only; a tail resolving a few
+    manifests per commit must not pay an O(commits) scan per resolve)."""
+    import sqlite3
+
+    p = _catalog_db_path(root)
+    if not os.path.exists(p):
+        return None
+    try:
+        con = sqlite3.connect(p, timeout=30.0)
+        try:
+            row = con.execute("SELECT loc FROM manifests WHERE id=?", (sid,)).fetchone()
+        finally:
+            con.close()
+    except sqlite3.OperationalError as e:
+        if "no such table" in str(e):
+            return None
+        raise
+    return None if row is None else row[0]
+
+
 def _resolve_manifest_path(root: str, sid: int) -> str:
     """The committed manifest file for ``sid``: the catalog-recorded
     location when one exists (catalog-owned commits use writer-unique
     filenames), else the deterministic ``v<sid>.json`` (file-pointered
     tables and pre-adoption history)."""
-    loc = _catalog_manifest_locs(root).get(sid)
+    loc = _catalog_manifest_loc(root, sid)
     if loc is not None:
         return os.path.join(_manifest_dir(root), loc)
     return _manifest_path(root, sid)
