@@ -483,48 +483,58 @@ def _tail_deltas(
     ``sids`` for its yield shape, the checkpointed tail records the whole
     span in its lineage.
 
-    ``batch_commits=True`` turns a k-commit backlog into ONE item —
-    one delta job spanning (first.parent, last] — when that is provably
-    equivalent to k per-commit jobs: every spanned commit (past the
-    first, which may be the table's initial overwrite) must be an
-    ``append`` (an overwrite inside the span would drop earlier
-    additions from the manifest diff), and the commits' expected doc
-    sets must be disjoint (each doc then has exactly one catalog
-    expectation — an intra-span overwrite of the same doc_id would make
-    the old version false-flag against the new expectation). A span
-    failing either check falls back to per-commit items — correctness
-    first, the batching is purely an optimization. Existence stays
-    COMMIT-ATTRIBUTED inside the span job (``_validate_span``: doc rows
-    tagged with their writing commit, anti-joins on (doc_id, commit)),
-    so a doc written by the wrong commit reports LOST + PHANTOM exactly
-    as per-commit validation would instead of cancelling out. The
-    equivalence is asserted in tests/test_incremental.py (batched
-    backlog == concatenated per-commit runs, row-for-row, including a
-    misplaced-doc case)."""
+    ``batch_commits=True`` batches a k-commit backlog into as FEW items
+    as provable equivalence allows: maximal runs of consecutive
+    APPEND/DELETE commits become ONE spanning job each (``_validate_span``
+    — union of per-commit diffs, every join keyed (doc_id, commit), so a
+    doc may carry different expectations pre- and post-delete and a doc
+    written by the wrong commit reports LOST + PHANTOM exactly as
+    per-commit validation would, never cancelling), while OVERWRITE and
+    REPLACE commits break the run and go through as singletons (their
+    diffs redefine the whole table; replace singletons verify by
+    equivalence, see below) — so one periodic compaction inside an
+    append backlog no longer forces the whole backlog per-commit. A run
+    whose per-commit expected sets are not unique within each commit
+    falls back to per-commit items — correctness first, the batching is
+    purely an optimization. The table's very first commit (parent None)
+    may lead a run even though it is an overwrite (nothing precedes it
+    to be dropped). Equivalence is asserted in tests/test_incremental.py
+    (batched backlog == concatenated per-commit runs, row-for-row,
+    including misplaced-doc and interleaved-delete cases)."""
     from ovalspark.sources.snapshots import load_manifest, manifest_diff
 
     for pending in iter_commit_batches(root, after_id, timeout_s, poll_interval_s):
-        spans: list[list[int]] = [[s] for s in pending]
         manifests: dict = {}
-        cat_tagged = None  # the _sid-tagged span catalog, set when a span forms
+        # (span, tagged_catalog_or_None) work items, in commit order
+        items: list[tuple[list[int], object]] = [([s], None) for s in pending]
         if batch_commits and len(pending) > 1:
             manifests = {s: load_manifest(root, s) for s in pending}
-            # every commit with a parent must be an APPEND or a DELETE
-            # (a delete's per-commit diff is its rewritten survivor
-            # files, validated under its own commit tag; an overwrite or
-            # replace inside the span still falls back — their diffs
-            # redefine the whole table). Only the table's very first
-            # commit (parent None) may be the initial overwrite.
-            batchable = all(
-                manifests[s]["operation"] in ("append", "delete")
-                for s in pending
-                if manifests[s]["parent_id"] is not None
-            )
-            if batchable:
-                cat_tagged, per_commit_unique = _span_catalog(spark, catalog_for, pending)
-                if per_commit_unique:
-                    spans = [pending]
-        for span in spans:
+            runs: list[list[int]] = []
+            cur: list[int] = []
+            for s in pending:
+                if (
+                    manifests[s]["operation"] in ("append", "delete")
+                    or manifests[s]["parent_id"] is None
+                ):
+                    cur.append(s)
+                else:
+                    if cur:
+                        runs.append(cur)
+                        cur = []
+                    runs.append([s])
+            if cur:
+                runs.append(cur)
+            items = []
+            for run in runs:
+                if len(run) > 1:
+                    cat_tagged, per_commit_unique = _span_catalog(spark, catalog_for, run)
+                    if per_commit_unique:
+                        items.append((run, cat_tagged))
+                        continue
+                    items.extend(([s], None) for s in run)
+                else:
+                    items.append((run, None))
+        for span, cat_tagged in items:
             first, last = span[0], span[-1]
             m_first = manifests.get(first) or load_manifest(root, first)
             manifests[first] = m_first

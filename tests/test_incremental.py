@@ -252,9 +252,11 @@ def test_tail_backlog_batched_catches_misplaced_commit_docs(spark, tmp_path, sma
 
 
 def test_tail_backlog_overwrite_span_falls_back_to_per_commit(spark, tmp_path, small_world):
-    """An overwrite inside the backlog makes the span diff unsound (it
-    would drop the overwritten commit's files), so the tailer must fall
-    back to per-commit items — correctness over batching."""
+    """An overwrite inside the backlog makes a span crossing it unsound
+    (its diff would drop the overwritten commits' files), so the tailer
+    must BREAK the run there: the commits before it still batch (round-6
+    segmentation — previously the whole backlog fell back), the
+    overwrite goes through as its own item."""
     from ovalspark.operators.incremental import validate_snapshot_tail
 
     spec, cat, docs, _ = small_world
@@ -278,7 +280,8 @@ def test_tail_backlog_overwrite_span_falls_back_to_per_commit(spark, tmp_path, s
             batch_commits=True,
         )
     )
-    assert [s for s, _ in got] == [[1], [2], [3]]  # per-commit, batch shape
+    # pre-overwrite appends batch; the overwrite is its own item
+    assert [s for s, _ in got] == [[1, 2], [3]]
     assert all(v.count() == 0 for _, v in got)  # each clean against its own catalog
 
 
@@ -666,6 +669,46 @@ def test_tail_replace_commit_verifies_equivalence(spark, tmp_path, small_world):
         )
     )
     assert got3[0][1].count() == 1
+
+
+def test_tail_backlog_compaction_splits_runs_not_whole_backlog(spark, tmp_path, small_world):
+    """A periodic compaction inside an append backlog must not force the
+    WHOLE backlog per-commit: the appends before it batch as one span,
+    the replace goes through alone (verified by equivalence), and the
+    appends after it batch as another span."""
+    from ovalspark.operators.incremental import validate_snapshot_tail
+    from ovalspark.sources.snapshots import load_manifest, snapshot_compact
+
+    spec, cat, docs, _ = small_world
+    bucket = F.pmod(F.xxhash64("doc_id", F.lit(13)), F.lit(5))
+    parts = [docs.filter(bucket == i).localCheckpoint() for i in range(5)]
+    cats = [cat.join(p.select("doc_id"), "doc_id", "semi").localCheckpoint() for p in parts]
+
+    root = str(tmp_path / "compact_run_tbl")
+    snapshot_write(parts[0].repartition(4), root)
+    snapshot_write(parts[1].repartition(4), root, mode="append")
+    snapshot_write(parts[2].repartition(4), root, mode="append")
+    sid_c = snapshot_compact(spark, root, target_file_mb=512)
+    assert sid_c == 4 and load_manifest(root, 4)["operation"] == "replace"
+    snapshot_write(parts[3], root, mode="append")
+    snapshot_write(parts[4], root, mode="append")
+
+    calls = []
+
+    def catalog_for(s):
+        calls.append(s)
+        assert s != 4  # the replace must never consult the catalog
+        return cats[s - 1] if s < 4 else cats[s - 2]
+
+    got = list(
+        validate_snapshot_tail(
+            spark, root, catalog_for, spec.n_assets, after_id=0, timeout_s=0.5,
+            batch_commits=True,
+        )
+    )
+    assert [sids for sids, _ in got] == [[1, 2, 3], [4], [5, 6]]
+    for _, v in got:
+        assert v.count() == 0  # clean world end to end
 
 
 def test_snapshot_tail_never_yields_torn_commit(spark, tmp_path, small_world):
