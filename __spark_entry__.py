@@ -1433,6 +1433,56 @@ _Q59_ORACLE = """
 """
 
 
+_Q61_VERSION = "v1"
+
+
+def _q61_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution under the value gate: commit the
+    documents table WITHOUT an ingest_batch column, then append the
+    doc_id%5==0 slice WITH one (the append widens the committed schema —
+    round-6 `_check_append_schema`), and aggregate the EVOLVED read per
+    lang. The read must NULL-fill the pre-evolution files (n_evolved
+    counts non-null ingest_batch rows, which the oracle recomputes from
+    the split predicate) — an evolution that dropped the column, filled
+    the wrong rows, or lost rows across the boundary hash-mismatches."""
+    from ovalspark.sources.snapshots import (
+        current_snapshot_id,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    root = _oracle_dir("q61", _Q61_VERSION, sf_dir)
+
+    def build(stage):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        snapshot_write(docs.filter(F.col("doc_id") % 5 != 0), stage)
+        snapshot_write(
+            docs.filter(F.col("doc_id") % 5 == 0).withColumn("ingest_batch", F.lit("b2")),
+            stage,
+            mode="append",
+        )
+
+    _publish_once(root, build, is_valid=lambda: current_snapshot_id(root) == 2)
+    return (
+        snapshot_read(spark, root, 2)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.col("ingest_batch").isNotNull().cast("long")).alias("n_evolved"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_Q61_ORACLE = """
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_evolved,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 _Q53_VERSION = "v1"
 
 
@@ -1722,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q58_snapshot_compact": _q58_snapshot_compact,
             "q59_manifest_stats": _q59_manifest_stats,
             "q60_pruned_read": _q60_pruned_read,
+            "q61_schema_evolution": _q61_schema_evolution,
         }
     )
     return out
@@ -1763,6 +1814,7 @@ def oracle_sql() -> dict[str, str]:
             "q58_snapshot_compact": _Q58_ORACLE,
             "q59_manifest_stats": _Q59_ORACLE,
             "q60_pruned_read": _Q60_ORACLE,
+            "q61_schema_evolution": _Q61_ORACLE,
         }
     )
     return out

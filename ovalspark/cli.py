@@ -132,10 +132,13 @@ def build_parser() -> argparse.ArgumentParser:
     t.add_argument(
         "--batch",
         action="store_true",
-        help="validate a multi-commit backlog as ONE spanning delta job "
-        "(safe spans only: appends with disjoint doc sets; others fall "
-        "back to per-commit) — the sink partition and reported id are "
-        "the span's last snapshot",
+        help="batch a multi-commit backlog into as few spanning delta "
+        "jobs as provable equivalence allows: runs of appends AND "
+        "predicate deletes become one commit-attributed job each "
+        "(delete read-backs ride the same scan); compaction commits "
+        "verify by count+hashsum equivalence; overwrites go per-commit "
+        "— the sink partition and reported id are each span's last "
+        "snapshot",
     )
 
     m = sub.add_parser(
@@ -153,6 +156,15 @@ def build_parser() -> argparse.ArgumentParser:
     )
     m.add_argument(
         "--expire-keep-last", type=int, default=None, help="retention: keep newest N snapshots"
+    )
+    m.add_argument(
+        "--expire-older-than",
+        type=float,
+        default=None,
+        metavar="SECONDS",
+        help="retention by AGE: expire only snapshots committed more than "
+        "this many seconds ago (composable with --expire-keep-last as the "
+        "floor; alone, the newest snapshot is always kept)",
     )
     m.add_argument("--vacuum", action="store_true", help="reclaim unreferenced data/debris")
     m.add_argument(
@@ -302,14 +314,15 @@ def main(argv: list[str] | None = None) -> int:
             sid = snapshot_compact(spark, args.root, args.compact_target_mb, guard=args.guard)
             log.info("maintain.compact", snapshot_id=sid)
             report["compact"] = {"snapshot_id": sid}
-        if args.expire_keep_last is not None:
+        if args.expire_keep_last is not None or args.expire_older_than is not None:
             expired = expire_snapshots(
                 args.root, args.expire_keep_last, guard=args.guard,
                 do_vacuum=False,  # the single vacuum below covers it
+                older_than_s=args.expire_older_than,
             )
             log.info("maintain.expire", expired=len(expired))
             report["expired"] = expired
-        if args.vacuum or args.expire_keep_last is not None:
+        if args.vacuum or args.expire_keep_last is not None or args.expire_older_than is not None:
             removed = vacuum(args.root, min_age_s=args.min_age_s)
             log.info("maintain.vacuum", removed=len(removed))
             report["vacuumed"] = len(removed)

@@ -327,6 +327,12 @@ def _commit_manifest(
                 f"snapshot {sid} at {root}: parent moved from {parent} to "
                 f"{current_snapshot_id(root)} — another writer committed first"
             )
+        import time as _time
+
+        # commit wall-clock, recorded once at the flip: age-based
+        # retention and audit read this instead of trusting file mtimes
+        # (which rsync/restore rewrite)
+        manifest.setdefault("committed_at", round(_time.time(), 3))
         payload = json.dumps(manifest, indent=1, sort_keys=True)
         catalog_owned, _ = _catalog_current(root)
         if catalog_owned or g.owns_pointer:
@@ -931,30 +937,46 @@ def snapshot_compact(
 
 def expire_snapshots(
     root: str,
-    keep_last: int,
+    keep_last: int | None = None,
     guard=None,
     do_vacuum: bool = True,
     min_age_s: float = 3600.0,
+    older_than_s: float | None = None,
 ) -> list[int]:
     """Retention — Iceberg's expire_snapshots for the manifest layer:
-    drop the manifests of all but the newest ``keep_last`` snapshots,
-    then (``do_vacuum``) reclaim data dirs no remaining manifest
-    references. Time travel to an expired id raises FileNotFoundError
-    (loudly, same as Iceberg), ``snapshot_history`` lists only retained
-    ids, and files SHARED with retained snapshots (append chains
-    reference parents' files) always survive — vacuum keys liveness off
-    the remaining manifests, never off snapshot age. The manifest
-    unlinks run under the commit guard so a concurrent writer can't
-    commit into the middle of the expiry; the vacuum step instead
-    relies on ``min_age_s`` (default 1 h) because a LIVE writer's
-    staged-but-uncommitted data dir is unreferenced by construction —
-    the guard cannot protect it, only the age window can. Pass
-    ``min_age_s=0`` only in a single-writer maintenance window.
-    Returns the expired ids. Without retention a 100-TB table's history
-    grows monotonically: every overwrite/delete keeps its pre-state
-    bytes forever."""
+    drop old snapshots' manifests, then (``do_vacuum``) reclaim data
+    dirs no remaining manifest references. Two criteria, composable
+    exactly as Iceberg composes retain-last with expire-older-than:
+    ``keep_last`` is the FLOOR (the newest N snapshots never expire;
+    defaults to 1 when only ``older_than_s`` is given — the tip is
+    always kept), ``older_than_s`` restricts expiry to snapshots whose
+    manifest-recorded ``committed_at`` is older than the window
+    (pre-round-6 manifests without the field fall back to file mtime).
+    At least one criterion must be given.
+
+    Time travel to an expired id raises FileNotFoundError (loudly, same
+    as Iceberg), ``snapshot_history`` lists only retained ids, and files
+    SHARED with retained snapshots (append chains reference parents'
+    files) always survive — vacuum keys liveness off the remaining
+    manifests, never off snapshot age. The manifest unlinks run under
+    the commit guard so a concurrent writer can't commit into the middle
+    of the expiry; the vacuum step instead relies on ``min_age_s``
+    (default 1 h) because a LIVE writer's staged-but-uncommitted data
+    dir is unreferenced by construction — the guard cannot protect it,
+    only the age window can. Pass ``min_age_s=0`` only in a
+    single-writer maintenance window. Returns the expired ids. Without
+    retention a 100-TB table's history grows monotonically: every
+    overwrite/delete keeps its pre-state bytes forever."""
+    import time as _time
+
+    if keep_last is None and older_than_s is None:
+        raise ValueError("pass keep_last and/or older_than_s")
+    if keep_last is None:
+        keep_last = 1
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    if older_than_s is not None and older_than_s < 0:
+        raise ValueError(f"older_than_s must be >= 0, got {older_than_s}")
     from ovalspark.sources.commit_guard import resolve_guard
 
     g = resolve_guard(guard)
@@ -964,6 +986,7 @@ def expire_snapshots(
         if cur is None:
             return []
         locs = _catalog_manifest_locs(root)
+        now = _time.time()
         expired = []
         for sid in range(1, cur - keep_last + 1):
             loc = locs.get(sid)
@@ -972,9 +995,17 @@ def expire_snapshots(
                 if loc is not None
                 else _manifest_path(root, sid)
             )
-            if os.path.exists(p):
-                os.unlink(p)
-                expired.append(sid)
+            if not os.path.exists(p):
+                continue
+            if older_than_s is not None:
+                with open(p) as f:
+                    committed_at = json.load(f).get("committed_at")
+                if committed_at is None:
+                    committed_at = os.stat(p).st_mtime
+                if now - committed_at <= older_than_s:
+                    continue  # inside the retention window: keep
+            os.unlink(p)
+            expired.append(sid)
         if locs and expired:
             # drop the expired ids' catalog rows so resolution and vacuum
             # agree with the file state (the pointer row is untouched).

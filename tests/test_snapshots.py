@@ -740,6 +740,47 @@ def test_expire_snapshots_retention(spark, tmp_path):
         _compact(spark, root, target_file_mb=0)
 
 
+def test_expire_snapshots_by_age(spark, tmp_path):
+    """Age-based retention: only snapshots whose manifest-recorded
+    committed_at is outside the window expire; keep_last stays the floor
+    (the tip never expires even at older_than_s=0); both criteria must
+    not be absent; manifests record committed_at at the flip."""
+    import json as _json
+    import time as _time
+
+    from ovalspark.sources.snapshots import (
+        _resolve_manifest_path,
+        expire_snapshots,
+        snapshot_history,
+    )
+
+    root = str(tmp_path / "age_tbl")
+    df = spark.range(30).selectExpr("cast(id as string) as doc_id")
+    snapshot_write(df, root)
+    snapshot_write(df.limit(5), root, mode="append")
+    snapshot_write(df.limit(2), root, mode="append")
+    assert load_manifest(root, 1)["committed_at"] > 0
+
+    with pytest.raises(ValueError, match="keep_last and/or older_than_s"):
+        expire_snapshots(root)
+    # everything committed seconds ago: a 1-hour window expires nothing
+    assert expire_snapshots(root, older_than_s=3600, do_vacuum=False) == []
+
+    # age snapshot 1 artificially: rewrite its committed_at a day back
+    p1 = _resolve_manifest_path(root, 1)
+    m1 = _json.load(open(p1))
+    m1["committed_at"] = _time.time() - 86400
+    with open(p1, "w") as f:
+        _json.dump(m1, f)
+    assert expire_snapshots(root, older_than_s=3600, do_vacuum=False) == [1]
+
+    # floor: older_than_s=0 can never expire the newest keep_last
+    assert expire_snapshots(root, older_than_s=0, do_vacuum=False) == [2]
+    assert [r.snapshot_id for r in snapshot_history(spark, root).collect()] == [3]
+    with pytest.raises(ValueError, match="older_than_s"):
+        expire_snapshots(root, older_than_s=-5)
+
+
 def test_snapshot_delete_discovery_cap_falls_back_to_full_rewrite(spark, tmp_path):
     """A delete whose matches overflow the discovery cap (the
     delete-everything shape) must commit WITHOUT building the full
