@@ -1237,11 +1237,15 @@ def snapshot_history(spark: SparkSession, root: str) -> DataFrame:
                 m["total_bytes"],
                 len(m["files"]),
                 m["snapshot_id"] == sid,
+                # committed_at recorded since round 6; older manifests
+                # surface NULL rather than a fabricated time
+                float(m["committed_at"]) if m.get("committed_at") is not None else None,
             )
         )
     return spark.createDataFrame(
         rows,
-        "snapshot_id long, parent_id long, operation string, total_rows long, total_bytes long, n_files long, is_current boolean",
+        "snapshot_id long, parent_id long, operation string, total_rows long, "
+        "total_bytes long, n_files long, is_current boolean, committed_at double",
     )
 
 

@@ -776,7 +776,9 @@ def test_expire_snapshots_by_age(spark, tmp_path):
 
     # floor: older_than_s=0 can never expire the newest keep_last
     assert expire_snapshots(root, older_than_s=0, do_vacuum=False) == [2]
-    assert [r.snapshot_id for r in snapshot_history(spark, root).collect()] == [3]
+    hist = snapshot_history(spark, root).collect()
+    assert [r.snapshot_id for r in hist] == [3]
+    assert hist[0].committed_at is not None  # surfaced in .snapshots
     with pytest.raises(ValueError, match="older_than_s"):
         expire_snapshots(root, older_than_s=-5)
 
