@@ -1483,6 +1483,56 @@ _Q61_ORACLE = """
 """
 
 
+_Q62_VERSION = "v1"
+
+
+def _q62_expected_docs_lost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-contained LOST_DOC detection under the value gate (round 6):
+    commit the documents table MINUS the doc_id%7==3 slice while
+    recording the FULL doc set as the writer's promise
+    (``snapshot_write(expect=…)`` manifest sidecar), then — with no
+    writer-supplied catalog — reconcile the stored promise against the
+    stored table (``read_expected_docs`` anti-join the snapshot read)
+    and aggregate the missing docs per lang. The oracle recomputes the
+    missing slice from the split predicate on the raw table, so a
+    sidecar that dropped ids, a read that resolved the wrong files, or
+    an anti-join that leaked written docs all hash-mismatch."""
+    from ovalspark.sources.snapshots import (
+        current_snapshot_id,
+        read_expected_docs,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    root = _oracle_dir("q62", _Q62_VERSION, sf_dir)
+
+    def build(stage):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        snapshot_write(docs.filter(F.col("doc_id") % 7 != 3), stage, expect=docs)
+
+    _publish_once(root, build, is_valid=lambda: current_snapshot_id(root) == 1)
+    exp = read_expected_docs(spark, root, 1)
+    missing = exp.join(snapshot_read(spark, root, 1), "doc_id", "anti")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        missing.join(docs, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_missing"),
+            F.sum("n_chars").alias("missing_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_Q62_ORACLE = """
+    SELECT lang, COUNT(*) AS n_missing,
+           CAST(SUM(n_chars) AS BIGINT) AS missing_chars
+    FROM documents WHERE doc_id % 7 = 3
+    GROUP BY lang ORDER BY lang
+"""
+
+
 _Q53_VERSION = "v1"
 
 
@@ -1773,6 +1823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q59_manifest_stats": _q59_manifest_stats,
             "q60_pruned_read": _q60_pruned_read,
             "q61_schema_evolution": _q61_schema_evolution,
+            "q62_expected_docs_lost": _q62_expected_docs_lost,
         }
     )
     return out
@@ -1815,6 +1866,7 @@ def oracle_sql() -> dict[str, str]:
             "q59_manifest_stats": _Q59_ORACLE,
             "q60_pruned_read": _Q60_ORACLE,
             "q61_schema_evolution": _Q61_ORACLE,
+            "q62_expected_docs_lost": _Q62_ORACLE,
         }
     )
     return out

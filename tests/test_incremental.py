@@ -711,6 +711,95 @@ def test_tail_backlog_compaction_splits_runs_not_whole_backlog(spark, tmp_path, 
         assert v.count() == 0  # clean world end to end
 
 
+def test_tail_batched_equals_per_commit_randomized_histories(spark, tmp_path, small_world):
+    """Property over randomized commit histories: for seeded random
+    sequences of appends, predicate deletes and compactions — with
+    faults injected into random append commits — the batched tail's
+    total violation row set equals the per-commit tail's, row for row
+    (the overwrite-segmentation case has its own dedicated test). This
+    is the strongest equivalence statement for the round-6 segmentation:
+    whatever the op interleaving, batching never changes the answer."""
+    import random
+
+    from ovalspark.datagen import inject_faults
+    from ovalspark.operators.incremental import validate_snapshot_tail
+    from ovalspark.sources.snapshots import (
+        load_manifest,
+        snapshot_compact,
+        snapshot_delete,
+    )
+
+    spec, cat, docs, _ = small_world
+    bucket = F.pmod(F.xxhash64("doc_id", F.lit(29)), F.lit(8))
+    parts = [docs.filter(bucket == i).localCheckpoint() for i in range(8)]
+    part_cats = [
+        cat.join(p.select("doc_id"), "doc_id", "semi").localCheckpoint() for p in parts
+    ]
+
+    def canon(rows):
+        return sorted(tuple(str(v) for v in r) for r in rows)
+
+    for seed in (11, 37):
+        rng = random.Random(seed)
+        root = str(tmp_path / f"rand_hist_{seed}")
+        order = list(range(8))
+        rng.shuffle(order)
+        snapshot_write(parts[order[0]].repartition(3), root)
+        cats = {1: part_cats[order[0]]}
+        next_part = 1
+        # ops: weighted mix; deletes use a stable doc_id-hash predicate
+        while next_part < 8:
+            op = rng.choices(["append", "delete", "compact"], [6, 2, 1])[0]
+            if op == "append":
+                i = order[next_part]
+                p = parts[i]
+                if rng.random() < 0.4:
+                    bad, _ = inject_faults(p, part_cats[i], spec, {"WRONG_KIND": 0.2})
+                    p = bad.localCheckpoint()
+                sid = snapshot_write(p, root, mode="append")
+                cats[sid] = part_cats[i]
+                next_part += 1
+            elif op == "delete":
+                pred = (
+                    f"pmod(xxhash64(doc_id, {rng.randrange(100)}), 4) = 0"
+                )
+                before = max(cats)
+                sid = snapshot_delete(spark, root, pred)
+                if sid == before:
+                    continue  # matched nothing: no commit
+                ids = spark.read.parquet(*manifest_diff(root, sid - 1, sid)).select("doc_id")
+                cats[sid] = cat.join(ids, "doc_id", "semi").localCheckpoint()
+            else:
+                before = max(cats)
+                sid = snapshot_compact(spark, root, target_file_mb=512)
+                if sid == before:
+                    continue
+                cats[sid] = None  # replace: catalog never consulted
+
+        def catalog_for(s):
+            assert cats[s] is not None, f"catalog consulted for replace commit {s}"
+            return cats[s]
+
+        batched = list(
+            validate_snapshot_tail(
+                spark, root, catalog_for, spec.n_assets, after_id=0, timeout_s=0.3,
+                batch_commits=True,
+            )
+        )
+        per_commit = list(
+            validate_snapshot_tail(
+                spark, root, catalog_for, spec.n_assets, after_id=0, timeout_s=0.3,
+            )
+        )
+        # every commit covered exactly once, in order, both modes
+        assert [s for sids, _ in batched for s in sids] == [s for s, _ in per_commit]
+        assert any(len(sids) > 1 for sids, _ in batched)  # batching actually fired
+        b_rows = canon(r for _, v in batched for r in v.collect())
+        p_rows = canon(r for _, v in per_commit for r in v.collect())
+        assert b_rows == p_rows
+        assert load_manifest(root, max(cats))  # history intact
+
+
 def test_snapshot_tail_never_yields_torn_commit(spark, tmp_path, small_world):
     """A manifest at CURRENT+1 whose writer died before the flip is not a
     commit: the tailer must not surface it (CURRENT is the single
