@@ -431,7 +431,14 @@ def _validate_span(
         (os.path.basename(p), int(s)) for s in span for p in per_added[s]
     ]
     fmap = spark.createDataFrame(fmap_rows, "_f string, _sid int")
-    docs = spark.read.parquet(*files)
+    # read at the span's LAST committed schema — within an append/delete
+    # run schemas only ever widen (additive evolution), so the last is
+    # the union: pre-evolution files NULL-fill added columns instead of
+    # the span failing analysis when a delete predicate names an evolved
+    # column and inference happened to sample a pre-evolution file
+    from ovalspark.sources.snapshots import _committed_schema
+
+    docs = spark.read.schema(_committed_schema(manifests[span[-1]])).parquet(*files)
     docs_t = (
         docs.withColumn("_f", _file_basename(F.input_file_name()))
         .join(F.broadcast(fmap), "_f")

@@ -711,6 +711,51 @@ def test_tail_backlog_compaction_splits_runs_not_whole_backlog(spark, tmp_path, 
         assert v.count() == 0  # clean world end to end
 
 
+def test_batched_span_delete_predicate_on_evolved_column(spark, tmp_path, small_world):
+    """A batched span crossing an ADDITIVE SCHEMA EVOLUTION whose delete
+    predicate names the evolved column: the span job must read at the
+    span's widest committed schema (pre-evolution files NULL-fill) —
+    with inferred schema the survivor filter could fail analysis or,
+    worse, silently validate nothing. Results stay row-identical to the
+    per-commit tail."""
+    from ovalspark.operators.incremental import validate_snapshot_tail
+    from ovalspark.sources.snapshots import snapshot_delete
+
+    spec, cat, docs, _ = small_world
+    bucket = F.pmod(F.xxhash64("doc_id", F.lit(31)), F.lit(2))
+    parts = [docs.filter(bucket == i).localCheckpoint() for i in range(2)]
+    cats = [cat.join(p.select("doc_id"), "doc_id", "semi").localCheckpoint() for p in parts]
+
+    root = str(tmp_path / "evolved_span_tbl")
+    snapshot_write(parts[0], root)
+    # additive evolution inside the span: commit 2 carries batch_tag
+    snapshot_write(parts[1].withColumn("batch_tag", F.lit("b2")), root, mode="append")
+    pred = "batch_tag = 'b2' AND pmod(xxhash64(doc_id, 41), 2) = 0"
+    sid = snapshot_delete(spark, root, pred)
+    assert sid == 3  # half of part 1 goes; batch_tag-NULL rows are kept
+
+    def catalog_for(s):
+        if s == 3:
+            ids = spark.read.parquet(*manifest_diff(root, 2, 3)).select("doc_id")
+            return cat.join(ids, "doc_id", "semi")
+        return cats[s - 1]
+
+    batched = list(
+        validate_snapshot_tail(
+            spark, root, catalog_for, spec.n_assets, after_id=0, timeout_s=0.3,
+            batch_commits=True,
+        )
+    )
+    assert [sids for sids, _ in batched] == [[1, 2, 3]]  # ONE evolved span
+    assert batched[0][1].count() == 0
+    per_commit = list(
+        validate_snapshot_tail(
+            spark, root, catalog_for, spec.n_assets, after_id=0, timeout_s=0.3,
+        )
+    )
+    assert all(v.count() == 0 for _, v in per_commit)
+
+
 def test_tail_batched_equals_per_commit_randomized_histories(spark, tmp_path, small_world):
     """Property over randomized commit histories: for seeded random
     sequences of appends, predicate deletes and compactions — with
