@@ -233,6 +233,80 @@ def test_adopt_helper_idempotent(spark, tmp_path):
     assert adopt_catalog_pointer(root) == 1  # idempotent
 
 
+def test_deep_history_resolution_stays_flat(spark, tmp_path):
+    """150-commit catalog-owned history: every id resolves, the tip
+    resolves through the catalog, and per-manifest resolution cost does
+    not grow with depth (the O(1) primary-key lookup — a full-table scan
+    per resolve would make a year of hourly commits unreadable)."""
+    import time
+
+    from ovalspark.sources.commit_guard import SqliteCatalogGuard
+    from ovalspark.sources.snapshots import (
+        _commit_manifest,
+        current_snapshot_id,
+        load_manifest,
+    )
+    from tests.test_commit_race import _manifest, _write_data_dir
+
+    root = str(tmp_path / "deep_tbl")
+    files = _write_data_dir(root, 1, 3, "seed")
+    _commit_manifest(root, None, 1, _manifest(1, None, files), "sqlite")
+    g = SqliteCatalogGuard()
+    for sid in range(2, 151):
+        # metadata-only commits: same file list, new manifest per id
+        _commit_manifest(root, sid - 1, sid, _manifest(sid, sid - 1, files), g)
+    assert current_snapshot_id(root) == 150
+
+    def t_resolve(sid, n=20):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            load_manifest(root, sid)
+        return (time.perf_counter() - t0) / n
+
+    early, late = t_resolve(3), t_resolve(149)
+    # flat within noise: a linear scan would be ~50x apart at this depth
+    assert late < early * 5 + 0.01, (early, late)
+    for sid in (1, 50, 100, 150):
+        assert load_manifest(root, sid)["snapshot_id"] == sid
+
+
+def test_tail_follows_live_writer_on_catalog_owned_table(spark, tmp_path, small_world):
+    """Integration: a tailer follows commits landing from a concurrent
+    writer thread on a CATALOG-owned table — the poll resolves CURRENT
+    through the catalog, the commits flip it via CAS, and each delta
+    validates clean against its own catalog."""
+    import threading
+
+    from ovalspark.operators.incremental import validate_snapshot_tail
+    from pyspark.sql import functions as F
+
+    spec, cat, docs, _ = small_world
+    bucket = F.pmod(F.xxhash64("doc_id", F.lit(43)), F.lit(3))
+    parts = [docs.filter(bucket == i).localCheckpoint() for i in range(3)]
+    cats = [cat.join(p.select("doc_id"), "doc_id", "semi").localCheckpoint() for p in parts]
+
+    root = str(tmp_path / "live_cat_tbl")
+    from ovalspark.sources.snapshots import snapshot_write as _sw
+
+    _sw(parts[0], root, guard="sqlite")
+
+    def writer():
+        for p in parts[1:]:
+            _sw(p, root, mode="append", guard="sqlite")
+
+    t = threading.Thread(target=writer)
+    t.start()
+    got = list(
+        validate_snapshot_tail(
+            spark, root, lambda s: cats[s - 1], spec.n_assets,
+            after_id=0, timeout_s=8.0, poll_interval_s=0.1,
+        )
+    )
+    t.join()
+    assert [s for s, _ in got] == [1, 2, 3]
+    assert all(v.count() == 0 for _, v in got)
+
+
 def test_maintenance_on_catalog_owned_table(spark, tmp_path):
     """Delete, compact, retention and vacuum all run against a
     catalog-pointered table: resolution goes through catalog locs, and
