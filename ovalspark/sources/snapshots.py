@@ -190,21 +190,33 @@ def _catalog_cas(root: str, parent: int | None, sid: int, loc: str | None, con=N
             "CREATE TABLE IF NOT EXISTS manifests (id INTEGER PRIMARY KEY, loc TEXT NOT NULL)"
         )
         row = con.execute("SELECT id FROM current WHERE k='CURRENT'").fetchone()
+        flipped = False  # did THIS attempt mutate the pointer row?
         if row is None:
             con.execute("INSERT INTO current (k, id) VALUES ('CURRENT', ?)", (sid,))
-            won = True
+            won = flipped = True
         elif parent is None:
             won = False  # writer resolved an empty table but a pointer exists
         else:
             cur = con.execute(
                 "UPDATE current SET id=? WHERE k='CURRENT' AND id=?", (sid, parent)
             )
-            won = cur.rowcount == 1
+            won = flipped = cur.rowcount == 1
         if won and loc is not None:
             try:
                 con.execute("INSERT INTO manifests (id, loc) VALUES (?, ?)", (sid, loc))
             except sqlite3.IntegrityError:
                 won = False  # a manifest row for sid already exists
+        if not won and flipped and not own:
+            # the connection is the GUARD's transaction, which release()
+            # will COMMIT regardless — a pointer flip from this failed
+            # attempt must be compensated HERE or a half-applied commit
+            # (pointer advanced, no manifest row) would be persisted
+            if row is None:
+                con.execute("DELETE FROM current WHERE k='CURRENT' AND id=?", (sid,))
+            else:
+                con.execute(
+                    "UPDATE current SET id=? WHERE k='CURRENT' AND id=?", (parent, sid)
+                )
         if own:
             con.execute("COMMIT" if won else "ROLLBACK")
         return won

@@ -233,6 +233,42 @@ def test_adopt_helper_idempotent(spark, tmp_path):
     assert adopt_catalog_pointer(root) == 1  # idempotent
 
 
+def test_cas_compensates_pointer_flip_on_manifest_conflict(spark, tmp_path):
+    """Defense-in-depth: if the pointer UPDATE succeeds but the manifests
+    INSERT hits a primary-key conflict (a forged/stray row for the target
+    sid), the loser must compensate the flip INSIDE the guard's
+    still-open transaction — release() commits unconditionally, and a
+    half-applied commit (pointer advanced, no manifest row) would leave
+    the table's tip unresolvable."""
+    import sqlite3
+
+    from ovalspark.sources.snapshots import (
+        ConcurrentCommitError,
+        _catalog_db_path,
+        _commit_manifest,
+        current_snapshot_id,
+        snapshot_read,
+    )
+    from tests.test_commit_race import _manifest, _write_data_dir
+
+    root = str(tmp_path / "comp_tbl")
+    files1 = _write_data_dir(root, 1, 5, "seed")
+    _commit_manifest(root, None, 1, _manifest(1, None, files1), "sqlite")
+
+    # forge a stray manifests row for sid 2 (no such commit ever ran)
+    con = sqlite3.connect(_catalog_db_path(root))
+    con.execute("INSERT INTO manifests (id, loc) VALUES (2, 'v2-forged.json')")
+    con.commit()
+    con.close()
+
+    files2 = _write_data_dir(root, 2, 3, "victim")
+    with pytest.raises(ConcurrentCommitError):
+        _commit_manifest(root, 1, 2, _manifest(2, 1, files2), "sqlite")
+    # the pointer must still be 1 — not a half-applied 2
+    assert current_snapshot_id(root) == 1
+    assert snapshot_read(spark, root, 1).count() == 5
+
+
 def test_deep_history_resolution_stays_flat(spark, tmp_path):
     """150-commit catalog-owned history: every id resolves, the tip
     resolves through the catalog, and per-manifest resolution cost does
