@@ -81,3 +81,82 @@ def test_key_codec_roundtrip_property(spark, ids):
         "id", sp.parse_doc_key(sp.doc_key(F.col("id"))).alias("back"), F.length(sp.doc_key(F.col("id"))).alias("l")
     ).collect()
     assert all(r.id == r.back and r.l == 12 for r in got)
+
+
+# --- append-schema gate (pure python: the gate only reads df.schema) --------
+
+
+_TYPE_POOL = ["string", "bigint", "int", "double", "boolean", "date"]
+
+
+def _schema_of(cols):
+    from pyspark.sql.types import StructType
+
+    return StructType.fromDDL(", ".join(f"{n} {t}" for n, t in cols))
+
+
+class _Frame:
+    """Stub: _check_append_schema consumes only ``.schema``."""
+
+    def __init__(self, cols):
+        self.schema = _schema_of(cols)
+
+
+def _manifest_for(cols):
+    import json as _json
+
+    s = _schema_of(cols)
+    return {"schema_ddl": s.simpleString(), "schema_json": s.json()}
+
+
+@settings(max_examples=200, deadline=None)
+@given(data=st.data())
+def test_append_schema_gate_property(data):
+    """For any committed schema: identical and additive appends pass;
+    dropping, retyping, or reordering a committed column raises — the
+    full decision table of round-6 additive evolution, explored over
+    random schemas."""
+    import pytest as _pytest
+
+    from ovalspark.sources.snapshots import SchemaMismatchError, _check_append_schema
+
+    names = data.draw(
+        st.lists(
+            st.text("abcdefgh", min_size=1, max_size=6), min_size=1, max_size=5, unique=True
+        )
+    )
+    committed = [(n, data.draw(st.sampled_from(_TYPE_POOL))) for n in names]
+    m = _manifest_for(committed)
+
+    _check_append_schema("/t", m, _Frame(committed))  # identical: passes
+
+    extra_names = data.draw(
+        st.lists(
+            st.text("ijklmnop", min_size=1, max_size=6), min_size=1, max_size=3, unique=True
+        )
+    )
+    extras = [(n, data.draw(st.sampled_from(_TYPE_POOL))) for n in extra_names]
+    _check_append_schema("/t", m, _Frame(committed + extras))  # additive: passes
+
+    drop_i = data.draw(st.integers(0, len(committed) - 1))
+    dropped = committed[:drop_i] + committed[drop_i + 1 :]
+    if dropped:
+        with _pytest.raises(SchemaMismatchError):
+            _check_append_schema("/t", m, _Frame(dropped))
+    else:
+        # dropping the only column = empty append schema: also rejected
+        with _pytest.raises(SchemaMismatchError):
+            _check_append_schema("/t", m, _Frame([("zz", "string")] if committed[0][0] != "zz" else [("yy", "string")]))
+
+    re_i = data.draw(st.integers(0, len(committed) - 1))
+    old_t = committed[re_i][1]
+    new_t = data.draw(st.sampled_from([t for t in _TYPE_POOL if t != old_t]))
+    retyped = list(committed)
+    retyped[re_i] = (retyped[re_i][0], new_t)
+    with _pytest.raises(SchemaMismatchError):
+        _check_append_schema("/t", m, _Frame(retyped))
+
+    reordered = list(reversed(committed))
+    if reordered != committed:  # names are unique, so 2+ columns differ
+        with _pytest.raises(SchemaMismatchError):
+            _check_append_schema("/t", m, _Frame(reordered))
