@@ -152,6 +152,14 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--root", required=True, help="snapshot table root (e.g. <world>/documents)")
     m.add_argument("--delete-where", default=None, metavar="SQL", help="predicate: rows to DELETE")
     m.add_argument(
+        "--delete-discovery-cap",
+        type=int,
+        default=None,
+        help="cap on affected-file names collected to the driver during "
+        "delete discovery (default max(1000, half the scanned files)); "
+        "overflow switches to a full rewrite of the scanned files",
+    )
+    m.add_argument(
         "--compact-target-mb", type=int, default=None, help="bin-pack files smaller than this"
     )
     m.add_argument(
@@ -299,7 +307,10 @@ def main(argv: list[str] | None = None) -> int:
             report["adopt_catalog"] = {"snapshot_id": adopted}
         if args.delete_where:
             prev = current_snapshot_id(args.root)
-            sid = snapshot_delete(spark, args.root, args.delete_where, guard=args.guard)
+            sid = snapshot_delete(
+                spark, args.root, args.delete_where, guard=args.guard,
+                discovery_cap=args.delete_discovery_cap,
+            )
             # sid == prev means the predicate matched nothing (no commit)
             n_surv = validate_delete(spark, args.root, sid).count() if sid != prev else None
             log.info("maintain.delete", snapshot_id=sid, delete_survivors=n_surv)
