@@ -1278,6 +1278,11 @@ _Q57_ORACLE = """
 
 _Q58_VERSION = "v1"
 
+# ONE constant drives both the build's compaction target and the gate's
+# bin-pack expectation — a drift between the two would silently flip the
+# oracle's 'compacted' boolean instead of failing at the drift's source
+_Q58_TARGET_MB = 256
+
 
 def _q58_build(spark: SparkSession, sf_dir: str, stage: str) -> None:
     """ONE build recipe for the q58/q59 shared materialization (both
@@ -1288,7 +1293,7 @@ def _q58_build(spark: SparkSession, sf_dir: str, stage: str) -> None:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     snapshot_write(docs.repartition(16), stage)
-    snapshot_compact(spark, stage, target_file_mb=256)
+    snapshot_compact(spark, stage, target_file_mb=_Q58_TARGET_MB)
 
 
 def _q58_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1317,7 +1322,10 @@ def _q58_snapshot_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda stage: _q58_build(spark, sf_dir, stage),
         is_valid=lambda: current_snapshot_id(root) == 2,
     )
-    threshold = 256 * 1024 * 1024
+    # expectation assumes snapshot_compact's repartition(n) emits exactly
+    # n part files (true for Spark's round-robin repartition; an engine
+    # change there should move this gate, not silently pass it)
+    threshold = _Q58_TARGET_MB * 1024 * 1024
     pre = load_manifest(root, 1)["files"]
     small_bytes = sum(f["bytes"] for f in pre if f["bytes"] < threshold)
     n_keep = sum(1 for f in pre if f["bytes"] >= threshold)

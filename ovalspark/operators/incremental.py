@@ -178,7 +178,30 @@ def validate_replace(
         raise ValueError(
             f"snapshot {m['snapshot_id']} at {root} is {m['operation']!r}, not a replace commit"
         )
-    pm = load_manifest(root, m["parent_id"])
+    try:
+        pm = load_manifest(root, m["parent_id"])
+    except FileNotFoundError:
+        # age-based retention can expire the parent between the compaction
+        # and the tail catching up — equivalence is then genuinely
+        # unverifiable. A diagnosable row beats an unexplained crash: the
+        # consumer sees WHICH commit could not be verified and why, and
+        # can re-run after restoring history or accept the gap.
+        return spark.createDataFrame(
+            [
+                (
+                    None,
+                    f"snapshot={m['snapshot_id']}",
+                    None,
+                    "replace_equivalence",
+                    f"parent manifest {m['parent_id']} resolvable",
+                    "parent snapshot expired/missing (retention ran before the tail)",
+                    "REPLACE_UNVERIFIED",
+                    None,
+                    None,
+                )
+            ],
+            VIOLATION_SCHEMA,
+        )
     new_paths = {f["path"] for f in m["files"]}
     old_paths = {f["path"] for f in pm["files"]}
     removed = [_abs_path(root, p) for p in sorted(old_paths - new_paths)]

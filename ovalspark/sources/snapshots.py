@@ -298,7 +298,16 @@ def adopt_catalog_pointer(root: str, guard=None) -> int:
         if cur is None:
             raise FileNotFoundError(f"no committed snapshot at {root}")
         # loc=None: history stays resolvable via the existing v<id>.json
-        _catalog_cas(root, None, cur, None, token if g.owns_pointer else None)
+        if not _catalog_cas(root, None, cur, None, token if g.owns_pointer else None):
+            # lost the INSERT race (a concurrent adoption under a guard
+            # whose exclusion doesn't overlap ours): the catalog row that
+            # beat us is now authoritative — return ITS id, never the
+            # possibly stale file-pointer value we resolved above
+            owned, cid = _catalog_current(root)
+            if owned:
+                return cid
+            # non-owner guards roll the losing txn back; owner guards'
+            # held txn sees its own uncommitted state — re-read at release
         return cur
     finally:
         g.release(token)
@@ -333,6 +342,14 @@ def _commit_manifest(
 
     g = resolve_guard(guard)
     token = g.acquire(root)
+    # cache flip deferred past release() for owns-pointer guards: their
+    # token IS the open catalog transaction (COMMITted at release), and
+    # rewriting the CURRENT read-cache file before that COMMIT is durable
+    # would — on the adoption-on-first-commit flow — let a crash or a
+    # concurrent reader see CURRENT=sid with NO committed catalog row:
+    # resolution falls back to v<sid>.json, which a catalog-owned commit
+    # never wrote (writer-unique filenames), wedging the table
+    deferred_cache_sid = None
     try:
         if current_snapshot_id(root) != parent:
             raise ConcurrentCommitError(
@@ -362,7 +379,11 @@ def _commit_manifest(
                     f"snapshot {sid} at {root}: catalog pointer CAS lost — "
                     f"another writer committed first"
                 )
-            _atomic_write(_current_path(root), str(sid))  # read cache only
+            if g.owns_pointer:
+                deferred_cache_sid = sid  # flip only after release COMMITs
+            else:
+                # _catalog_cas already COMMITted its own short transaction
+                _atomic_write(_current_path(root), str(sid))  # read cache only
         else:
             # a manifest already at sid is debris from a torn commit (its
             # writer died pre-flip; a LIVE writer would hold this guard)
@@ -382,6 +403,11 @@ def _commit_manifest(
                 )
     finally:
         g.release(token)
+    if deferred_cache_sid is not None:
+        # reached only when release() COMMITted the catalog transaction
+        # (its failure propagates above and skips this): the pointer row
+        # is durable, so the read cache may now follow it
+        _atomic_write(_current_path(root), str(deferred_cache_sid))
 
 
 def current_snapshot_id(root: str) -> int | None:
@@ -804,6 +830,11 @@ def snapshot_delete(
 
     from pyspark.sql import Column
 
+    if discovery_cap is not None and discovery_cap < 1:
+        # cap=-1 would make limit(cap+1)=limit(0) return NO hit rows: the
+        # delete would silently report "nothing matched" while matching
+        # rows survive — invalid maintenance values must raise loudly
+        raise ValueError(f"discovery_cap must be >= 1, got {discovery_cap}")
     parent = current_snapshot_id(root)
     if parent is None:
         raise FileNotFoundError(f"no committed snapshot at {root}")

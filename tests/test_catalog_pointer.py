@@ -375,3 +375,107 @@ def test_maintenance_on_catalog_owned_table(spark, tmp_path):
     assert removed  # snapshot 1's unshared data is reclaimed
     assert sorted(r.snapshot_id for r in snapshot_history(spark, root).collect()) == [2, 3]
     assert snapshot_read(spark, root, 3).count() == 350
+
+
+def _adoption_crash_child(root):
+    """Run the REAL commit path (adoption-on-first-commit: table is
+    file-pointered, guard owns the pointer) and die inside release()
+    before the catalog transaction COMMITs — the ADVICE round-6 window:
+    if the CURRENT read-cache were rewritten before the COMMIT is
+    durable, this crash would leave CURRENT=3 with no committed catalog
+    row and no v3.json (the manifest went to a writer-unique filename),
+    wedging the table."""
+    from ovalspark.sources.commit_guard import SqliteCatalogGuard
+    from ovalspark.sources.snapshots import _commit_manifest
+    from tests.test_commit_race import _manifest, _write_data_dir
+
+    class DieBeforeCommitGuard(SqliteCatalogGuard):
+        name = "die-before-commit"
+
+        def release(self, token):
+            os._exit(9)  # die holding the open transaction: no COMMIT
+
+    files = _write_data_dir(root, 3, 7, "doomed")
+    _commit_manifest(root, 2, 3, _manifest(3, 2, files), DieBeforeCommitGuard())
+
+
+def test_adoption_crash_before_commit_leaves_table_readable(spark, tmp_path):
+    """Crash between the (uncommitted) adoption CAS and the transaction
+    COMMIT, on a previously file-pointered table: the documented
+    guarantee — 'a writer killed mid-commit leaves CURRENT at the
+    previous complete snapshot' — must hold on the adoption flow too.
+    The read-cache flip is deferred until release() has durably
+    COMMITted, so the crash leaves the file pointer untouched."""
+    from ovalspark.sources.snapshots import (
+        _catalog_current,
+        current_snapshot_id,
+        load_manifest,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    root = str(tmp_path / "adoption_crash")
+    df = spark.range(10).selectExpr("cast(id as string) as doc_id")
+    snapshot_write(df, root, guard="flock")
+    snapshot_write(df.limit(3), root, mode="append", guard="flock")
+    assert _catalog_current(root) == (False, None)
+
+    ctx = mp.get_context("spawn")
+    p = ctx.Process(target=_adoption_crash_child, args=(root,))
+    p.start()
+    p.join(timeout=120)
+    assert p.exitcode == 9
+
+    # NOT wedged: pointer still at 2, every resolve works, sid 3 absent
+    assert current_snapshot_id(root) == 2
+    assert load_manifest(root)["snapshot_id"] == 2
+    assert snapshot_read(spark, root).count() == 13
+    with pytest.raises(FileNotFoundError):
+        load_manifest(root, 3)
+
+    # the slot is retryable and adoption completes on the retry
+    snapshot_write(df.limit(2), root, mode="append", guard="sqlite")
+    assert _catalog_current(root) == (True, 3)
+    assert snapshot_read(spark, root, 3).count() == 15
+
+
+def test_adopt_helper_returns_catalog_id_when_cas_loses(spark, tmp_path, monkeypatch):
+    """A concurrent adoption that slips between the owned-check and the
+    CAS (guards of different types don't exclude each other): the INSERT
+    loses, and the helper must surface the catalog's authoritative id —
+    not the stale file-pointer value it resolved before the race."""
+    import sqlite3
+
+    import ovalspark.sources.snapshots as snap
+
+    root = str(tmp_path / "adopt_lost")
+    df = spark.range(6).selectExpr("cast(id as string) as doc_id")
+    snap.snapshot_write(df, root, guard="flock")
+    snap.snapshot_write(df.limit(2), root, mode="append", guard="flock")
+    assert snap.current_snapshot_id(root) == 2
+
+    # simulate the interleaving: the helper's owned-check sees the
+    # pre-adoption state, then a competing adopter commits a current row
+    # (id=1: it resolved an OLDER file pointer) before our CAS runs
+    real = snap._catalog_current
+    state = {"first": True}
+
+    def raced(r):
+        if state["first"]:
+            state["first"] = False
+            con = sqlite3.connect(snap._catalog_db_path(r))
+            con.execute(
+                "CREATE TABLE IF NOT EXISTS current "
+                "(k TEXT PRIMARY KEY CHECK (k='CURRENT'), id INTEGER NOT NULL)"
+            )
+            con.execute("INSERT INTO current (k, id) VALUES ('CURRENT', 1)")
+            con.commit()
+            con.close()
+            return False, None
+        return real(r)
+
+    monkeypatch.setattr(snap, "_catalog_current", raced)
+    got = snap.adopt_catalog_pointer(root, guard="flock")
+    assert got == 1  # the catalog's id, not our stale file-pointer 2
+    monkeypatch.undo()
+    assert snap._catalog_current(root) == (True, 1)

@@ -931,3 +931,28 @@ def test_snapshot_tail_checkpoint_resume_is_exact_and_idempotent(spark, tmp_path
     v4 = spark.read.parquet(f"{sink}/snapshot=4")
     assert v4.count() == second[0][1]
     assert {r.violation_class for r in v4.collect()} == {"WRONG_KIND"}
+
+
+def test_validate_replace_expired_parent_is_diagnosable(spark, tmp_path):
+    """Retention expiring a replace commit's parent before the tail
+    catches up: equivalence is unverifiable, and the verdict must be a
+    distinct REPLACE_UNVERIFIED row — diagnosable — never an unexplained
+    FileNotFoundError crash."""
+    from ovalspark.operators.incremental import validate_replace
+    from ovalspark.sources.snapshots import (
+        expire_snapshots,
+        load_manifest,
+        snapshot_compact,
+    )
+
+    root = str(tmp_path / "expired_parent_tbl")
+    df = spark.range(500).selectExpr("id as v", "cast(id as string) as doc_id")
+    snapshot_write(df.repartition(4), root)
+    assert snapshot_compact(spark, root, target_file_mb=64) == 2
+    assert load_manifest(root, 2)["operation"] == "replace"
+    assert validate_replace(spark, root, 2).count() == 0  # parent present
+
+    assert expire_snapshots(root, keep_last=1, min_age_s=0) == [1]
+    rows = validate_replace(spark, root, 2).collect()
+    assert [r["violation_class"] for r in rows] == ["REPLACE_UNVERIFIED"]
+    assert "expired" in rows[0]["actual"]

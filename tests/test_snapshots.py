@@ -1013,3 +1013,19 @@ def test_first_commit_sizing_with_sampled_fallback(spark, tmp_path, small_world,
     root2 = str(tmp_path / "fallback_many")
     s = snapshot_write(big.localCheckpoint(), root2, target_file_mb=1)
     assert len(load_manifest(root2, s)["files"]) > 1
+
+
+def test_snapshot_delete_rejects_invalid_discovery_cap(spark, tmp_path):
+    """cap < 1 would make limit(cap+1) = limit(0) return no hit rows —
+    a silent no-op delete. Invalid maintenance values raise loudly."""
+    import pytest as _pytest
+
+    from ovalspark.sources.snapshots import snapshot_delete
+
+    root = str(tmp_path / "badcap_tbl")
+    snapshot_write(spark.range(10).selectExpr("id as v"), root)
+    for bad in (0, -1):
+        with _pytest.raises(ValueError, match="discovery_cap"):
+            snapshot_delete(spark, root, "v < 5", discovery_cap=bad)
+    # table untouched: no delete commit happened
+    assert snapshot_read(spark, root).count() == 10
