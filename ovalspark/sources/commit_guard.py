@@ -279,6 +279,11 @@ def resolve_guard(guard: str | CommitGuard | None = None) -> CommitGuard:
     if isinstance(guard, CommitGuard):
         return guard
     name = guard or os.environ.get("OVALSPARK_COMMIT_GUARD", "flock")
+    if name not in _GUARDS and name == "http":
+        # the network-catalog guard registers itself on module import;
+        # a fresh process resolving by name (spawned race children, CLI)
+        # needs that import to have happened
+        import ovalspark.sources.http_catalog  # noqa: F401
     try:
         return _GUARDS[name]()
     except KeyError:

@@ -119,13 +119,34 @@ def _catalog_db_path(root: str) -> str:
     return os.path.join(_manifest_dir(root), "catalog.db")
 
 
+def _catalog_descriptor(root: str) -> dict | None:
+    """The table's catalog DESCRIPTOR (``manifest/catalog.json``), or
+    None. A descriptor routes pointer + manifest-location resolution and
+    the commit CAS to a NETWORK catalog (``sources/http_catalog`` — the
+    DynamoDB/Nessie conditional-put shape); without one, the embedded
+    sqlite catalog (when adopted) or the CURRENT file rules. The
+    descriptor is how a table's commit authority travels across hosts:
+    it names the service endpoint and a path-independent table key."""
+    p = os.path.join(_manifest_dir(root), "catalog.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
 def _catalog_current(root: str) -> tuple[bool, int | None]:
     """(owned, id): ``owned`` is True iff the table's CURRENT pointer
-    lives in the sqlite catalog (a ``current`` row exists in
-    ``manifest/catalog.db``), in which case ``id`` is authoritative and
+    lives in a catalog — the network catalog named by the table's
+    descriptor, else sqlite (a ``current`` row in
+    ``manifest/catalog.db``) — in which case ``id`` is authoritative and
     the CURRENT file is merely a read cache. A catalog.db without the
     row is the pre-adoption state (the sqlite guard used for exclusion
     only) — the file pointer still rules."""
+    d = _catalog_descriptor(root)
+    if d is not None and d.get("type") == "http":
+        from ovalspark.sources import http_catalog as hc
+
+        return hc.client_current(d["endpoint"], d["key"])
     p = _catalog_db_path(root)
     if not os.path.exists(p):
         return False, None
@@ -170,7 +191,18 @@ def _catalog_cas(root: str, parent: int | None, sid: int, loc: str | None, con=N
     A missing ``current`` row is the ADOPTION path: the caller verified
     under its guard that the file pointer equals ``parent``, so the
     first catalog commit INSERTs and from then on the catalog owns the
-    pointer."""
+    pointer.
+
+    A table with an http catalog DESCRIPTOR routes this whole CAS to the
+    network service instead (one conditional-put round-trip, durable the
+    moment the server replies — ``con`` is ignored: there is no held
+    transaction to thread the flip through, and no deferred-COMMIT
+    window to compensate)."""
+    d = _catalog_descriptor(root)
+    if d is not None and d.get("type") == "http":
+        from ovalspark.sources import http_catalog as hc
+
+        return hc.client_cas(d["endpoint"], d["key"], parent, sid, loc)
     import sqlite3
 
     own = con is None
@@ -229,6 +261,11 @@ def _catalog_manifest_locs(root: str) -> dict[int, str]:
     """id → manifest filename for every catalog-recorded commit. Empty
     for pre-adoption history / file-pointered tables (those resolve via
     the deterministic ``v<sid>.json``)."""
+    d = _catalog_descriptor(root)
+    if d is not None and d.get("type") == "http":
+        from ovalspark.sources import http_catalog as hc
+
+        return hc.client_manifest_locs(d["endpoint"], d["key"])
     import sqlite3
 
     p = _catalog_db_path(root)
@@ -252,6 +289,11 @@ def _catalog_manifest_loc(root: str, sid: int) -> str | None:
     O(1) regardless of table history, unlike ``_catalog_manifest_locs``
     (the full dict is for maintenance sweeps only; a tail resolving a few
     manifests per commit must not pay an O(commits) scan per resolve)."""
+    d = _catalog_descriptor(root)
+    if d is not None and d.get("type") == "http":
+        from ovalspark.sources import http_catalog as hc
+
+        return hc.client_manifest_loc(d["endpoint"], d["key"], sid)
     import sqlite3
 
     p = _catalog_db_path(root)
@@ -1052,21 +1094,31 @@ def expire_snapshots(
         if locs and expired:
             # drop the expired ids' catalog rows so resolution and vacuum
             # agree with the file state (the pointer row is untouched).
-            # The sqlite guard's token IS an open transaction on this db —
-            # reuse it (a second BEGIN IMMEDIATE would self-deadlock)
-            rows = [(s,) for s in expired]
-            if g.owns_pointer:
-                token.executemany("DELETE FROM manifests WHERE id=?", rows)
-            else:
-                import sqlite3
+            # Dispatch on the DESCRIPTOR, not the guard: the table's
+            # catalog decides where the rows live, whatever guard this
+            # maintenance call happened to run under
+            d = _catalog_descriptor(root)
+            if d is not None and d.get("type") == "http":
+                from ovalspark.sources import http_catalog as hc
 
-                con = sqlite3.connect(_catalog_db_path(root), timeout=30.0)
-                try:
-                    con.execute("BEGIN IMMEDIATE")
-                    con.executemany("DELETE FROM manifests WHERE id=?", rows)
-                    con.execute("COMMIT")
-                finally:
-                    con.close()
+                hc.client_delete_manifests(d["endpoint"], d["key"], expired)
+            else:
+                rows = [(s,) for s in expired]
+                if g.owns_pointer and g.name == "sqlite":
+                    # the sqlite guard's token IS an open transaction on
+                    # this db — reuse it (a second BEGIN IMMEDIATE would
+                    # self-deadlock)
+                    token.executemany("DELETE FROM manifests WHERE id=?", rows)
+                else:
+                    import sqlite3
+
+                    con = sqlite3.connect(_catalog_db_path(root), timeout=30.0)
+                    try:
+                        con.execute("BEGIN IMMEDIATE")
+                        con.executemany("DELETE FROM manifests WHERE id=?", rows)
+                        con.execute("COMMIT")
+                    finally:
+                        con.close()
     finally:
         g.release(token)
     if do_vacuum:

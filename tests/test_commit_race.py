@@ -59,6 +59,30 @@ def _manifest(sid: int, parent: int | None, files: list[dict]) -> dict:
     }
 
 
+class _maybe_http_catalog:
+    """For ``guard_name == "http"``: start an in-process network catalog
+    and attach the table to it, so the spawned children's commits cross
+    a REAL TCP round-trip into the parent's server (the descriptor file
+    carries the endpoint — nothing is inherited through fork/spawn).
+    No-op for the filesystem guards."""
+
+    def __init__(self, root: str, guard_name: str):
+        self.root, self.guard_name, self.server = root, guard_name, None
+
+    def __enter__(self):
+        if self.guard_name == "http":
+            from ovalspark.sources.http_catalog import CatalogServer, attach_http_catalog
+
+            self.server = CatalogServer()
+            os.makedirs(os.path.join(self.root, "manifest"), exist_ok=True)
+            attach_http_catalog(self.root, self.server.start())
+        return self
+
+    def __exit__(self, *exc):
+        if self.server is not None:
+            self.server.stop()
+
+
 def _race_child(root: str, guard_name: str, n_rows: int, tag: str, barrier, q) -> None:
     """Stage data for sid 2, wait on the barrier, race the commit."""
     import shutil
@@ -79,7 +103,7 @@ def _race_child(root: str, guard_name: str, n_rows: int, tag: str, barrier, q) -
         q.put((tag, f"err:{type(e).__name__}:{e}", n_rows))
 
 
-@pytest.mark.parametrize("guard_name", ["flock", "dirlock", "sqlite"])
+@pytest.mark.parametrize("guard_name", ["flock", "dirlock", "sqlite", "http"])
 def test_two_process_commit_race(spark, tmp_path, guard_name):
     from ovalspark.sources.snapshots import (
         _commit_manifest,
@@ -89,6 +113,18 @@ def test_two_process_commit_race(spark, tmp_path, guard_name):
     )
 
     root = str(tmp_path / f"race_{guard_name}")
+    with _maybe_http_catalog(root, guard_name):
+        _run_two_process_race(spark, root, guard_name)
+
+
+def _run_two_process_race(spark, root, guard_name):
+    from ovalspark.sources.snapshots import (
+        _commit_manifest,
+        current_snapshot_id,
+        load_manifest,
+        snapshot_read,
+    )
+
     # seed sid 1 (no race yet)
     files1 = _write_data_dir(root, 1, 5, "seed")
     _commit_manifest(root, None, 1, _manifest(1, None, files1), guard_name)
@@ -119,11 +155,16 @@ def test_two_process_commit_race(spark, tmp_path, guard_name):
     assert on_disk == referenced
 
 
-@pytest.mark.parametrize("guard_name", ["flock", "dirlock", "sqlite"])
+@pytest.mark.parametrize("guard_name", ["flock", "dirlock", "sqlite", "http"])
 def test_many_process_commit_storm(spark, tmp_path, guard_name):
     """4 processes × sequential retries: with retry-on-loss every writer
     eventually lands, ids are dense, and each id's content is intact."""
     root = str(tmp_path / f"storm_{guard_name}")
+    with _maybe_http_catalog(root, guard_name):
+        _run_commit_storm(root, guard_name)
+
+
+def _run_commit_storm(root, guard_name):
     files1 = _write_data_dir(root, 1, 1, "seed")
     from ovalspark.sources.snapshots import (
         _commit_manifest,
