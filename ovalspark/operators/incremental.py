@@ -99,12 +99,17 @@ def validate_delete(
     (O(table), for audits that trust nothing).
 
     ``predicate`` defaults to the one recorded in the manifest
-    (SQL-string deletes record it; a Column delete records None and the
-    caller must re-supply it here). Returns VIOLATION_SCHEMA rows — an
-    empty result is a verified delete."""
+    (SQL-string deletes record it). A Column delete records None — but
+    persists the matched doc_id set as a ``_deleted`` sidecar
+    (``snapshots.read_deleted_docs``), so verification falls back to a
+    semi-join of survivors against that set: a rewritten file smuggling
+    a promised-deleted doc back still raises DELETE_SURVIVOR, fully
+    self-contained. Only a pre-sidecar Column-delete commit (or a
+    doc_id-less table) needs the predicate re-supplied. Returns
+    VIOLATION_SCHEMA rows — an empty result is a verified delete."""
     import pyspark.sql.functions as F
 
-    from ovalspark.sources.snapshots import load_manifest, manifest_diff
+    from ovalspark.sources.snapshots import load_manifest, manifest_diff, read_deleted_docs
 
     m = load_manifest(root, snapshot_id)
     if m["operation"] != "delete":
@@ -112,10 +117,11 @@ def validate_delete(
             f"snapshot {m['snapshot_id']} at {root} is {m['operation']!r}, not a delete commit"
         )
     pred_sql = predicate if predicate is not None else m.get("delete_predicate")
-    if pred_sql is None:
+    if pred_sql is None and m.get("deleted_docs") is None:
         raise ValueError(
             "delete commit recorded no predicate (Column deletes cannot be "
-            "serialized) — pass `predicate` explicitly to verify"
+            "serialized) and no deleted-docs sidecar — pass `predicate` "
+            "explicitly to verify"
         )
     from ovalspark.sources.snapshots import _abs_path  # scoped file list
 
@@ -127,16 +133,32 @@ def validate_delete(
     if not files:
         return empty  # delete rewrote everything away: nothing can survive
     df = spark.read.parquet(*files)
-    # survivor hunt selects predicate-TRUE rows: plain filter pushes down
-    # (a coalesce wrapper would empty PushedFilters — measured)
     doc_id = F.col("doc_id").cast("string") if "doc_id" in df.columns else F.lit(None).cast("string")
-    return df.filter(F.expr(pred_sql)).select(
+    if pred_sql is not None:
+        # survivor hunt selects predicate-TRUE rows: plain filter pushes
+        # down (a coalesce wrapper would empty PushedFilters — measured)
+        survivors = df.filter(F.expr(pred_sql))
+        actual = F.lit(f"present (matches: {pred_sql})")
+        field = F.lit("delete_predicate")
+    else:
+        # sidecar form: survivor = a row whose doc_id the commit promised
+        # to delete. Semi-join keyed on a string — shuffles O(survivors +
+        # deleted set), never O(table); AQE broadcasts small sets
+        promised = read_deleted_docs(spark, root, m["snapshot_id"])
+        survivors = df.join(
+            promised.withColumnRenamed("doc_id", "_del_doc"),
+            F.col("doc_id").cast("string") == F.col("_del_doc"),
+            "left_semi",
+        )
+        actual = F.lit("present (doc_id in recorded delete set)")
+        field = F.lit("deleted_docs")
+    return survivors.select(
         F.lit(None).cast("int").alias("partition_id"),
         doc_id.alias("doc_id"),
         F.lit(None).cast("int").alias("span_idx"),
-        F.lit("delete_predicate").alias("field"),
+        field.alias("field"),
         F.lit("deleted").alias("expected"),
-        F.lit(f"present (matches: {pred_sql})").alias("actual"),
+        actual.alias("actual"),
         F.lit("DELETE_SURVIVOR").alias("violation_class"),
         F.lit(None).cast("int").alias("writer_id"),
         F.lit(None).cast("timestamp").alias("written_at"),
@@ -611,12 +633,15 @@ def _tail_deltas(
                 # recorded predicate (oval's delete-then-verify). Rides
                 # the same yielded plan over the same files — the scan is
                 # shared, only the predicate filter is extra. Column
-                # deletes record no predicate; the tail then validates
-                # survivors only (validate_delete can be run manually
-                # with the predicate re-supplied).
-                if m_first["operation"] == "delete" and m_first.get("delete_predicate"):
+                # deletes record no predicate but DO persist the matched
+                # doc set as a _deleted sidecar, which validate_delete
+                # semi-joins against — every delete the writer can make
+                # is read-back verified by the tail, self-contained.
+                if m_first["operation"] == "delete" and (
+                    m_first.get("delete_predicate") or m_first.get("deleted_docs")
+                ):
                     v = v.unionByName(
-                        validate_delete(spark, root, first, m_first["delete_predicate"])
+                        validate_delete(spark, root, first, m_first.get("delete_predicate"))
                     )
             yield span, files, v
 

@@ -815,6 +815,20 @@ def read_expected_docs(
     return spark.read.parquet(_abs_path(root, exp["loc"]))
 
 
+def read_deleted_docs(
+    spark: SparkSession, root: str, snapshot_id: int | None = None
+) -> DataFrame | None:
+    """The writer-recorded deleted doc set of a Column-predicate DELETE
+    commit (``doc_id`` frame), or None when the commit recorded none
+    (SQL-string deletes carry the re-checkable predicate instead). The
+    expect sidecar's inverse: what the writer promised to REMOVE."""
+    m = load_manifest(root, snapshot_id)
+    dd = m.get("deleted_docs")
+    if dd is None:
+        return None
+    return spark.read.parquet(_abs_path(root, dd["loc"]))
+
+
 def _file_basename(col):
     # manifest stores OS paths, input_file_name() yields file: URIs whose
     # root/encoding need not match textually; the part-file BASENAME is
@@ -955,6 +969,41 @@ def snapshot_delete(
         "delete_predicate": pred_sql,
         "files": files,
     }
+    if pred_sql is None and "doc_id" in survivors.columns:
+        # A Column predicate cannot be re-evaluated later, which would
+        # leave this commit the ONE delete the tail cannot read-back
+        # verify (oval's delete path always verifies,
+        # internal/runner/worker.go:191-232). Persist the matched
+        # doc_id set instead — the expect-sidecar mechanism, inverted:
+        # the manifest names the docs the writer claims to have removed,
+        # and verification becomes a semi-join of survivors against the
+        # set, self-contained with no predicate. O(deleted rows) extra
+        # IO, one more pushdown-filtered scan of the already-affected
+        # files. Exact for doc_id-keyed tables (this library's data
+        # model); a multi-row-per-doc table partially deleted by the
+        # predicate would over-report — such callers should pass SQL.
+        deleted_dir = os.path.join(data_dir, "_deleted")
+        (
+            spark.read.schema(_committed_schema(m))
+            .parquet(*rewrite)
+            # plain filter(pred), not the coalesce wrapper: same rows
+            # (filter drops NULLs) and it reaches the scan as
+            # PushedFilters — the _delete_discovery_frame reasoning
+            .filter(pred)
+            .select(F.col("doc_id").cast("string").alias("doc_id"))
+            .write.mode("error")
+            .parquet(deleted_dir)
+        )
+        import pyarrow.parquet as pq
+
+        n_deleted = sum(
+            pq.ParquetFile(p).metadata.num_rows
+            for p in glob.glob(os.path.join(deleted_dir, "part-*.parquet"))
+        )
+        manifest["deleted_docs"] = {
+            "loc": os.path.relpath(deleted_dir, root),
+            "n_docs": int(n_deleted),
+        }
     try:
         _commit_manifest(root, parent, sid, manifest, guard)
     except ConcurrentCommitError:
@@ -1169,6 +1218,14 @@ def vacuum(root: str, min_age_s: float = 0.0) -> list[str]:
                     # that promise (= every doc LOST) must survive vacuum
                     live_dirs.add(
                         os.path.dirname(os.path.normpath(_abs_path(root, exp["loc"])))
+                    )
+                dd = m.get("deleted_docs")
+                if dd is not None:
+                    # same carve-out for the delete sidecar: a delete
+                    # that removed every row of its rewritten files has
+                    # no new_files entry pointing at its data dir
+                    live_dirs.add(
+                        os.path.dirname(os.path.normpath(_abs_path(root, dd["loc"])))
                     )
     # debris = any manifest file that is not the resolved path of a
     # committed id: torn commits past CURRENT, CAS losers' unique-named

@@ -479,6 +479,66 @@ def test_tail_verifies_delete_commits(spark, tmp_path, small_world):
     assert "DELETE_SURVIVOR" in classes
 
 
+def test_tail_verifies_column_delete_via_sidecar(spark, tmp_path, small_world):
+    """A COLUMN-predicate delete (no SQL serialization) is read-back
+    verified by the tail through its _deleted sidecar: the smuggled-back
+    doc is named by doc_id from the recorded set, no predicate anywhere
+    in the verification path."""
+    import glob as g
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pyspark.sql.functions as F
+
+    from ovalspark.operators.incremental import validate_snapshot_tail
+    from ovalspark.sources.snapshots import snapshot_delete
+
+    spec, cat, docs, _ = small_world
+    root = str(tmp_path / "tail_coldel_tbl")
+    snapshot_write(docs.localCheckpoint().repartition(2, "partition_id"), root)
+    sid = snapshot_delete(spark, root, F.col("partition_id") == 0)
+
+    def catalog_for(s):
+        ids = spark.read.parquet(*manifest_diff(root, s - 1, s)).select("doc_id")
+        return cat.join(ids, "doc_id", "semi")
+
+    got = list(
+        validate_snapshot_tail(
+            spark, root, catalog_for, spec.n_assets, after_id=1, timeout_s=0.5
+        )
+    )
+    assert [s for s, _ in got] == [sid]
+    assert got[0][1].count() == 0  # clean delete verifies empty
+
+    rewritten = sorted(
+        g.glob(os.path.join(root, "data", f"snap-{sid}-*", "part-*.parquet"))
+    )[0]
+    t = pq.read_table(rewritten)
+    row = t.slice(0, 1).to_pydict()
+    # the sidecar joins on doc_id (not the unserializable predicate):
+    # the smuggled row must carry a doc the recorded set says is gone
+    from ovalspark.sources.snapshots import read_deleted_docs
+
+    row["doc_id"] = [read_deleted_docs(spark, root, sid).first().doc_id]
+    pq.write_table(
+        pa.concat_tables([t, pa.Table.from_pydict(row, t.schema)]),
+        rewritten,
+        use_deprecated_int96_timestamps=True,
+    )
+    crc = os.path.join(os.path.dirname(rewritten), f".{os.path.basename(rewritten)}.crc")
+    if os.path.exists(crc):
+        os.unlink(crc)
+
+    got2 = list(
+        validate_snapshot_tail(
+            spark, root, catalog_for, spec.n_assets, after_id=1, timeout_s=0.5
+        )
+    )
+    rows = [r for r in got2[0][1].collect() if r.violation_class == "DELETE_SURVIVOR"]
+    assert rows and rows[0].field == "deleted_docs"
+
+
 def test_tail_backlog_with_interleaved_deletes_batches_one_job(spark, tmp_path, small_world):
     """A backlog of appends WITH an interleaved predicate delete batches
     into ONE spanning job (round-5 fell back to per-commit for any span

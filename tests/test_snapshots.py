@@ -943,15 +943,94 @@ def test_validate_delete_read_back(spark, tmp_path):
     assert [r.violation_class for r in v] == ["DELETE_SURVIVOR"]
     assert v[0].doc_id == "zombie"
 
-    # a Column delete records no predicate: verification demands one
+    # a Column delete records no predicate but persists the matched
+    # doc_id set as a _deleted sidecar: verification is self-contained
     sid2 = snapshot_delete(spark, root, F.col("grp") == 2)
-    assert load_manifest(root, sid2)["delete_predicate"] is None
-    with pytest.raises(ValueError, match="predicate"):
-        validate_delete(spark, root, sid2)
+    m2 = load_manifest(root, sid2)
+    assert m2["delete_predicate"] is None
+    assert m2["deleted_docs"]["n_docs"] == m2["deleted_rows"] == 100
+    assert validate_delete(spark, root, sid2).count() == 0
+    # the explicitly re-supplied predicate path still works too
     assert validate_delete(spark, root, sid2, predicate="grp = 2").count() == 0
     # non-delete commits refuse verification
     with pytest.raises(ValueError, match="not a delete"):
         validate_delete(spark, root, 1)
+
+
+def test_column_delete_sidecar_read_back(spark, tmp_path):
+    """The _deleted sidecar closes the one unverifiable delete: a Column
+    predicate has no SQL serialization, so the commit records the matched
+    doc_id set and validate_delete semi-joins survivors against it —
+    a smuggled-back deleted doc raises DELETE_SURVIVOR with no predicate
+    re-supplied. A doc_id-less table can record neither and still
+    demands an explicit predicate."""
+    import glob as g
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ovalspark.operators.incremental import validate_delete
+    from ovalspark.sources.snapshots import read_deleted_docs, snapshot_delete
+
+    df = spark.range(300).selectExpr("cast(id as string) as doc_id", "cast(id % 3 as int) as grp")
+    root = str(tmp_path / "sidecar_tbl")
+    snapshot_write(df.repartition(2, "grp"), root)
+    sid = snapshot_delete(spark, root, F.col("grp") == 1)
+    promised = read_deleted_docs(spark, root, sid)
+    assert promised.count() == 100
+    assert promised.filter("cast(doc_id as int) % 3 != 1").count() == 0
+    assert validate_delete(spark, root, sid).count() == 0
+
+    # smuggle one promised-deleted doc back into a rewritten file
+    rewritten = sorted(
+        g.glob(os.path.join(root, "data", f"snap-{sid}-*", "part-*.parquet"))
+    )[0]
+    t = pq.read_table(rewritten)
+    bad = pa.table({"doc_id": ["1"], "grp": pa.array([1], pa.int32())}).cast(t.schema)
+    pq.write_table(pa.concat_tables([t, bad]), rewritten)
+    crc = os.path.join(os.path.dirname(rewritten), f".{os.path.basename(rewritten)}.crc")
+    if os.path.exists(crc):
+        os.unlink(crc)
+    v = validate_delete(spark, root, sid).collect()
+    assert [r.violation_class for r in v] == ["DELETE_SURVIVOR"]
+    assert v[0].doc_id == "1" and v[0].field == "deleted_docs"
+
+    # SQL-string deletes carry the re-checkable predicate; no sidecar
+    from ovalspark.sources.snapshots import load_manifest
+
+    sid2 = snapshot_delete(spark, root, "grp = 2")
+    assert "deleted_docs" not in load_manifest(root, sid2)
+
+    # a table WITHOUT doc_id cannot record the set: explicit predicate
+    # remains the only verification route, and its absence raises
+    df2 = spark.range(50).selectExpr("id as k", "cast(id % 2 as int) as grp")
+    root2 = str(tmp_path / "sidecar_nodoc")
+    snapshot_write(df2, root2)
+    sid3 = snapshot_delete(spark, root2, F.col("grp") == 0)
+    assert "deleted_docs" not in load_manifest(root2, sid3)
+    with pytest.raises(ValueError, match="predicate"):
+        validate_delete(spark, root2, sid3)
+
+
+def test_column_delete_all_rows_sidecar_survives_vacuum(spark, tmp_path):
+    """A Column delete that removes EVERY row of its rewritten files
+    leaves a data dir referenced only through the _deleted sidecar —
+    vacuum must keep it (the expect-sidecar carve-out, inverted)."""
+    from ovalspark.sources.snapshots import (
+        read_deleted_docs,
+        snapshot_delete,
+        snapshot_read,
+        vacuum,
+    )
+
+    df = spark.range(40).selectExpr("cast(id as string) as doc_id", "id as v")
+    root = str(tmp_path / "sidecar_all")
+    snapshot_write(df.coalesce(1), root)
+    sid = snapshot_delete(spark, root, F.col("v") >= 0)  # everything goes
+    assert snapshot_read(spark, root).count() == 0
+    vacuum(root)
+    assert read_deleted_docs(spark, root, sid).count() == 40
 
 
 def test_snapshot_delete_null_predicate_rows_are_kept(spark, tmp_path):
