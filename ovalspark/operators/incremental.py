@@ -281,18 +281,43 @@ def stored_catalog_for(spark: SparkSession, table_root: str):
     The catalog is re-read PER COMMIT, never frozen at startup: a
     long-running tailer that cached it would validate later commits
     against a stale catalog — their legitimately new docs all
-    false-PHANTOM and their span checks silently skipped."""
+    false-PHANTOM and their span checks silently skipped. When the docs
+    commit PINS a catalog generation (``TableSet.save`` records
+    ``catalog_snapshot_id`` in the manifest), the read time-travels to
+    that id: a tail that wakes up N saves behind validates each docs
+    commit against the catalog that described IT, not whatever is
+    latest — and the two-commit save's crash window (catalog landed,
+    docs didn't... next save's catalog lands) stops being observable.
+    A pin that retention has since expired falls back to latest with a
+    warning — the pre-pin behavior, not a crash."""
     from ovalspark.sources import read_table
     from ovalspark.sources.snapshots import load_manifest, read_expected_docs
 
     docs_root = f"{table_root}/documents"
 
     def catalog_for(sid: int):
-        catalog = read_table(spark, f"{table_root}/catalog", fmt="snapshot")
+        m = load_manifest(docs_root, sid)
+        pin = (m.get("properties") or {}).get("catalog_snapshot_id")
+        try:
+            catalog = read_table(
+                spark, f"{table_root}/catalog", fmt="snapshot", snapshot_id=pin
+            )
+        except FileNotFoundError:
+            if pin is None:
+                raise
+            import logging
+
+            logging.getLogger("ovalspark").warning(
+                "docs commit %s pins catalog snapshot %s which retention "
+                "expired — validating against the latest catalog instead",
+                sid,
+                pin,
+            )
+            catalog = read_table(spark, f"{table_root}/catalog", fmt="snapshot")
         exp = read_expected_docs(spark, docs_root, sid)
         if exp is not None:
             return catalog.join(exp.select("doc_id"), "doc_id", "semi")
-        parent = load_manifest(docs_root, sid)["parent_id"]
+        parent = m["parent_id"]
         added = manifest_diff(docs_root, parent if parent else None, sid)
         if not added:
             # empty commit (no-op append): nothing claimed, nothing

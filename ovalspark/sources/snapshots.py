@@ -693,6 +693,7 @@ def snapshot_write(
     target_file_mb: int | None = None,
     guard=None,
     expect: DataFrame | None = None,
+    properties: dict | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot; returns the new snapshot id.
 
@@ -729,6 +730,17 @@ def snapshot_write(
     writer promised but never wrote) from the manifest alone
     (``read_expected_docs``). The sidecar is O(commit's doc count)
     and shares the data dir's lifecycle (vacuum/retention-safe).
+
+    ``properties`` — small writer-supplied key/values recorded verbatim
+    in the manifest (Iceberg snapshot-summary shape). The load-bearing
+    use: ``TableSet.save`` pins the catalog table's snapshot id into the
+    docs commit (``catalog_snapshot_id``), so a tailer validates each
+    docs commit against the catalog GENERATION that described it — the
+    two-commit save is no longer an atomicity window the tail can
+    observe (oval's one-file ExecutionContext checkpoint,
+    internal/runner/runner.go:250-273, re-expressed as cross-table
+    manifest metadata). Keep it to scalars: this rides the manifest
+    JSON, read on every resolution.
     """
     import shutil
     import uuid
@@ -777,6 +789,8 @@ def snapshot_write(
         "total_bytes": sum(f["bytes"] for f in files),
         "files": files,
     }
+    if properties:
+        manifest["properties"] = dict(properties)
     if expect is not None:
         import pyarrow.parquet as pq
 

@@ -56,6 +56,7 @@ def write_table(
     partition_by: tuple[str, ...] = ("partition_id",),
     mode: str = "overwrite",
     expect: DataFrame | None = None,
+    properties: dict | None = None,
 ) -> None:
     spark = df.sparkSession
     if fmt == "snapshot":
@@ -70,12 +71,12 @@ def write_table(
             )
         if mode not in ("overwrite", "append"):
             raise ValueError(f"fmt='snapshot' supports mode overwrite|append, got {mode!r}")
-        snapshot_write(df, path_or_ident, mode=mode, expect=expect)
+        snapshot_write(df, path_or_ident, mode=mode, expect=expect, properties=properties)
         return
-    if expect is not None:
+    if expect is not None or properties is not None:
         raise ValueError(
-            "expect= (writer-recorded expected doc set) requires fmt='snapshot' "
-            "— only the manifest layer can persist it with the commit"
+            "expect=/properties= (writer-recorded commit metadata) require "
+            "fmt='snapshot' — only the manifest layer can persist them with the commit"
         )
     if fmt == "iceberg" or (fmt == "auto" and not path_or_ident.startswith("/") and _iceberg_available(spark)):
         w = df.writeTo(path_or_ident)
@@ -127,16 +128,28 @@ class TableSet:
         if fmt == "snapshot":
             from pyspark.sql import functions as F
 
+            from ovalspark.sources.snapshots import current_snapshot_id
+
             # record the writer's promise WITH the commit: the catalog's
             # exists=True doc set is exactly what this save claims to
             # write, so a tailer can reconcile LOST_DOC self-contained
-            # (no caller-supplied catalog) from the manifest sidecar
+            # (no caller-supplied catalog) from the manifest sidecar.
+            # The catalog PIN closes the two-commit atomicity window:
+            # catalog and docs land as separate commits (ordering above),
+            # so a tail reading "latest" catalog between them — or after
+            # further saves — would validate this docs commit against a
+            # DIFFERENT generation. Pinning the catalog's just-committed
+            # id into the docs manifest makes each docs commit name the
+            # expected-state generation that described it.
             write_table(
                 self.docs,
                 f"{root}/documents",
                 fmt=fmt,
                 partition_by=pb,
                 expect=self.catalog.filter(F.col("exists")),
+                properties={
+                    "catalog_snapshot_id": current_snapshot_id(f"{root}/catalog")
+                },
             )
         else:
             write_table(self.docs, f"{root}/documents", fmt=fmt, partition_by=pb)

@@ -159,6 +159,73 @@ def test_cli_tail_sees_catalog_of_mid_flight_commit(spark, tmp_path, capsys):
     assert per_snap[2] == 0  # clean commit, validated against ITS catalog
 
 
+def test_cli_tail_pins_catalog_generation(spark, tmp_path, capsys):
+    """Each docs commit records the catalog snapshot id that described
+    it (TableSet.save → manifest properties), and the stored-catalog
+    tail time-travels to that pin: a backlog of saves with CHANGED
+    expectations validates every commit against ITS catalog, and a save
+    crashing between its catalog and docs commits (catalog one
+    generation ahead, docs never landed) causes no false violations."""
+    import pyspark.sql.functions as F
+
+    from ovalspark.sources import read_table, write_table
+    from ovalspark.sources.snapshots import load_manifest
+
+    root, out = str(tmp_path / "pinw"), str(tmp_path / "pinout")
+    # two saves whose span expectations DIFFER for the same doc_id space:
+    # pre-pin, the tail read latest catalog for both commits, so commit 1
+    # would be judged by save 2's expectations → span-count violations
+    assert main(
+        ["generate", "--root", root, "--writers", "2", "--docs-per-writer", "50",
+         "--spans", "1-3", "--table-format", "snapshot"]
+    ) == 0
+    assert main(
+        ["generate", "--root", root, "--writers", "2", "--docs-per-writer", "50",
+         "--spans", "5-7", "--table-format", "snapshot"]
+    ) == 0
+    capsys.readouterr()
+    docs_root = f"{root}/documents"
+    assert load_manifest(docs_root, 1)["properties"]["catalog_snapshot_id"] == 1
+    assert load_manifest(docs_root, 2)["properties"]["catalog_snapshot_id"] == 2
+
+    # simulate save 3 dying between its two commits: the catalog table
+    # advances a generation whose expectations match NO written docs
+    cat = read_table(spark, f"{root}/catalog", fmt="snapshot").localCheckpoint()
+    write_table(
+        cat.withColumn("n_spans", F.col("n_spans") + 2),
+        f"{root}/catalog",
+        fmt="snapshot",
+        partition_by=(),
+    )
+
+    assert main(["tail", "--root", root, "--out", out, "--timeout", "1"]) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    per_snap = {d["snapshot_id"]: d["violations"] for d in lines if "snapshot_id" in d}
+    assert per_snap == {1: 0, 2: 0}  # each commit judged by ITS catalog
+
+
+def test_stored_catalog_expired_pin_falls_back_to_latest(spark, tmp_path):
+    """A pin that catalog-table retention expired degrades to the
+    pre-pin behavior (latest catalog, warned) instead of wedging the
+    tail on FileNotFoundError."""
+    from ovalspark.operators.incremental import stored_catalog_for
+    from ovalspark.sources.snapshots import expire_snapshots, load_manifest
+
+    root = str(tmp_path / "expw")
+    assert main(
+        ["generate", "--root", root, "--writers", "2", "--docs-per-writer", "40",
+         "--spans", "1-3", "--table-format", "snapshot"]
+    ) == 0
+    assert main(
+        ["generate", "--root", root, "--writers", "2", "--docs-per-writer", "40",
+         "--spans", "1-3", "--table-format", "snapshot"]
+    ) == 0
+    assert load_manifest(f"{root}/documents", 1)["properties"]["catalog_snapshot_id"] == 1
+    assert expire_snapshots(f"{root}/catalog", keep_last=1, do_vacuum=False) == [1]
+    catalog_for = stored_catalog_for(spark, root)
+    assert catalog_for(1).count() > 0  # latest catalog, not a crash
+
+
 def test_cli_tail_self_contained_lost_doc(spark, tmp_path, capsys):
     """A commit that writes FEWER docs than its catalog promises is
     caught by the stored-catalog tail with no writer-supplied sets: the
