@@ -687,14 +687,27 @@ class TailState:
     line is flushed BEFORE the position flip, so a torn record at the
     jsonl tail belongs to a snapshot the position file does not yet
     claim — it is re-validated and re-appended on resume, and
-    ``snapshots`` keeps the last record per id (later lines win)."""
+    ``snapshots`` keeps the last record per id (later lines win).
 
-    def __init__(self, path: str):
+    READ stays bounded by periodic compaction: once the jsonl grows past
+    ``rollup_bytes`` a record() folds it into
+    ``<path>.lineage.rollup.json`` (the resolved id→record dict, written
+    tmp+rename) and truncates the log — so inspection parses one compact
+    JSON document plus at most ``rollup_bytes`` of tail lines, never a
+    million-line log. The rollup trigger is a single O(1) stat, the
+    rollup itself O(rollup_bytes), amortized over the lines that grew
+    it. Crash anywhere between the rollup rename and the truncate leaves
+    lines that are ALSO in the rollup — the overlay keys by id, so
+    re-reading converges (jsonl wins, same records)."""
+
+    def __init__(self, path: str, rollup_bytes: int = 4 * 1024 * 1024):
         import json
         import os
 
         self.path = path
         self.lineage_path = path + ".lineage.jsonl"
+        self.rollup_path = path + ".lineage.rollup.json"
+        self.rollup_bytes = rollup_bytes
         self.last_validated_id = 0
         if os.path.exists(path):
             with open(path) as f:
@@ -702,8 +715,21 @@ class TailState:
 
     @property
     def snapshots(self) -> dict[str, dict]:
-        """Lineage records keyed by snapshot id (read path only — loads
-        the full log; the write path never does)."""
+        """Lineage records keyed by snapshot id: the compacted rollup
+        overlaid with the jsonl tail (later wins — read path only; the
+        write path never loads either)."""
+        import json
+        import os
+
+        out: dict[str, dict] = {}
+        if os.path.exists(self.rollup_path):
+            with open(self.rollup_path) as f:
+                out.update(json.load(f))
+        out.update(self._tail_records())
+        return out
+
+    def _tail_records(self) -> dict[str, dict]:
+        """The not-yet-compacted jsonl lines, resolved to id→record."""
         import json
         import os
 
@@ -723,6 +749,37 @@ class TailState:
                         for s in rec.get("snapshot_ids", [rec["snapshot_id"]]):
                             out[str(s)] = rec
         return out
+
+    def _maybe_rollup(self) -> None:
+        """Fold the jsonl into the rollup snapshot once it outgrows
+        ``rollup_bytes``. Ordering: merged rollup lands via tmp+rename
+        FIRST, truncate second — a crash between the two only duplicates
+        records the overlay already dedups by id."""
+        import json
+        import os
+        import tempfile
+
+        try:
+            if os.path.getsize(self.lineage_path) < self.rollup_bytes:
+                return
+        except OSError:
+            return  # no log yet: nothing to compact
+        merged = self.snapshots  # rollup + tail, resolved
+        d = os.path.dirname(self.path) or "."
+        fd, tmp = tempfile.mkstemp(dir=d, prefix=".tailrollup-")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(merged, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self.rollup_path)
+        except BaseException:
+            try:
+                os.unlink(tmp)
+            except OSError:
+                pass
+            raise
+        open(self.lineage_path, "w").close()  # truncate: lines live in the rollup now
 
     def record(
         self,
@@ -765,6 +822,7 @@ class TailState:
                 pass
             raise
         self.last_validated_id = int(snapshot_id)
+        self._maybe_rollup()
 
 
 def validate_snapshot_tail_checkpointed(

@@ -993,6 +993,61 @@ def test_snapshot_tail_checkpoint_resume_is_exact_and_idempotent(spark, tmp_path
     assert {r.violation_class for r in v4.collect()} == {"WRONG_KIND"}
 
 
+def test_tailstate_lineage_rollup_bounds_the_log(tmp_path):
+    """A long-lived tail's lineage log compacts into a rollup snapshot:
+    the jsonl never outgrows rollup_bytes by more than one flush cycle,
+    inspection resolves every id through rollup + tail overlay, and the
+    write path stays one append + one tiny rename per record."""
+    import json
+    import os
+
+    from ovalspark.operators.incremental import TailState
+
+    path = str(tmp_path / "ts")
+    st = TailState(path, rollup_bytes=16 * 1024)
+    for i in range(1, 2001):
+        st.record(i, i % 7, [f"part-{i}.parquet"])
+    # the log was folded away repeatedly — bounded, not O(history)
+    assert os.path.getsize(st.lineage_path) <= 16 * 1024 + 4096
+    assert os.path.exists(st.rollup_path)
+
+    st2 = TailState(path, rollup_bytes=16 * 1024)
+    assert st2.last_validated_id == 2000
+    snaps = st2.snapshots
+    assert len(snaps) == 2000
+    assert snaps["1"]["n_violations"] == 1 and snaps["1999"]["n_violations"] == 1999 % 7
+    # span records resolve for every covered id through the rollup too
+    st2.record(2003, 0, ["a.parquet", "b.parquet"], span=[2001, 2002, 2003])
+    with open(st2.rollup_path) as f:
+        json.load(f)  # rollup is one well-formed JSON document
+    assert {snaps_id in TailState(path).snapshots for snaps_id in ("2001", "2002", "2003")} == {True}
+
+
+def test_tailstate_rollup_crash_window_converges(tmp_path):
+    """Crash between the rollup rename and the log truncate: every line
+    is ALSO in the rollup, and the id-keyed overlay converges to the
+    same records — no duplicates, no loss, and recording continues."""
+    import json
+
+    from ovalspark.operators.incremental import TailState
+
+    path = str(tmp_path / "tscrash")
+    st = TailState(path, rollup_bytes=1 << 30)  # never auto-compacts
+    for i in range(1, 11):
+        st.record(i, 0, [f"p{i}.parquet"])
+    # simulate the torn compaction: rollup written, truncate never ran
+    resolved = st.snapshots
+    with open(st.rollup_path, "w") as f:
+        json.dump(resolved, f)
+
+    st2 = TailState(path)
+    assert st2.last_validated_id == 10 and len(st2.snapshots) == 10
+    st2.record(11, 2, ["p11.parquet"])
+    snaps = TailState(path).snapshots
+    assert set(snaps) == {str(i) for i in range(1, 12)}
+    assert snaps["11"]["n_violations"] == 2
+
+
 def test_validate_replace_expired_parent_is_diagnosable(spark, tmp_path):
     """Retention expiring a replace commit's parent before the tail
     catches up: equivalence is unverifiable, and the verdict must be a
