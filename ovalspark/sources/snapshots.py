@@ -649,16 +649,61 @@ def _sampled_size_estimate(df: DataFrame, sample_rows: int = 1024) -> int:
         shutil.rmtree(d, ignore_errors=True)
 
 
+# The sound type widenings an append may apply to a committed column —
+# exactly Iceberg's permitted promotions (int→long, float→double): every
+# committed value is exactly representable in the wider type, so old files
+# read back unchanged. Spark 4's parquet readers upcast INT32/FLOAT pages
+# into the requested LongType/DoubleType natively (verified for both the
+# vectorized top-level path and nested struct/array fields), so no rewrite
+# or per-file cast plan is needed — the commit just records the wider type.
+_SAFE_PROMOTIONS = {("int", "bigint"), ("float", "double")}
+
+
+def _is_safe_widening(committed_type, new_type) -> bool:
+    """True when ``new_type`` equals ``committed_type`` or widens it via
+    ``_SAFE_PROMOTIONS``, recursing through struct fields, array elements,
+    and map values (a promotion inside a spans struct — e.g. offset
+    int→bigint — is as sound as a top-level one). Struct field NAMES must
+    still match exactly; nested structs may not add or drop fields (that
+    is a reshape, not a widening)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    if committed_type.simpleString() == new_type.simpleString():
+        return True
+    pair = (committed_type.simpleString(), new_type.simpleString())
+    if pair in _SAFE_PROMOTIONS:
+        return True
+    if isinstance(committed_type, StructType) and isinstance(new_type, StructType):
+        if len(committed_type.fields) != len(new_type.fields):
+            return False
+        return all(
+            cf.name == nf.name and _is_safe_widening(cf.dataType, nf.dataType)
+            for cf, nf in zip(committed_type.fields, new_type.fields)
+        )
+    if isinstance(committed_type, ArrayType) and isinstance(new_type, ArrayType):
+        return _is_safe_widening(committed_type.elementType, new_type.elementType)
+    if isinstance(committed_type, MapType) and isinstance(new_type, MapType):
+        return committed_type.keyType.simpleString() == new_type.keyType.simpleString() and (
+            _is_safe_widening(committed_type.valueType, new_type.valueType)
+        )
+    return False
+
+
 def _check_append_schema(root: str, parent_manifest: dict, df: DataFrame) -> None:
     """Additive-evolution gate for appends: the committed columns must
-    appear as a PREFIX of the append's schema, same names and types in
-    the same order (compared via per-field simpleString — parquet
-    read-back flips nullability and producers vary metadata; neither
-    should reject a sound append); columns past the prefix are NEW and
-    become nullable in the table regardless of the frame's flag (older
-    files read NULL for them — ``_committed_schema`` forces nullability
-    at read, so a literal-derived non-nullable column is accepted, not
-    lied about). Dropped, retyped, or reordered committed columns raise
+    appear as a PREFIX of the append's schema, same names in the same
+    order, each type either identical (compared via per-field
+    simpleString — parquet read-back flips nullability and producers vary
+    metadata; neither should reject a sound append) or a safe widening
+    per ``_SAFE_PROMOTIONS`` (int→long, float→double, top-level or
+    nested): the commit records the WIDER type and pre-promotion files
+    read through Spark's parquet upcast, so a long-lived table can
+    outgrow an int column without a rewrite. Columns past the prefix are
+    NEW and become nullable in the table regardless of the frame's flag
+    (older files read NULL for them — ``_committed_schema`` forces
+    nullability at read, so a literal-derived non-nullable column is
+    accepted, not lied about). Dropped, reordered, NARROWED (long→int is
+    lossy), or otherwise retyped committed columns raise
     ``SchemaMismatchError``."""
     committed_ddl = parent_manifest["schema_ddl"]
     if committed_ddl == df.schema.simpleString():
@@ -676,13 +721,14 @@ def _check_append_schema(root: str, parent_manifest: dict, df: DataFrame) -> Non
             f"ones; reshape via an overwrite commit"
         )
     for cf, nf in zip(committed.fields, new_fields):
-        if nf.name != cf.name or nf.dataType.simpleString() != cf.dataType.simpleString():
+        if nf.name != cf.name or not _is_safe_widening(cf.dataType, nf.dataType):
             raise SchemaMismatchError(
                 f"append to {root}: column {cf.name!r} "
                 f"({cf.dataType.simpleString()}) conflicts with append's "
                 f"{nf.name!r} ({nf.dataType.simpleString()}) — committed "
-                f"columns must form an identical prefix (no retype/"
-                f"reorder); reshape via an overwrite commit"
+                f"columns must form an identical prefix (types identical "
+                f"or safely promoted int→long / float→double; no narrow/"
+                f"retype/reorder); reshape via an overwrite commit"
             )
 
 

@@ -86,7 +86,10 @@ def test_key_codec_roundtrip_property(spark, ids):
 # --- append-schema gate (pure python: the gate only reads df.schema) --------
 
 
-_TYPE_POOL = ["string", "bigint", "int", "double", "boolean", "date"]
+_TYPE_POOL = ["string", "bigint", "int", "double", "float", "boolean", "date"]
+
+# the sound widenings the gate accepts (mirrors snapshots._SAFE_PROMOTIONS)
+_PROMOTIONS = {("int", "bigint"), ("float", "double")}
 
 
 def _schema_of(cols):
@@ -153,8 +156,21 @@ def test_append_schema_gate_property(data):
     new_t = data.draw(st.sampled_from([t for t in _TYPE_POOL if t != old_t]))
     retyped = list(committed)
     retyped[re_i] = (retyped[re_i][0], new_t)
-    with _pytest.raises(SchemaMismatchError):
+    if (old_t, new_t) in _PROMOTIONS:
+        # int→bigint / float→double are sound widenings: accepted
         _check_append_schema("/t", m, _Frame(retyped))
+    else:
+        # every other retype — including the NARROWING inverses
+        # (bigint→int, double→float) — still raises
+        with _pytest.raises(SchemaMismatchError):
+            _check_append_schema("/t", m, _Frame(retyped))
+
+    # promoting EVERY promotable column at once (plus an additive tail)
+    # is still one sound append
+    promoted_all = [
+        (n, {"int": "bigint", "float": "double"}.get(t, t)) for n, t in committed
+    ]
+    _check_append_schema("/t", m, _Frame(promoted_all + extras))
 
     reordered = list(reversed(committed))
     if reordered != committed:  # names are unique, so 2+ columns differ

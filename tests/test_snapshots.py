@@ -582,6 +582,59 @@ def test_additive_schema_evolution_null_fills_and_validates(spark, tmp_path):
     assert after.filter("lang IS NULL").count() == 20
 
 
+def test_safe_type_promotion_append(spark, tmp_path):
+    """int→long / float→double appends commit as PROMOTIONS (round-7):
+    the table's schema widens to the append's type, pre-promotion files
+    read back value-identical through Spark's parquet upcast (top-level
+    AND inside the spans struct), time travel keeps each snapshot's own
+    width, and the lossy inverses (bigint→int, double→float) still raise."""
+    from ovalspark.sources.snapshots import SchemaMismatchError, snapshot_delete
+
+    root = str(tmp_path / "promote_tbl")
+    narrow = spark.range(10).selectExpr(
+        "cast(id as string) as doc_id",
+        "cast(id as int) as v",
+        "cast(id * 0.5 as float) as score",
+        "array(named_struct('kind', 'text', 'offset', cast(id as int))) as spans",
+    )
+    snapshot_write(narrow, root)
+
+    wide = spark.range(10, 15).selectExpr(
+        "cast(id as string) as doc_id",
+        "id as v",  # bigint
+        "cast(id * 0.5 as double) as score",
+        "array(named_struct('kind', 'text', 'offset', id)) as spans",
+    )
+    s2 = snapshot_write(wide, root, mode="append")
+
+    cur = snapshot_read(spark, root, s2)
+    got = dict(cur.dtypes)
+    assert got["v"] == "bigint" and got["score"] == "double"
+    assert "offset:bigint" in got["spans"].replace(" ", "")
+    # pre-promotion values survive the widened read bit-exactly
+    assert cur.count() == 15
+    assert cur.selectExpr("sum(v)").first()[0] == sum(range(15))
+    assert cur.selectExpr("sum(spans[0].offset)").first()[0] == sum(range(15))
+    assert cur.selectExpr("sum(cast(score * 2 as bigint))").first()[0] == sum(range(15))
+    # time travel: snapshot 1 keeps its original narrow types
+    t1 = dict(snapshot_read(spark, root, 1).dtypes)
+    assert t1["v"] == "int" and t1["score"] == "float"
+
+    # once promoted, a narrow append is a lossy retype: rejected
+    with pytest.raises(SchemaMismatchError, match="conflicts"):
+        snapshot_write(narrow.limit(2), root, mode="append")
+    # promotion composes with additive evolution in one append
+    s3 = snapshot_write(wide.withColumn("lang", F.lit("en")), root, mode="append")
+    assert snapshot_read(spark, root, s3).columns[-1] == "lang"
+
+    # a delete across the promotion boundary rewrites survivors at the
+    # WIDE schema and keeps it
+    s4 = snapshot_delete(spark, root, "v >= 12")
+    after = snapshot_read(spark, root, s4)
+    assert dict(after.dtypes)["v"] == "bigint"
+    assert after.selectExpr("max(v)").first()[0] == 11
+
+
 def test_delta_validation_across_schema_evolution(spark, tmp_path, small_world):
     """Delta validation stays green across an additive boundary: the
     evolved append's delta validates against its catalog exactly as a
