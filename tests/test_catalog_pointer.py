@@ -343,6 +343,76 @@ def test_tail_follows_live_writer_on_catalog_owned_table(spark, tmp_path, small_
     assert all(v.count() == 0 for _, v in got)
 
 
+@pytest.mark.parametrize("catalog", ["sqlite", "http"])
+def test_tail_follows_across_mid_stream_adoption(spark, tmp_path, small_world, catalog):
+    """A live tailer is following a FILE-pointered table when the
+    pointer is adopted into a catalog mid-stream (sqlite
+    ``adopt_catalog_pointer`` / http ``attach_http_catalog``): the poll
+    switches resolution source transparently — every commit before and
+    after the adoption is validated exactly once, none doubled, none
+    missed. The adoption window itself is safe by construction: sqlite's
+    INSERT is invisible until its transaction commits, and the http
+    descriptor's unknown-key reads fall back to the file pointer, so a
+    poll landing inside the window still resolves the same id."""
+    import threading
+
+    from ovalspark.operators.incremental import validate_snapshot_tail
+    from ovalspark.sources.snapshots import (
+        _catalog_current,
+        adopt_catalog_pointer,
+        snapshot_write as _sw,
+    )
+    from pyspark.sql import functions as F
+
+    spec, cat, docs, _ = small_world
+    bucket = F.pmod(F.xxhash64("doc_id", F.lit(47)), F.lit(4))
+    parts = [docs.filter(bucket == i).localCheckpoint() for i in range(4)]
+    cats = [cat.join(p.select("doc_id"), "doc_id", "semi").localCheckpoint() for p in parts]
+
+    root = str(tmp_path / f"adopt_mid_{catalog}")
+    _sw(parts[0], root, guard="flock")  # file-pointered birth
+
+    server = None
+    if catalog == "http":
+        from ovalspark.sources.http_catalog import CatalogServer
+
+        server = CatalogServer()
+        endpoint = server.start()
+
+    def writer():
+        import time as _t
+
+        _sw(parts[1], root, mode="append", guard="flock")
+        _t.sleep(0.4)  # let the tail observe a pre-adoption commit
+        if catalog == "http":
+            from ovalspark.sources.http_catalog import attach_http_catalog
+
+            attach_http_catalog(root, endpoint)
+        else:
+            adopt_catalog_pointer(root, guard="sqlite")
+        for p in parts[2:]:
+            _sw(p, root, mode="append", guard=catalog)
+
+    t = threading.Thread(target=writer)
+    t.start()
+    try:
+        got = list(
+            validate_snapshot_tail(
+                spark, root, lambda s: cats[s - 1], spec.n_assets,
+                after_id=0, timeout_s=15.0, poll_interval_s=0.05,
+            )
+        )
+        owned_after = _catalog_current(root)[0]
+    finally:
+        t.join()
+        if server is not None:
+            server.stop()
+    # exactly once each, in order, across the resolution-source switch
+    assert [s for s, _ in got] == [1, 2, 3, 4]
+    assert all(v.count() == 0 for _, v in got)
+    assert owned_after is True  # pointer ended catalog-owned
+
+
 def test_maintenance_on_catalog_owned_table(spark, tmp_path):
     """Delete, compact, retention and vacuum all run against a
     catalog-pointered table: resolution goes through catalog locs, and
