@@ -1541,6 +1541,77 @@ _Q62_ORACLE = """
 """
 
 
+_Q63_VERSION = "v1"
+
+
+def _q63_type_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Safe type promotion under the value gate (round 7): commit the
+    doc_id%3!=1 slice of documents with NARROW columns (n_chars cast to
+    int, score = n_chars/4 cast to float), then append the doc_id%3==1
+    slice with the WIDE types (bigint / double) — the append gate
+    accepts exactly these promotions (`snapshots._SAFE_PROMOTIONS`) and
+    records the wider schema. The promoted read must return the
+    pre-promotion int32/float32 files value-exact through Spark's
+    parquet upcast; the oracle recomputes both legs from the raw table,
+    mirroring the narrow leg's storage with a REAL round-trip. A
+    promotion that misread old files, lost rows at the boundary, or
+    drifted a float value hash-mismatches. Exactness: score values are
+    quarter-integers (exactly representable in float32 and summed
+    without rounding in double), so the comparison is bit-exact
+    cross-engine."""
+    from ovalspark.sources.snapshots import (
+        current_snapshot_id,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    root = _oracle_dir("q63", _Q63_VERSION, sf_dir)
+
+    def build(stage):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        score = F.col("n_chars").cast("double") / F.lit(4)
+        snapshot_write(
+            docs.filter(F.col("doc_id") % 3 != 1).select(
+                "doc_id",
+                "lang",
+                F.col("n_chars").cast("int").alias("n_chars"),
+                score.cast("float").alias("score"),
+            ),
+            stage,
+        )
+        snapshot_write(
+            docs.filter(F.col("doc_id") % 3 == 1).select(
+                "doc_id", "lang", "n_chars", score.alias("score")
+            ),
+            stage,
+            mode="append",
+        )
+
+    _publish_once(root, build, is_valid=lambda: current_snapshot_id(root) == 2)
+    return (
+        snapshot_read(spark, root, 2)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.sum("score").alias("sum_score"),
+            F.sum((F.col("doc_id") % 3 == 1).cast("long")).alias("n_promoted"),
+        )
+        .orderBy("lang")
+    )
+
+
+_Q63_ORACLE = """
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           SUM(CASE WHEN doc_id % 3 <> 1
+                    THEN CAST(CAST(CAST(n_chars AS DOUBLE)/4 AS REAL) AS DOUBLE)
+                    ELSE CAST(n_chars AS DOUBLE)/4 END) AS sum_score,
+           CAST(SUM(CASE WHEN doc_id % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_promoted
+    FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 _Q53_VERSION = "v1"
 
 
@@ -1832,6 +1903,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q60_pruned_read": _q60_pruned_read,
             "q61_schema_evolution": _q61_schema_evolution,
             "q62_expected_docs_lost": _q62_expected_docs_lost,
+            "q63_type_promotion": _q63_type_promotion,
         }
     )
     return out
@@ -1875,6 +1947,7 @@ def oracle_sql() -> dict[str, str]:
             "q60_pruned_read": _Q60_ORACLE,
             "q61_schema_evolution": _Q61_ORACLE,
             "q62_expected_docs_lost": _Q62_ORACLE,
+            "q63_type_promotion": _Q63_ORACLE,
         }
     )
     return out
