@@ -13,6 +13,9 @@ metadata tree — with nothing but parquet and JSON:
 
     <root>/data/snap-<id>/part-*.parquet     immutable data files
     <root>/manifest/v<id>.json               snapshot manifest (file list)
+    <root>/manifest/seg-<id>-<uuid>.json     immutable file-list segment
+                                             (spilled entries, shared by
+                                             reference across manifests)
     <root>/manifest/CURRENT                  pointer to latest id (atomic)
 
 Commit protocol (optimistic, first-wins): write the new data files under
@@ -54,7 +57,15 @@ collected from parquet footers, never by scanning data), so it stays
 KB-sized while the data is TB-sized; ``snapshot_read`` hands Spark the
 explicit file list and Catalyst prunes columns/filters per file exactly
 as for any parquet scan. ``append`` mode reuses the parent's files by
-reference — no rewrite, O(new data) like Iceberg's fast append.
+reference — no rewrite, O(new data) like Iceberg's fast append — and
+past ``_SEGMENT_SPILL_ENTRIES`` inline entries the accumulated file list
+spills into immutable ``seg-*.json`` files that child manifests share BY
+REFERENCE (Iceberg's manifest-list/manifest-file split): each append
+writes O(added) metadata bytes instead of re-serializing the cumulative
+list, and a selective delete/compaction rewrites only the segments it
+touched. Known residual: a manifest still lists one ref per segment
+(~10⁻³ of the entry count); merging old segments is future work the
+layout already permits (spill refs are just entry lists).
 """
 
 from __future__ import annotations
@@ -466,7 +477,12 @@ def current_snapshot_id(root: str) -> int | None:
     return int(open(p).read().strip())
 
 
-def load_manifest(root: str, snapshot_id: int | None = None) -> dict[str, Any]:
+def _load_manifest_raw(root: str, snapshot_id: int | None = None) -> dict[str, Any]:
+    """The manifest EXACTLY as committed: ``files`` holds only the inline
+    entries; spilled history rides ``file_segments`` refs. Write paths
+    (append, delete, compact) work on this form so untouched segments
+    carry into the child manifest BY REFERENCE — the O(added)-metadata
+    property. Readers want ``load_manifest``."""
     cur = current_snapshot_id(root)
     sid = snapshot_id if snapshot_id is not None else cur
     if sid is None:
@@ -481,6 +497,72 @@ def load_manifest(root: str, snapshot_id: int | None = None) -> dict[str, Any]:
         raise FileNotFoundError(f"snapshot {sid} not found at {root}")
     with open(p) as f:
         return json.load(f)
+
+
+def load_manifest(root: str, snapshot_id: int | None = None) -> dict[str, Any]:
+    """A snapshot's manifest with ``files`` EXPANDED to the full entry
+    list (segment entries in commit order, then the inline tail) — every
+    consumer sees the complete file inventory regardless of how the
+    entries are physically stored. The raw ``file_segments`` refs stay on
+    the dict for segment-aware callers (vacuum, manifest_diff)."""
+    m = _load_manifest_raw(root, snapshot_id)
+    segs = m.get("file_segments")
+    if segs:
+        files: list[dict[str, Any]] = []
+        for ref in segs:
+            files.extend(_read_segment(root, ref["loc"]))
+        files.extend(m["files"])
+        m = dict(m)
+        m["files"] = files
+    return m
+
+
+# Append-manifest spill point: once a manifest's INLINE entry list would
+# exceed this, the inline entries move into an immutable segment file and
+# the child manifest references it — each append then writes O(added)
+# metadata bytes plus one path per ~spill entries, instead of re-writing
+# the whole cumulative file list (O(total) per commit, O(total²) over a
+# table's life: at 10⁶ files × ~200 B/entry every append would rewrite
+# 200 MB of JSON). This is Iceberg's manifest-list/manifest-file split
+# re-expressed one level up. Tests lower it to force segmentation on
+# small tables.
+_SEGMENT_SPILL_ENTRIES = 512
+
+# Immutable + uniquely named ⇒ cache never invalidates. Entries are
+# shallow-copied OUT so a caller mutating m["files"][i] (tests simulate
+# torn footers that way) can't poison later reads.
+_SEGMENT_CACHE: dict[str, list[dict[str, Any]]] = {}
+_SEGMENT_CACHE_MAX = 64
+
+
+def _read_segment(root: str, loc: str) -> list[dict[str, Any]]:
+    p = os.path.join(_manifest_dir(root), loc)
+    entries = _SEGMENT_CACHE.get(p)
+    if entries is None:
+        with open(p) as f:
+            entries = json.load(f)
+        if len(_SEGMENT_CACHE) >= _SEGMENT_CACHE_MAX:
+            _SEGMENT_CACHE.pop(next(iter(_SEGMENT_CACHE)))
+        _SEGMENT_CACHE[p] = entries
+    return [dict(e) for e in entries]
+
+
+def _spill_segment(root: str, sid: int, entries: list[dict[str, Any]]) -> dict[str, Any]:
+    """Persist ``entries`` as an immutable segment file and return its
+    manifest ref. The ref carries the aggregate rows/bytes so totals and
+    keep-by-reference maintenance never need to expand it. Written BEFORE
+    the commit CAS (same lifecycle as data files): a loser's or torn
+    commit's segment is unreferenced debris that ``vacuum`` reclaims."""
+    import uuid as _uuid
+
+    loc = f"seg-{sid}-{_uuid.uuid4().hex[:8]}.json"
+    _atomic_write(os.path.join(_manifest_dir(root), loc), json.dumps(entries))
+    return {
+        "loc": loc,
+        "n_files": len(entries),
+        "rows": sum(e["rows"] for e in entries),
+        "bytes": sum(e["bytes"] for e in entries),
+    }
 
 
 def _footer_stats(files: list[str], root: str) -> list[dict[str, Any]]:
@@ -795,11 +877,11 @@ def snapshot_write(
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     parent = current_snapshot_id(root)
     if mode == "append" and parent is not None:
-        _check_append_schema(root, load_manifest(root, parent), df)
+        _check_append_schema(root, _load_manifest_raw(root, parent), df)
     if target_file_mb is not None:
         est_bytes = None
         if parent is not None:
-            m = load_manifest(root, parent)
+            m = _load_manifest_raw(root, parent)
             if m["total_rows"]:
                 # the row count needs one materialization of the incoming
                 # plan — checkpoint first so the count reads materialized
@@ -822,19 +904,37 @@ def snapshot_write(
     data_dir = os.path.join(root, "data", f"snap-{sid}-{uuid.uuid4().hex[:8]}")
     df.write.mode("error").parquet(data_dir)
     new_files = _footer_stats(glob.glob(os.path.join(data_dir, "part-*.parquet")), root)
-    files = list(new_files)
+    inline = list(new_files)
+    segments: list[dict] = []
+    spilled_loc: str | None = None
     if mode == "append" and parent is not None:
-        files = load_manifest(root, parent)["files"] + files
+        # O(added) metadata: parent's segments carry into this manifest BY
+        # REFERENCE; its inline tail is concatenated until it would
+        # outgrow the spill point, then moves into ONE immutable segment
+        # file — an append never re-serializes the cumulative file list
+        pm_raw = _load_manifest_raw(root, parent)
+        segments = list(pm_raw.get("file_segments") or [])
+        parent_inline = pm_raw["files"]
+        if parent_inline and len(parent_inline) + len(inline) > _SEGMENT_SPILL_ENTRIES:
+            ref = _spill_segment(root, sid, parent_inline)
+            spilled_loc = ref["loc"]
+            segments.append(ref)
+        else:
+            inline = parent_inline + inline
+    total_rows = sum(s["rows"] for s in segments) + sum(f["rows"] for f in inline)
+    total_bytes = sum(s["bytes"] for s in segments) + sum(f["bytes"] for f in inline)
     manifest = {
         "snapshot_id": sid,
         "parent_id": parent,
         "operation": mode,
         "schema_ddl": df.schema.simpleString(),
         "schema_json": df.schema.json(),
-        "total_rows": sum(f["rows"] for f in files),
-        "total_bytes": sum(f["bytes"] for f in files),
-        "files": files,
+        "total_rows": total_rows,
+        "total_bytes": total_bytes,
+        "files": inline,
     }
+    if segments:
+        manifest["file_segments"] = segments
     if properties:
         manifest["properties"] = dict(properties)
     if expect is not None:
@@ -856,6 +956,13 @@ def snapshot_write(
         _commit_manifest(root, parent, sid, manifest, guard)
     except ConcurrentCommitError:
         shutil.rmtree(data_dir, ignore_errors=True)
+        if spilled_loc is not None:
+            # this writer's spill is debris once its commit lost — the
+            # winner spills the same parent inline itself if it needs to
+            try:
+                os.unlink(os.path.join(_manifest_dir(root), spilled_loc))
+            except OSError:
+                pass
         raise
     return sid
 
@@ -887,6 +994,28 @@ def read_deleted_docs(
     if dd is None:
         return None
     return spark.read.parquet(_abs_path(root, dd["loc"]))
+
+
+def _partition_metadata(
+    root: str, raw_m: dict[str, Any], affected: set[str]
+) -> tuple[list[dict[str, Any]], list[dict[str, Any]]]:
+    """Split a raw manifest's file metadata around a rewrite (delete /
+    compact): returns ``(kept_segments, kept_loose_entries)`` — segment
+    refs containing NO affected basename carry into the child manifest
+    untouched (O(1) metadata each), segments containing one are expanded
+    and their unaffected entries join the loose list alongside the
+    unaffected inline entries. Affected entries are dropped (the caller
+    re-adds their rewritten successors)."""
+    kept_segs: list[dict[str, Any]] = []
+    loose: list[dict[str, Any]] = []
+    for ref in raw_m.get("file_segments") or []:
+        entries = _read_segment(root, ref["loc"])
+        if any(os.path.basename(e["path"]) in affected for e in entries):
+            loose.extend(e for e in entries if os.path.basename(e["path"]) not in affected)
+        else:
+            kept_segs.append(ref)
+    loose.extend(e for e in raw_m["files"] if os.path.basename(e["path"]) not in affected)
+    return kept_segs, loose
 
 
 def _file_basename(col):
@@ -990,17 +1119,19 @@ def snapshot_delete(
     if not hit_rows:
         return parent
     if len(hit_rows) > cap:
-        scanned = {os.path.basename(p) for p in paths}
-        keep = [f for f in m["files"] if os.path.basename(f["path"]) not in scanned]
+        affected = {os.path.basename(p) for p in paths}
         rewrite = list(paths)
     else:
         affected = {r["_f"] for r in hit_rows}
-        keep = [f for f in m["files"] if os.path.basename(f["path"]) not in affected]
         rewrite = [
             _abs_path(root, f["path"])
             for f in m["files"]
             if os.path.basename(f["path"]) in affected
         ]
+    # child metadata from the RAW parent: segments untouched by the
+    # rewrite carry by reference, so a selective delete writes O(affected
+    # + segments) manifest bytes, not O(table)
+    kept_segs, keep = _partition_metadata(root, _load_manifest_raw(root, parent), affected)
     sid = parent + 1
     data_dir = os.path.join(root, "data", f"snap-{sid}-{uuid.uuid4().hex[:8]}")
     # committed schema on the rewrite read: a delete across an additive
@@ -1013,22 +1144,32 @@ def snapshot_delete(
         for fe in _footer_stats(glob.glob(os.path.join(data_dir, "part-*.parquet")), root)
         if fe["rows"] > 0  # an all-deleted file contributes nothing
     ]
-    files = keep + new_files
+    inline = keep + new_files
+    spilled_loc: str | None = None
+    if keep and len(inline) > _SEGMENT_SPILL_ENTRIES:
+        ref = _spill_segment(root, sid, keep)
+        spilled_loc = ref["loc"]
+        kept_segs = kept_segs + [ref]
+        inline = list(new_files)
+    total_rows = sum(s["rows"] for s in kept_segs) + sum(f["rows"] for f in inline)
+    total_bytes = sum(s["bytes"] for s in kept_segs) + sum(f["bytes"] for f in inline)
     manifest = {
         "snapshot_id": sid,
         "parent_id": parent,
         "operation": "delete",
         "schema_ddl": survivors.schema.simpleString(),
         "schema_json": survivors.schema.json(),
-        "total_rows": sum(f["rows"] for f in files),
-        "total_bytes": sum(f["bytes"] for f in files),
-        "deleted_rows": m["total_rows"] - sum(f["rows"] for f in files),
+        "total_rows": total_rows,
+        "total_bytes": total_bytes,
+        "deleted_rows": m["total_rows"] - total_rows,
         # SQL-string predicates are recorded so the commit is auditable
         # and re-checkable (validate_delete's read-back); Column
         # predicates have no faithful serialization — recorded as None
         "delete_predicate": pred_sql,
-        "files": files,
+        "files": inline,
     }
+    if kept_segs:
+        manifest["file_segments"] = kept_segs
     if pred_sql is None and "doc_id" in survivors.columns:
         # A Column predicate cannot be re-evaluated later, which would
         # leave this commit the ONE delete the tail cannot read-back
@@ -1068,6 +1209,11 @@ def snapshot_delete(
         _commit_manifest(root, parent, sid, manifest, guard)
     except ConcurrentCommitError:
         shutil.rmtree(data_dir, ignore_errors=True)
+        if spilled_loc is not None:
+            try:
+                os.unlink(os.path.join(_manifest_dir(root), spilled_loc))
+            except OSError:
+                pass
         raise
     return sid
 
@@ -1101,7 +1247,14 @@ def snapshot_compact(
     small = [f for f in m["files"] if f["bytes"] < threshold]
     if len(small) < 2:
         return parent
-    keep = [f for f in m["files"] if f["bytes"] >= threshold]
+    # segments made only of at-target files carry by reference — a
+    # compaction of fresh tail debt leaves the table's settled metadata
+    # history untouched, like its settled data files
+    kept_segs, keep = _partition_metadata(
+        root,
+        _load_manifest_raw(root, parent),
+        {os.path.basename(f["path"]) for f in small},
+    )
     sid = parent + 1
     data_dir = os.path.join(root, "data", f"snap-{sid}-{uuid.uuid4().hex[:8]}")
     n_files = max(1, -(-sum(f["bytes"] for f in small) // threshold))
@@ -1110,21 +1263,36 @@ def snapshot_compact(
     )
     df.repartition(n_files).write.mode("error").parquet(data_dir)
     new_files = _footer_stats(glob.glob(os.path.join(data_dir, "part-*.parquet")), root)
-    files = keep + new_files
+    inline = keep + new_files
+    spilled_loc: str | None = None
+    if keep and len(inline) > _SEGMENT_SPILL_ENTRIES:
+        ref = _spill_segment(root, sid, keep)
+        spilled_loc = ref["loc"]
+        kept_segs = kept_segs + [ref]
+        inline = list(new_files)
+    total_rows = sum(s["rows"] for s in kept_segs) + sum(f["rows"] for f in inline)
+    total_bytes = sum(s["bytes"] for s in kept_segs) + sum(f["bytes"] for f in inline)
     manifest = {
         "snapshot_id": sid,
         "parent_id": parent,
         "operation": "replace",
         "schema_ddl": df.schema.simpleString(),
         "schema_json": df.schema.json(),
-        "total_rows": sum(f["rows"] for f in files),
-        "total_bytes": sum(f["bytes"] for f in files),
-        "files": files,
+        "total_rows": total_rows,
+        "total_bytes": total_bytes,
+        "files": inline,
     }
+    if kept_segs:
+        manifest["file_segments"] = kept_segs
     try:
         _commit_manifest(root, parent, sid, manifest, guard)
     except ConcurrentCommitError:
         shutil.rmtree(data_dir, ignore_errors=True)
+        if spilled_loc is not None:
+            try:
+                os.unlink(os.path.join(_manifest_dir(root), spilled_loc))
+            except OSError:
+                pass
         raise
     return sid
 
@@ -1262,6 +1430,7 @@ def vacuum(root: str, min_age_s: float = 0.0) -> list[str]:
     removed: list[str] = []
     live_dirs: set[str] = set()
     live_manifests: set[str] = set()
+    live_segments: set[str] = set()
     if cur is not None:
         for sid in range(1, cur + 1):
             p = _resolve_manifest_path(root, sid)
@@ -1269,7 +1438,15 @@ def vacuum(root: str, min_age_s: float = 0.0) -> list[str]:
                 live_manifests.add(os.path.normpath(p))
                 with open(p) as f:
                     m = json.load(f)
-                for fe in m["files"]:
+                entries = list(m["files"])
+                for ref in m.get("file_segments") or []:
+                    # a segment referenced by ANY retained manifest is
+                    # live, and so are the data dirs of its entries
+                    live_segments.add(
+                        os.path.normpath(os.path.join(_manifest_dir(root), ref["loc"]))
+                    )
+                    entries.extend(_read_segment(root, ref["loc"]))
+                for fe in entries:
                     live_dirs.add(os.path.dirname(os.path.normpath(_abs_path(root, fe["path"]))))
                 exp = m.get("expect")
                 if exp is not None:
@@ -1294,6 +1471,12 @@ def vacuum(root: str, min_age_s: float = 0.0) -> list[str]:
         if os.path.normpath(mp) not in live_manifests and _old_enough(mp):
             os.unlink(mp)
             removed.append(mp)
+    # segment debris: CAS losers' spills, torn commits, and segments whose
+    # every referencing manifest was expired — same membership recipe
+    for sp in glob.glob(os.path.join(_manifest_dir(root), "seg-*.json")):
+        if os.path.normpath(sp) not in live_segments and _old_enough(sp):
+            os.unlink(sp)
+            removed.append(sp)
     for dd in glob.glob(os.path.join(root, "data", "snap-*")):
         if os.path.normpath(dd) not in live_dirs and _old_enough(dd):
             shutil.rmtree(dd, ignore_errors=True)
@@ -1407,11 +1590,26 @@ def manifest_diff(root: str, from_id: int | None, to_id: int | None = None) -> l
     (``from_id=None`` → everything in ``to_id``). Pure manifest metadata —
     no data is listed or scanned; this is what lets incremental validation
     scope a plan to O(new data) instead of O(corpus) per commit."""
-    to_m = load_manifest(root, to_id)
-    base: set[str] = set()
-    if from_id is not None:
-        base = {f["path"] for f in load_manifest(root, from_id)["files"]}
-    return [_abs_path(root, f["path"]) for f in to_m["files"] if f["path"] not in base]
+    to_raw = _load_manifest_raw(root, to_id)
+    to_segs = to_raw.get("file_segments") or []
+    if from_id is None:
+        return [_abs_path(root, f["path"]) for f in load_manifest(root, to_id)["files"]]
+    from_raw = _load_manifest_raw(root, from_id)
+    from_segs = from_raw.get("file_segments") or []
+    # segments SHARED by both manifests (by immutable loc) contribute no
+    # additions and need no expansion — a tail diffing consecutive append
+    # commits reads O(inline + changed segments), not O(table history)
+    common = {r["loc"] for r in from_segs} & {r["loc"] for r in to_segs}
+    base = {f["path"] for f in from_raw["files"]}
+    for ref in from_segs:
+        if ref["loc"] not in common:
+            base.update(e["path"] for e in _read_segment(root, ref["loc"]))
+    cand: list[dict[str, Any]] = []
+    for ref in to_segs:
+        if ref["loc"] not in common:
+            cand.extend(_read_segment(root, ref["loc"]))
+    cand.extend(to_raw["files"])
+    return [_abs_path(root, f["path"]) for f in cand if f["path"] not in base]
 
 
 def snapshot_files(spark: SparkSession, root: str, snapshot_id: int | None = None) -> DataFrame:

@@ -1,0 +1,227 @@
+"""Manifest file-list segments — the O(added)-metadata commit path.
+
+Without segments every append manifest re-serializes the CUMULATIVE file
+list: O(total files) metadata bytes per commit, O(total²) over a table's
+life — at 10⁶ files × ~200 B/entry each append would rewrite ~200 MB of
+JSON, which is the metadata bottleneck long before the data is. With
+segments (Iceberg's manifest-list/manifest-file split, reference scale
+target /root/reference/internal/s3client/s3client.go:145-162) an append
+writes its own entries plus at most ONE spill of the parent's inline
+tail; untouched segments ride through delete/compact by reference.
+
+Every test here lowers ``_SEGMENT_SPILL_ENTRIES`` to force segmentation
+on toy tables; the read side (``load_manifest`` expansion) must make the
+storage split invisible to every consumer.
+"""
+
+import glob
+import json
+import os
+
+import pytest
+
+from ovalspark.sources import snapshots as sn
+from ovalspark.sources.snapshots import (
+    _load_manifest_raw,
+    expire_snapshots,
+    load_manifest,
+    manifest_diff,
+    snapshot_compact,
+    snapshot_delete,
+    snapshot_read,
+    snapshot_write,
+    vacuum,
+)
+
+SPILL = 4
+
+
+@pytest.fixture
+def low_spill(monkeypatch):
+    monkeypatch.setattr(sn, "_SEGMENT_SPILL_ENTRIES", SPILL)
+
+
+def _slice(spark, lo, hi):
+    # 2 files per commit, disjoint v-ranges so deletes can target one era
+    return (
+        spark.range(lo, hi)
+        .selectExpr("cast(id as string) as doc_id", "id as v")
+        .repartition(2)
+    )
+
+
+def _build_chain(spark, root, n_commits=8, rows_per=10):
+    sids = [snapshot_write(_slice(spark, 0, rows_per), root)]
+    for i in range(1, n_commits):
+        sids.append(
+            snapshot_write(
+                _slice(spark, i * rows_per, (i + 1) * rows_per), root, mode="append"
+            )
+        )
+    return sids
+
+
+def test_append_chain_spills_bounded_inline_and_reads_identically(spark, tmp_path, low_spill):
+    """8 appends × 2 files: raw manifests stay bounded (inline ≤ spill +
+    one commit's files; the rest in shared segments) while the EXPANDED
+    view and every snapshot read are byte-identical to the unsegmented
+    semantics — totals, per-snapshot time travel, full history."""
+    root = str(tmp_path / "seg_tbl")
+    sids = _build_chain(spark, root, n_commits=8, rows_per=10)
+
+    raw = _load_manifest_raw(root, sids[-1])
+    assert raw.get("file_segments"), "chain this long must have spilled"
+    assert len(raw["files"]) <= SPILL + 2
+    m = load_manifest(root, sids[-1])
+    assert len(m["files"]) == 16  # expansion sees every file
+    assert m["total_rows"] == 80
+    assert m["total_rows"] == sum(f["rows"] for f in m["files"])
+    assert m["total_bytes"] == sum(f["bytes"] for f in m["files"])
+    # segment refs carry honest aggregates (maintenance never expands)
+    for ref in raw["file_segments"]:
+        entries = sn._read_segment(root, ref["loc"])
+        assert ref["n_files"] == len(entries)
+        assert ref["rows"] == sum(e["rows"] for e in entries)
+
+    # time travel: every snapshot reads its own prefix exactly
+    for i, sid in enumerate(sids):
+        got = snapshot_read(spark, root, sid)
+        assert got.count() == (i + 1) * 10
+        assert got.selectExpr("sum(v)").first()[0] == sum(range((i + 1) * 10))
+
+
+def test_append_metadata_bytes_stay_bounded(spark, tmp_path, low_spill):
+    """The property the design buys: the manifest FILE a late append
+    writes does not grow with table history (a full-listing manifest
+    would). Segment refs grow at ~1/spill of the entry count."""
+    root = str(tmp_path / "bounded_tbl")
+    sids = _build_chain(spark, root, n_commits=10, rows_per=4)
+    sizes = {
+        sid: os.path.getsize(sn._resolve_manifest_path(root, sid)) for sid in sids
+    }
+    full_listing = len(json.dumps(load_manifest(root, sids[-1])["files"]))
+    # the last manifest is a small fraction of what a cumulative listing
+    # would re-serialize, and late manifests aren't growing linearly
+    assert sizes[sids[-1]] < full_listing / 2
+    assert sizes[sids[-1]] < 2 * sizes[sids[3]]
+
+
+def test_manifest_diff_skips_shared_segments(spark, tmp_path, low_spill, monkeypatch):
+    """Consecutive-commit diffs (the tail's per-poll scope) expand only
+    segments NOT shared by both manifests — zero segment reads when the
+    child didn't spill, exactly the added files always."""
+    root = str(tmp_path / "diff_tbl")
+    sids = _build_chain(spark, root, n_commits=8, rows_per=10)
+
+    for prev, cur in zip(sids, sids[1:]):
+        added = manifest_diff(root, prev, cur)
+        expected = {
+            f["path"] for f in load_manifest(root, cur)["files"]
+        } - {f["path"] for f in load_manifest(root, prev)["files"]}
+        assert {os.path.relpath(p, root) for p in added} == expected
+
+    # find a non-spilling consecutive pair (child carries parent's inline
+    # forward): diffing it must read no segment at all
+    reads = []
+    real = sn._read_segment
+    monkeypatch.setattr(sn, "_read_segment", lambda r, loc: (reads.append(loc), real(r, loc))[1])
+    for prev, cur in zip(sids, sids[1:]):
+        if _load_manifest_raw(root, cur).get("file_segments") == _load_manifest_raw(
+            root, prev
+        ).get("file_segments"):
+            reads.clear()
+            manifest_diff(root, prev, cur)
+            assert reads == []
+            break
+    else:
+        pytest.fail("chain produced no non-spilling consecutive pair")
+
+
+def test_delete_keeps_untouched_segments_by_reference(spark, tmp_path, low_spill):
+    """A delete whose files all live in the inline tail leaves every
+    parent segment ref IDENTICAL (no metadata rewrite); a delete inside
+    one segment breaks only that segment, the others carry by loc."""
+    root = str(tmp_path / "del_tbl")
+    sids = _build_chain(spark, root, n_commits=8, rows_per=10)
+    parent_raw = _load_manifest_raw(root, sids[-1])
+    parent_seg_locs = [r["loc"] for r in parent_raw["file_segments"]]
+
+    # last commit's rows (70..79) live in inline-tail files
+    s_del = snapshot_delete(spark, root, "v >= 70")
+    raw = _load_manifest_raw(root, s_del)
+    assert [r["loc"] for r in raw.get("file_segments") or []] == parent_seg_locs
+    after = snapshot_read(spark, root, s_del)
+    assert after.count() == 70
+    assert after.selectExpr("max(v)").first()[0] == 69
+    m = load_manifest(root, s_del)
+    assert m["total_rows"] == sum(f["rows"] for f in m["files"]) == 70
+
+    # rows 0..9 live in the FIRST spilled segment: that one breaks, the
+    # rest keep their locs
+    s_del2 = snapshot_delete(spark, root, "v < 10")
+    raw2 = _load_manifest_raw(root, s_del2)
+    locs2 = {r["loc"] for r in raw2.get("file_segments") or []}
+    assert locs2 < set(parent_seg_locs)  # strictly fewer, all inherited
+    after2 = snapshot_read(spark, root, s_del2)
+    assert after2.count() == 60
+    assert after2.selectExpr("min(v)").first()[0] == 10
+    # the broken segment's SURVIVOR entries moved loose, none lost
+    assert load_manifest(root, s_del2)["total_rows"] == 60
+
+
+def test_compact_across_segments_preserves_rows(spark, tmp_path, low_spill):
+    root = str(tmp_path / "cmp_tbl")
+    _build_chain(spark, root, n_commits=6, rows_per=10)
+    before = snapshot_read(spark, root).orderBy("v").collect()
+    sid = snapshot_compact(spark, root, target_file_mb=64)
+    m = load_manifest(root, sid)
+    # everything was tiny: compaction swallowed all segments
+    assert not _load_manifest_raw(root, sid).get("file_segments")
+    assert len(m["files"]) < 12
+    assert snapshot_read(spark, root, sid).orderBy("v").collect() == before
+
+
+def test_expire_and_vacuum_reclaim_only_unreferenced_segments(spark, tmp_path, low_spill):
+    """Retention: segments referenced ONLY by expired manifests are
+    reclaimed; segments the retained tip still references survive, and
+    the tip reads unchanged. A hand-planted orphan segment is debris."""
+    root = str(tmp_path / "ret_tbl")
+    sids = _build_chain(spark, root, n_commits=8, rows_per=10)
+    # a delete breaks the first segment → its loc is now referenced only
+    # by PRE-delete manifests
+    s_del = snapshot_delete(spark, root, "v < 10")
+    live_locs = {
+        r["loc"] for r in _load_manifest_raw(root, s_del).get("file_segments") or []
+    }
+    all_segs = {os.path.basename(p) for p in glob.glob(os.path.join(root, "manifest", "seg-*.json"))}
+    assert live_locs < all_segs
+
+    orphan = os.path.join(root, "manifest", "seg-999-deadbeef.json")
+    with open(orphan, "w") as f:
+        json.dump([], f)
+
+    expire_snapshots(root, keep_last=1, min_age_s=0)
+    remaining = {
+        os.path.basename(p) for p in glob.glob(os.path.join(root, "manifest", "seg-*.json"))
+    }
+    assert remaining == live_locs  # dead-history segments + orphan gone
+    tip = snapshot_read(spark, root)
+    assert tip.count() == 70
+    assert tip.selectExpr("min(v)").first()[0] == 10
+    with pytest.raises(FileNotFoundError):
+        load_manifest(root, sids[0])
+
+
+def test_segmented_appends_under_catalog_guard(spark, tmp_path, low_spill):
+    """Segments compose with the catalog-owned pointer: commits route the
+    CAS through sqlite, manifests live under writer-unique locs, and the
+    expanded read is still complete."""
+    root = str(tmp_path / "cat_tbl")
+    snapshot_write(_slice(spark, 0, 10), root, guard="sqlite")
+    for i in range(1, 6):
+        snapshot_write(_slice(spark, i * 10, (i + 1) * 10), root, mode="append", guard="sqlite")
+    raw = _load_manifest_raw(root)
+    assert raw.get("file_segments")
+    got = snapshot_read(spark, root)
+    assert got.count() == 60
+    assert got.selectExpr("sum(v)").first()[0] == sum(range(60))
