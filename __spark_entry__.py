@@ -1612,6 +1612,98 @@ _Q63_ORACLE = """
 """
 
 
+_Q64_VERSION = "v1"
+_Q64_SPILL = 4  # forced-low spill so a toy chain exercises segmentation
+_Q64_ERAS = 10
+
+
+def _q64_segmented_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segmented manifest chain under the value gate (round 7): commit
+    the documents table as 10 era-sliced appends (era = n_chars % 10,
+    two files each) with the spill threshold forced to 4, so the file
+    list spills into shared seg-*.json segments exactly as a 10⁶-file
+    table's would at the production threshold; then delete the even
+    doc_ids of era 3 — a predicate whose affected files sit inside ONE
+    spilled segment, forcing the break-one-carry-the-rest metadata path
+    plus a partial-file rewrite. The final read aggregates per lang and
+    the oracle recomputes from the raw table, so a segment expansion
+    that lost/duplicated entries, a delete that broke the wrong segment,
+    or survivor rows dropped in the rewrite all hash-mismatch. ``n_total``
+    is the MANIFEST's total_rows bookkeeping (summed over segment refs +
+    inline entries at commit time) pinned against the oracle's COUNT(*),
+    and ``segmented``/``inline_bounded`` are computed from the RAW
+    manifest and pinned TRUE — if segmentation silently stops engaging
+    or inline growth returns, the gate fails loudly rather than
+    drifting."""
+    from ovalspark.sources import snapshots as _sn
+    from ovalspark.sources.snapshots import (
+        _load_manifest_raw,
+        current_snapshot_id,
+        snapshot_delete,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    root = _oracle_dir("q64", _Q64_VERSION, sf_dir)
+    pred = f"n_chars % {_Q64_ERAS} = 3 AND doc_id % 2 = 0"
+
+    def build(stage):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        saved = _sn._SEGMENT_SPILL_ENTRIES
+        _sn._SEGMENT_SPILL_ENTRIES = _Q64_SPILL
+        try:
+            for era in range(_Q64_ERAS):
+                snapshot_write(
+                    docs.filter(F.col("n_chars") % _Q64_ERAS == era).repartition(2),
+                    stage,
+                    mode="overwrite" if era == 0 else "append",
+                )
+            snapshot_delete(spark, stage, pred)
+        finally:
+            _sn._SEGMENT_SPILL_ENTRIES = saved
+
+    _publish_once(
+        root, build, is_valid=lambda: current_snapshot_id(root) == _Q64_ERAS + 1
+    )
+    raw = _load_manifest_raw(root)
+    segmented = bool(raw.get("file_segments"))
+    # write-path invariant: inline never exceeds spill + this commit's
+    # own files (the delete's rewrite adds a handful; 2×spill is slack
+    # enough to stay deterministic yet fail a with-history inline list)
+    inline_bounded = len(raw["files"]) <= 2 * _Q64_SPILL
+    return (
+        snapshot_read(spark, root)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.count_distinct("doc_id").alias("n_ids"),
+        )
+        .withColumn("n_total", F.lit(int(raw["total_rows"])).cast("bigint"))
+        .withColumn("segmented", F.lit(bool(segmented)))
+        .withColumn("inline_bounded", F.lit(bool(inline_bounded)))
+        .orderBy("lang")
+    )
+
+
+_Q64_ORACLE = """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids,
+           CAST((SELECT COUNT(*) FROM documents
+                 WHERE NOT COALESCE(n_chars % 10 = 3 AND doc_id % 2 = 0, FALSE))
+                AS BIGINT) AS n_total,
+           TRUE AS segmented,
+           TRUE AS inline_bounded
+    FROM documents
+    -- NULL-predicate rows are KEPT (SQL DELETE semantics), hence the
+    -- NOT COALESCE(...) mirror of snapshot_delete's row filter
+    WHERE NOT COALESCE(n_chars % 10 = 3 AND doc_id % 2 = 0, FALSE)
+    GROUP BY lang ORDER BY lang
+"""
+
+
 _Q53_VERSION = "v1"
 
 
@@ -1904,6 +1996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q61_schema_evolution": _q61_schema_evolution,
             "q62_expected_docs_lost": _q62_expected_docs_lost,
             "q63_type_promotion": _q63_type_promotion,
+            "q64_segmented_manifests": _q64_segmented_manifests,
         }
     )
     return out
@@ -1948,6 +2041,7 @@ def oracle_sql() -> dict[str, str]:
             "q61_schema_evolution": _Q61_ORACLE,
             "q62_expected_docs_lost": _Q62_ORACLE,
             "q63_type_promotion": _Q63_ORACLE,
+            "q64_segmented_manifests": _Q64_ORACLE,
         }
     )
     return out
