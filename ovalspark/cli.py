@@ -147,7 +147,7 @@ def build_parser() -> argparse.ArgumentParser:
         "(rewrites only affected files, then read-back verifies), "
         "compaction, retention, vacuum — each action commits a new "
         "snapshot or reclaims debris; combine freely, actions run in the "
-        "order delete → compact → expire → vacuum",
+        "order delete → compact → merge-segments → expire → vacuum",
     )
     m.add_argument("--root", required=True, help="snapshot table root (e.g. <world>/documents)")
     m.add_argument("--delete-where", default=None, metavar="SQL", help="predicate: rows to DELETE")
@@ -161,6 +161,19 @@ def build_parser() -> argparse.ArgumentParser:
     )
     m.add_argument(
         "--compact-target-mb", type=int, default=None, help="bin-pack files smaller than this"
+    )
+    m.add_argument(
+        "--merge-segments",
+        action="store_true",
+        help="metadata-only commit: merge fragmented manifest file-list "
+        "segments into full-sized ones (the manifest analog of "
+        "--compact-target-mb; the tail verifies it with zero data scans)",
+    )
+    m.add_argument(
+        "--segment-target-entries",
+        type=int,
+        default=None,
+        help="merge target (entries per segment; default 8x the spill threshold)",
     )
     m.add_argument(
         "--expire-keep-last", type=int, default=None, help="retention: keep newest N snapshots"
@@ -325,6 +338,14 @@ def main(argv: list[str] | None = None) -> int:
             sid = snapshot_compact(spark, args.root, args.compact_target_mb, guard=args.guard)
             log.info("maintain.compact", snapshot_id=sid)
             report["compact"] = {"snapshot_id": sid}
+        if args.merge_segments:
+            from ovalspark.sources.snapshots import merge_segments
+
+            sid = merge_segments(
+                args.root, guard=args.guard, target_entries=args.segment_target_entries
+            )
+            log.info("maintain.merge_segments", snapshot_id=sid)
+            report["merge_segments"] = {"snapshot_id": sid}
         if args.expire_keep_last is not None or args.expire_older_than is not None:
             expired = expire_snapshots(
                 args.root, args.expire_keep_last, guard=args.guard,

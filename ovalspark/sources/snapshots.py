@@ -63,9 +63,9 @@ spills into immutable ``seg-*.json`` files that child manifests share BY
 REFERENCE (Iceberg's manifest-list/manifest-file split): each append
 writes O(added) metadata bytes instead of re-serializing the cumulative
 list, and a selective delete/compaction rewrites only the segments it
-touched. Known residual: a manifest still lists one ref per segment
-(~10⁻³ of the entry count); merging old segments is future work the
-layout already permits (spill refs are just entry lists).
+touched, and ``merge_segments`` compacts fragmented refs back into
+full-sized segments in a metadata-only commit the tail verifies with
+zero data scans (identical path set ⇒ empty replace equivalence).
 """
 
 from __future__ import annotations
@@ -1291,6 +1291,68 @@ def snapshot_compact(
         if spilled_loc is not None:
             try:
                 os.unlink(os.path.join(_manifest_dir(root), spilled_loc))
+            except OSError:
+                pass
+        raise
+    return sid
+
+
+def merge_segments(root: str, guard=None, target_entries: int | None = None) -> int:
+    """Metadata-only maintenance commit — the manifest analog of data
+    compaction: rewrite FRAGMENTED file-list segments (refs holding
+    fewer than ``target_entries // 2`` entries, the debris left when a
+    delete breaks a segment and re-spills its survivors, or when many
+    tiny spills accumulate) into full-sized segments. The DATA file set
+    is untouched, so the commit is operation ``replace`` with a path set
+    identical to its parent's: the tail's replace-equivalence check
+    resolves it with ZERO data scans (removed and added are both
+    empty), and time travel to pre-merge snapshots still expands their
+    own segment refs (old segments stay live until retention drops
+    every manifest referencing them — vacuum's membership recipe).
+    Expansion ORDER may change (merged entries regroup at the tail of
+    the ref list); entry order is not semantic — every consumer treats
+    ``files`` as a set. Cost: O(merged entries) metadata bytes; full
+    segments carry by reference. Returns the new snapshot id, or the
+    parent unchanged when fewer than two segments are mergeable (no
+    empty commit)."""
+    target = (
+        int(target_entries) if target_entries is not None else 8 * _SEGMENT_SPILL_ENTRIES
+    )
+    if target < 2:
+        raise ValueError(f"target_entries must be >= 2, got {target_entries}")
+    parent = current_snapshot_id(root)
+    if parent is None:
+        raise FileNotFoundError(f"no committed snapshot at {root}")
+    raw = _load_manifest_raw(root, parent)
+    refs = raw.get("file_segments") or []
+    small_locs = {r["loc"] for r in refs if r["n_files"] < target // 2}
+    if len(small_locs) < 2:
+        return parent
+    entries: list[dict[str, Any]] = []
+    for r in refs:  # preserve relative order of the merged entries
+        if r["loc"] in small_locs:
+            entries.extend(_read_segment(root, r["loc"]))
+    sid = parent + 1
+    new_refs: list[dict[str, Any]] = []
+    for i in range(0, len(entries), target):
+        new_refs.append(_spill_segment(root, sid, entries[i : i + target]))
+    manifest = {
+        "snapshot_id": sid,
+        "parent_id": parent,
+        "operation": "replace",
+        "schema_ddl": raw["schema_ddl"],
+        "schema_json": raw["schema_json"],
+        "total_rows": raw["total_rows"],
+        "total_bytes": raw["total_bytes"],
+        "files": raw["files"],
+        "file_segments": [r for r in refs if r["loc"] not in small_locs] + new_refs,
+    }
+    try:
+        _commit_manifest(root, parent, sid, manifest, guard)
+    except ConcurrentCommitError:
+        for ref in new_refs:
+            try:
+                os.unlink(os.path.join(_manifest_dir(root), ref["loc"]))
             except OSError:
                 pass
         raise

@@ -212,6 +212,115 @@ def test_expire_and_vacuum_reclaim_only_unreferenced_segments(spark, tmp_path, l
         load_manifest(root, sids[0])
 
 
+def test_merge_segments_metadata_only_commit(spark, tmp_path, low_spill):
+    """merge_segments rewrites fragmented segment refs into full-sized
+    ones WITHOUT touching data: identical path set and totals, fewer
+    refs, pre-merge snapshots still time-travel, and the commit is a
+    'replace' the tail's equivalence check resolves with zero scans."""
+    from ovalspark.operators.incremental import validate_replace
+    from ovalspark.sources.snapshots import merge_segments
+
+    root = str(tmp_path / "merge_tbl")
+    sids = _build_chain(spark, root, n_commits=10, rows_per=10)
+    raw_before = _load_manifest_raw(root, sids[-1])
+    n_refs_before = len(raw_before["file_segments"])
+    paths_before = {f["path"] for f in load_manifest(root, sids[-1])["files"]}
+
+    sid = merge_segments(root, target_entries=16)
+    assert sid == sids[-1] + 1
+    raw = _load_manifest_raw(root, sid)
+    assert raw["operation"] == "replace"
+    assert len(raw["file_segments"]) < n_refs_before
+    m = load_manifest(root, sid)
+    assert {f["path"] for f in m["files"]} == paths_before
+    assert m["total_rows"] == 100
+    assert snapshot_read(spark, root, sid).selectExpr("sum(v)").first()[0] == sum(range(100))
+    # pre-merge snapshot still expands its own refs
+    assert snapshot_read(spark, root, sids[3]).count() == 40
+    # zero-scan equivalence: removed and added are both empty, so the
+    # verdict is clean without reading any data file
+    assert validate_replace(spark, root, sid).count() == 0
+
+    # idempotent: one full segment + small inline leaves nothing to merge
+    assert merge_segments(root, target_entries=16) == sid
+
+
+def test_merge_segments_noop_and_validation(spark, tmp_path, low_spill):
+    from ovalspark.sources.snapshots import merge_segments
+
+    root = str(tmp_path / "noop_tbl")
+    sids = _build_chain(spark, root, n_commits=3, rows_per=10)  # 1 segment max
+    assert merge_segments(root) == sids[-1]  # < 2 mergeable: no commit
+    with pytest.raises(ValueError):
+        merge_segments(root, target_entries=0)
+
+
+def test_merge_then_retention_reclaims_old_fragments(spark, tmp_path, low_spill):
+    from ovalspark.sources.snapshots import merge_segments
+
+    root = str(tmp_path / "merge_ret_tbl")
+    _build_chain(spark, root, n_commits=10, rows_per=10)
+    sid = merge_segments(root, target_entries=16)
+    live = {r["loc"] for r in _load_manifest_raw(root, sid)["file_segments"]}
+    expire_snapshots(root, keep_last=1, min_age_s=0)
+    remaining = {
+        os.path.basename(p) for p in glob.glob(os.path.join(root, "manifest", "seg-*.json"))
+    }
+    assert remaining == live  # pre-merge fragments reclaimed
+    assert snapshot_read(spark, root).count() == 100
+
+
+def test_tail_crosses_merge_commit(spark, tmp_path, low_spill, small_world):
+    """A live tail consuming a table that gets merge_segments'd mid-
+    stream keeps going: the merge commit yields zero violations through
+    the zero-scan replace-equivalence path, and the append after it
+    validates normally against its own catalog."""
+    import pyspark.sql.functions as F
+
+    from ovalspark.operators.incremental import validate_snapshot_tail
+    from ovalspark.sources.snapshots import merge_segments
+
+    spec, cat, docs, _ = small_world
+    bucket = F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(7))
+    parts = [docs.filter(bucket == i).repartition(2).localCheckpoint() for i in range(7)]
+    cats = [cat.join(p.select("doc_id"), "doc_id", "semi").localCheckpoint() for p in parts]
+
+    root = str(tmp_path / "tail_merge_tbl")
+    snapshot_write(parts[0], root)
+    for i in range(1, 6):
+        snapshot_write(parts[i], root, mode="append")
+    merge_sid = merge_segments(root, target_entries=16)
+    assert merge_sid == 7
+    assert _load_manifest_raw(root, merge_sid)["operation"] == "replace"
+    snapshot_write(parts[6], root, mode="append")
+
+    seen = {}
+    for s, v in validate_snapshot_tail(
+        spark,
+        root,
+        lambda sid: cats[sid - 1] if sid <= 6 else cats[6],
+        spec.n_assets,
+        timeout_s=2.0,
+    ):
+        seen[s] = v.count()
+    assert set(seen) == set(range(1, 9))  # every commit incl. the merge
+    assert all(n == 0 for n in seen.values())  # clean world, clean merge
+
+
+def test_cli_maintain_merge_segments(spark, tmp_path, low_spill, capsys):
+    from ovalspark.cli import main
+
+    root = str(tmp_path / "cli_merge_tbl")
+    sids = _build_chain(spark, root, n_commits=10, rows_per=10)
+    rc = main(
+        ["maintain", "--root", root, "--merge-segments", "--segment-target-entries", "16"]
+    )
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert report["merge_segments"]["snapshot_id"] == sids[-1] + 1
+    assert snapshot_read(spark, root).count() == 100
+
+
 def test_segmented_appends_under_catalog_guard(spark, tmp_path, low_spill):
     """Segments compose with the catalog-owned pointer: commits route the
     CAS through sqlite, manifests live under writer-unique locs, and the
