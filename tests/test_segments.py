@@ -307,6 +307,78 @@ def test_tail_crosses_merge_commit(spark, tmp_path, low_spill, small_world):
     assert all(n == 0 for n in seen.values())  # clean world, clean merge
 
 
+def test_losing_append_unlinks_its_spill_segment(spark, tmp_path, low_spill, monkeypatch):
+    """A writer that spills the parent's inline tail and then LOSES the
+    commit CAS must unlink its segment file — otherwise every lost race
+    leaks an orphan the table carries until vacuum. Deterministic form:
+    the commit is forced to lose."""
+    from ovalspark.sources.snapshots import ConcurrentCommitError
+
+    root = str(tmp_path / "loser_tbl")
+    _build_chain(spark, root, n_commits=2, rows_per=10)  # inline=4, no segs yet
+    segs_before = set(glob.glob(os.path.join(root, "manifest", "seg-*.json")))
+
+    def lose(*a, **k):
+        raise ConcurrentCommitError("forced loss")
+
+    monkeypatch.setattr(sn, "_commit_manifest", lose)
+    with pytest.raises(ConcurrentCommitError):
+        snapshot_write(_slice(spark, 20, 30), root, mode="append")  # would spill
+    segs_after = set(glob.glob(os.path.join(root, "manifest", "seg-*.json")))
+    assert segs_after == segs_before  # the loser's spill is gone
+    monkeypatch.undo()
+    # the table is undamaged: the same append now wins and spills cleanly
+    sid = snapshot_write(_slice(spark, 20, 30), root, mode="append")
+    assert load_manifest(root, sid)["total_rows"] == 30
+
+
+def test_concurrent_segmented_appends_one_winner_then_retry(spark, tmp_path, low_spill):
+    """Two threads race the SAME parent with appends that both want to
+    spill: exactly one wins, the loser's retry lands on the winner's
+    manifest, and the final expanded view has both commits' rows with no
+    leaked segment files (every seg-*.json is referenced by some
+    manifest)."""
+    import threading
+
+    from ovalspark.sources.snapshots import ConcurrentCommitError
+
+    root = str(tmp_path / "race_tbl")
+    _build_chain(spark, root, n_commits=3, rows_per=10)  # primed past one spill
+
+    dfs = [_slice(spark, 100, 110).localCheckpoint(), _slice(spark, 200, 210).localCheckpoint()]
+    won = [False, False]
+    barrier = threading.Barrier(2)
+
+    def writer(i):
+        barrier.wait()
+        for _ in range(5):  # optimistic retry loop, first-wins protocol
+            try:
+                snapshot_write(dfs[i], root, mode="append", guard="flock")
+                won[i] = True
+                return
+            except ConcurrentCommitError:
+                continue
+
+    ts = [threading.Thread(target=writer, args=(i,)) for i in range(2)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert won == [True, True]
+
+    got = snapshot_read(spark, root)
+    assert got.count() == 50
+    assert got.filter("v >= 100 and v < 110").count() == 10
+    assert got.filter("v >= 200 and v < 210").count() == 10
+    # no orphan segments: everything on disk is referenced by a manifest
+    referenced: set[str] = set()
+    for s in range(1, sn.current_snapshot_id(root) + 1):
+        for ref in _load_manifest_raw(root, s).get("file_segments") or []:
+            referenced.add(ref["loc"])
+    on_disk = {
+        os.path.basename(p) for p in glob.glob(os.path.join(root, "manifest", "seg-*.json"))
+    }
+    assert on_disk <= referenced
+
+
 def test_cli_maintain_merge_segments(spark, tmp_path, low_spill, capsys):
     from ovalspark.cli import main
 
