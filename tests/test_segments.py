@@ -270,11 +270,13 @@ def test_merge_then_retention_reclaims_old_fragments(spark, tmp_path, low_spill)
     assert snapshot_read(spark, root).count() == 100
 
 
-def test_tail_crosses_merge_commit(spark, tmp_path, low_spill, small_world):
+@pytest.mark.parametrize("batch", [False, True])
+def test_tail_crosses_merge_commit(spark, tmp_path, low_spill, small_world, batch):
     """A live tail consuming a table that gets merge_segments'd mid-
     stream keeps going: the merge commit yields zero violations through
     the zero-scan replace-equivalence path, and the append after it
-    validates normally against its own catalog."""
+    validates normally against its own catalog. Batch mode must treat
+    the merge commit as a replace singleton between append runs."""
     import pyspark.sql.functions as F
 
     from ovalspark.operators.incremental import validate_snapshot_tail
@@ -301,10 +303,59 @@ def test_tail_crosses_merge_commit(spark, tmp_path, low_spill, small_world):
         lambda sid: cats[sid - 1] if sid <= 6 else cats[6],
         spec.n_assets,
         timeout_s=2.0,
+        batch_commits=batch,
     ):
-        seen[s] = v.count()
+        n = v.count()
+        for sid in s if batch else [s]:
+            seen[sid] = n
     assert set(seen) == set(range(1, 9))  # every commit incl. the merge
     assert all(n == 0 for n in seen.values())  # clean world, clean merge
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_randomized_history_matches_shadow_model(spark, tmp_path, low_spill, seed):
+    """Seeded random append/delete/compact/merge histories against a
+    driver-side shadow multiset of row values: after every operation the
+    expanded view must hold exactly the shadow's rows, the manifest's
+    total_rows bookkeeping must match, and the expanded file list must
+    be duplicate-free — whatever sequence of spills, segment breaks,
+    re-spills, and metadata merges the history produced."""
+    import random
+
+    from ovalspark.sources.snapshots import merge_segments
+
+    rng = random.Random(seed)
+    root = str(tmp_path / f"rand_tbl_{seed}")
+    snapshot_write(_slice(spark, 0, 20), root)
+    shadow = list(range(20))
+    nxt = 20
+
+    def check():
+        got = sorted(
+            r["v"] for r in snapshot_read(spark, root).select("v").collect()
+        )
+        assert got == sorted(shadow)
+        m = load_manifest(root)
+        assert m["total_rows"] == len(shadow)
+        paths = [f["path"] for f in m["files"]]
+        assert len(paths) == len(set(paths))  # expansion never duplicates
+
+    for _ in range(12):
+        op = rng.choice(["append", "append", "delete", "compact", "merge"])
+        if op == "append":
+            n = rng.randrange(5, 25)
+            snapshot_write(_slice(spark, nxt, nxt + n), root, mode="append")
+            shadow.extend(range(nxt, nxt + n))
+            nxt += n
+        elif op == "delete":
+            k, r = rng.choice([(3, 0), (5, 2), (7, 4)])
+            snapshot_delete(spark, root, f"v % {k} = {r}")
+            shadow = [x for x in shadow if x % k != r]
+        elif op == "compact":
+            snapshot_compact(spark, root, target_file_mb=64)
+        else:
+            merge_segments(root, target_entries=rng.choice([8, 16]))
+        check()
 
 
 def test_losing_append_unlinks_its_spill_segment(spark, tmp_path, low_spill, monkeypatch):
