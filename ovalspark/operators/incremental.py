@@ -111,7 +111,12 @@ def validate_delete(
 
     from ovalspark.sources.snapshots import load_manifest, manifest_diff, read_deleted_docs
 
-    m = load_manifest(root, snapshot_id)
+    from ovalspark.sources.snapshots import _load_manifest_raw
+
+    # raw form: every field this needs is top-level; only the full_scan
+    # audit expands the file list (a tail at 10⁶ files must not pay an
+    # O(table) segment expansion to read one commit's operation tag)
+    m = _load_manifest_raw(root, snapshot_id)
     if m["operation"] != "delete":
         raise ValueError(
             f"snapshot {m['snapshot_id']} at {root} is {m['operation']!r}, not a delete commit"
@@ -126,7 +131,10 @@ def validate_delete(
     from ovalspark.sources.snapshots import _abs_path  # scoped file list
 
     if full_scan:
-        files = [_abs_path(root, f["path"]) for f in m["files"]]
+        files = [
+            _abs_path(root, f["path"])
+            for f in load_manifest(root, m["snapshot_id"])["files"]
+        ]
     else:
         files = manifest_diff(root, m["parent_id"], m["snapshot_id"])
     empty = spark.createDataFrame([], VIOLATION_SCHEMA)
@@ -192,16 +200,17 @@ def validate_replace(
     from ovalspark.sources.snapshots import (
         _abs_path,
         _committed_schema,
-        load_manifest,
+        _load_manifest_raw,
+        _read_segment,
     )
 
-    m = load_manifest(root, snapshot_id)
+    m = _load_manifest_raw(root, snapshot_id)
     if m["operation"] != "replace":
         raise ValueError(
             f"snapshot {m['snapshot_id']} at {root} is {m['operation']!r}, not a replace commit"
         )
     try:
-        pm = load_manifest(root, m["parent_id"])
+        pm = _load_manifest_raw(root, m["parent_id"])
     except FileNotFoundError:
         # age-based retention can expire the parent between the compaction
         # and the tail catching up — equivalence is then genuinely
@@ -224,8 +233,27 @@ def validate_replace(
             ],
             VIOLATION_SCHEMA,
         )
-    new_paths = {f["path"] for f in m["files"]}
-    old_paths = {f["path"] for f in pm["files"]}
+    # segment refs shared by parent and child (same immutable loc) hold
+    # identical paths on both sides — they cancel in the set difference
+    # without expansion, and the table's duplicate-free-paths invariant
+    # (property-tested) guarantees a path inside a shared segment cannot
+    # ALSO appear loose or in a non-shared segment. So the diff reads
+    # O(changed metadata): a compaction of fresh tail debt, or a
+    # metadata-only merge_segments commit, never expands the settled
+    # history to prove itself equivalent.
+    m_segs = m.get("file_segments") or []
+    pm_segs = pm.get("file_segments") or []
+    common = {r["loc"] for r in m_segs} & {r["loc"] for r in pm_segs}
+
+    def _paths(raw, segs):
+        out = {f["path"] for f in raw["files"]}
+        for ref in segs:
+            if ref["loc"] not in common:
+                out.update(e["path"] for e in _read_segment(root, ref["loc"]))
+        return out
+
+    new_paths = _paths(m, m_segs)
+    old_paths = _paths(pm, pm_segs)
     removed = [_abs_path(root, p) for p in sorted(old_paths - new_paths)]
     added = [_abs_path(root, p) for p in sorted(new_paths - old_paths)]
 
@@ -291,12 +319,12 @@ def stored_catalog_for(spark: SparkSession, table_root: str):
     A pin that retention has since expired falls back to latest with a
     warning — the pre-pin behavior, not a crash."""
     from ovalspark.sources import read_table
-    from ovalspark.sources.snapshots import load_manifest, read_expected_docs
+    from ovalspark.sources.snapshots import _load_manifest_raw, read_expected_docs
 
     docs_root = f"{table_root}/documents"
 
     def catalog_for(sid: int):
-        m = load_manifest(docs_root, sid)
+        m = _load_manifest_raw(docs_root, sid)  # properties are top-level
         pin = (m.get("properties") or {}).get("catalog_snapshot_id")
         try:
             catalog = read_table(
@@ -578,14 +606,19 @@ def _tail_deltas(
     to be dropped). Equivalence is asserted in tests/test_incremental.py
     (batched backlog == concatenated per-commit runs, row-for-row,
     including misplaced-doc and interleaved-delete cases)."""
-    from ovalspark.sources.snapshots import load_manifest, manifest_diff
+    # RAW manifests throughout: the tail dispatches on operation /
+    # parent_id / delete fields and reads schemas from the top level —
+    # it must never pay the O(table) segment expansion per poll just to
+    # route a commit (the file lists it scans come from manifest_diff,
+    # which already skips shared segments)
+    from ovalspark.sources.snapshots import _load_manifest_raw, manifest_diff
 
     for pending in iter_commit_batches(root, after_id, timeout_s, poll_interval_s):
         manifests: dict = {}
         # (span, tagged_catalog_or_None) work items, in commit order
         items: list[tuple[list[int], object]] = [([s], None) for s in pending]
         if batch_commits and len(pending) > 1:
-            manifests = {s: load_manifest(root, s) for s in pending}
+            manifests = {s: _load_manifest_raw(root, s) for s in pending}
             runs: list[list[int]] = []
             cur: list[int] = []
             for s in pending:
@@ -613,7 +646,7 @@ def _tail_deltas(
                     items.append((run, None))
         for span, cat_tagged in items:
             first, last = span[0], span[-1]
-            m_first = manifests.get(first) or load_manifest(root, first)
+            m_first = manifests.get(first) or _load_manifest_raw(root, first)
             manifests[first] = m_first
             parent = m_first["parent_id"]
             from_id = parent if parent else None

@@ -1655,7 +1655,13 @@ def manifest_diff(root: str, from_id: int | None, to_id: int | None = None) -> l
     to_raw = _load_manifest_raw(root, to_id)
     to_segs = to_raw.get("file_segments") or []
     if from_id is None:
-        return [_abs_path(root, f["path"]) for f in load_manifest(root, to_id)["files"]]
+        # full bootstrap: expand segments directly (inherently O(to_id's
+        # inventory) — there is no settled history to skip)
+        full: list[dict[str, Any]] = []
+        for ref in to_segs:
+            full.extend(_read_segment(root, ref["loc"]))
+        full.extend(to_raw["files"])
+        return [_abs_path(root, f["path"]) for f in full]
     from_raw = _load_manifest_raw(root, from_id)
     from_segs = from_raw.get("file_segments") or []
     # segments SHARED by both manifests (by immutable loc) contribute no
@@ -1697,7 +1703,7 @@ def snapshot_history(spark: SparkSession, root: str) -> DataFrame:
         # v<id>.json) — never by globbing, which would surface loser
         # debris whose id collides with a committed one
         try:
-            m = load_manifest(root, s)
+            m = _load_manifest_raw(root, s)
         except FileNotFoundError:
             continue  # expired by retention
         rows.append(
@@ -1707,7 +1713,9 @@ def snapshot_history(spark: SparkSession, root: str) -> DataFrame:
                 m["operation"],
                 m["total_rows"],
                 m["total_bytes"],
-                len(m["files"]),
+                # from refs + inline — history over a segmented table
+                # never expands segment files just to count entries
+                sum(r["n_files"] for r in m.get("file_segments") or []) + len(m["files"]),
                 m["snapshot_id"] == sid,
                 # committed_at recorded since round 6; older manifests
                 # surface NULL rather than a fabricated time

@@ -312,6 +312,54 @@ def test_tail_crosses_merge_commit(spark, tmp_path, low_spill, small_world, batc
     assert all(n == 0 for n in seen.values())  # clean world, clean merge
 
 
+def test_tail_never_expands_segments_on_append_runs(
+    spark, tmp_path, low_spill, small_world, monkeypatch
+):
+    """The tail's per-poll metadata cost must stay O(changed), not
+    O(table): over an appends-only segmented backlog it routes commits
+    on RAW manifests and diffs skip shared segments, so the expanding
+    ``load_manifest`` is never called and ``_read_segment`` fires at
+    most once per spill boundary — not per commit × per segment."""
+    import pyspark.sql.functions as F
+
+    from ovalspark.operators.incremental import validate_snapshot_tail
+
+    spec, cat, docs, _ = small_world
+    bucket = F.pmod(F.xxhash64("doc_id", F.lit(13)), F.lit(8))
+    parts = [docs.filter(bucket == i).repartition(2).localCheckpoint() for i in range(8)]
+    cats = [cat.join(p.select("doc_id"), "doc_id", "semi").localCheckpoint() for p in parts]
+
+    root = str(tmp_path / "tail_cost_tbl")
+    snapshot_write(parts[0], root)
+    for i in range(1, 8):
+        snapshot_write(parts[i], root, mode="append")
+    n_segments = len(_load_manifest_raw(root)["file_segments"])
+    assert n_segments >= 2
+
+    expansions = []
+    seg_reads = []
+    real_load, real_read = sn.load_manifest, sn._read_segment
+    monkeypatch.setattr(
+        sn, "load_manifest", lambda *a, **k: (expansions.append(a), real_load(*a, **k))[1]
+    )
+    monkeypatch.setattr(
+        sn, "_read_segment", lambda *a, **k: (seg_reads.append(a), real_read(*a, **k))[1]
+    )
+    sn._SEGMENT_CACHE.clear()
+
+    seen = []
+    for s, v in validate_snapshot_tail(
+        spark, root, lambda sid: cats[sid - 1], spec.n_assets, timeout_s=1.5
+    ):
+        v.count()
+        seen.append(s)
+    assert seen == list(range(1, 9))
+    assert expansions == []  # routing + delta validation never expanded
+    # one read per spill boundary at most (cache misses only), never
+    # commits × segments
+    assert len(seg_reads) <= n_segments
+
+
 @pytest.mark.parametrize("seed", [11, 23])
 def test_randomized_history_matches_shadow_model(spark, tmp_path, low_spill, seed):
     """Seeded random append/delete/compact/merge histories against a
