@@ -557,12 +557,47 @@ def _spill_segment(root: str, sid: int, entries: list[dict[str, Any]]) -> dict[s
 
     loc = f"seg-{sid}-{_uuid.uuid4().hex[:8]}.json"
     _atomic_write(os.path.join(_manifest_dir(root), loc), json.dumps(entries))
-    return {
+    ref = {
         "loc": loc,
         "n_files": len(entries),
         "rows": sum(e["rows"] for e in entries),
         "bytes": sum(e["bytes"] for e in entries),
     }
+    stats = _segment_ref_stats(entries)
+    if stats:
+        ref["col_stats"] = stats
+    return ref
+
+
+def _segment_ref_stats(entries: list[dict[str, Any]]) -> dict[str, dict[str, Any]]:
+    """Segment-level column bounds: the fold of the member files'
+    [min, max] per column, kept only for columns EVERY member has stats
+    for — Iceberg's manifest-file partition/column summaries. These let
+    ``prune_files`` discard a whole segment from its ref alone: a
+    selective range over a 10⁶-file table then reads only the segment
+    files whose aggregate bounds overlap, instead of expanding the full
+    inventory to inspect per-file stats. A column any member lacks is
+    omitted (absence = "cannot prune", same contract as per-file stats);
+    a cross-file type clash (never produced by one table, but cheap to
+    guard) also drops the column rather than risk a wrong skip."""
+    folded: dict[str, dict[str, Any]] = {}
+    for i, e in enumerate(entries):
+        cs = e.get("col_stats") or {}
+        if i == 0:
+            folded = {c: {"min": st["min"], "max": st["max"]} for c, st in cs.items()}
+            continue
+        for c in list(folded):
+            st = cs.get(c)
+            if st is None:
+                del folded[c]
+                continue
+            cur = folded[c]
+            try:
+                cur["min"] = min(cur["min"], st["min"])
+                cur["max"] = max(cur["max"], st["max"])
+            except TypeError:
+                del folded[c]
+    return folded
 
 
 def _footer_stats(files: list[str], root: str) -> list[dict[str, Any]]:
@@ -660,8 +695,15 @@ def prune_files(
     (metadata absence can only cost a scan, never rows). This is the
     Iceberg manifest-level file skip: at 10⁶ files a selective range
     touches the handful of files whose bounds overlap, without paying
-    10⁶ footer opens."""
-    m = load_manifest(root, snapshot_id)
+    10⁶ footer opens.
+
+    Two-level on segmented manifests: a segment ref whose AGGREGATE
+    bounds (``_segment_ref_stats``, folded at spill time) are provably
+    disjoint is skipped without being read — the metadata cost of a
+    selective prune is O(refs + surviving segments), not O(table
+    inventory). Refs without aggregates (pre-stats segments) expand and
+    prune per-file, the conservative path."""
+    m = _load_manifest_raw(root, snapshot_id)
     if conditions is None:
         conditions = []
     if isinstance(conditions, tuple):
@@ -686,7 +728,17 @@ def prune_files(
                 return False
         return True
 
-    return [_abs_path(root, f["path"]) for f in m["files"] if survives(f)]
+    out: list[str] = []
+    for ref in m.get("file_segments") or []:
+        # a ref carries {col_stats: {col: {min, max}}} — exactly the
+        # shape survives() prunes on; a ref without stats survives
+        if not survives(ref):
+            continue
+        out.extend(
+            _abs_path(root, e["path"]) for e in _read_segment(root, ref["loc"]) if survives(e)
+        )
+    out.extend(_abs_path(root, f["path"]) for f in m["files"] if survives(f))
+    return out
 
 
 def _abs_path(root: str, path: str) -> str:
@@ -1622,14 +1674,19 @@ def snapshot_read(
     committed before an additive schema evolution read their missing
     columns as NULL — and column presence never depends on which file
     Spark happens to sample for inference."""
-    m = load_manifest(root, snapshot_id)
+    # raw first: schema + id are top-level, and a PRUNED read must not
+    # pay the full segment expansion prune_files exists to avoid
+    m = _load_manifest_raw(root, snapshot_id)
     if prune is not None:
         # pin to the resolved id: CURRENT may flip between the two
         # manifest reads, and a prune against a newer snapshot would
         # silently mix file lists
         paths = prune_files(root, m["snapshot_id"], prune)
     else:
-        paths = [_abs_path(root, f["path"]) for f in m["files"]]
+        paths = [
+            _abs_path(root, f["path"])
+            for f in load_manifest(root, m["snapshot_id"])["files"]
+        ]
     schema = _committed_schema(m)
     if not paths:
         return spark.createDataFrame([], schema)

@@ -360,6 +360,65 @@ def test_tail_never_expands_segments_on_append_runs(
     assert len(seg_reads) <= n_segments
 
 
+def test_two_level_prune_skips_whole_segments(spark, tmp_path, low_spill, monkeypatch):
+    """Segment refs fold their members' column bounds at spill time
+    (``_segment_ref_stats``), so a selective range prune is two-level:
+    refs provably disjoint are skipped WITHOUT being read — O(refs +
+    surviving segments) metadata, the property that keeps a pruned read
+    cheap at 10⁶ files — and the surviving paths match the flat
+    (expand-everything) prune exactly."""
+    from ovalspark.sources.snapshots import prune_files, snapshot_read
+
+    root = str(tmp_path / "prune_seg_tbl")
+    sids = _build_chain(spark, root, n_commits=8, rows_per=10)
+    raw = _load_manifest_raw(root, sids[-1])
+    refs = raw["file_segments"]
+    assert len(refs) >= 2
+    # every ref carries the fold of its members' v-bounds
+    for ref in refs:
+        entries = sn._read_segment(root, ref["loc"])
+        assert ref["col_stats"]["v"]["min"] == min(e["col_stats"]["v"]["min"] for e in entries)
+        assert ref["col_stats"]["v"]["max"] == max(e["col_stats"]["v"]["max"] for e in entries)
+
+    reads = []
+    real_read = sn._read_segment
+    monkeypatch.setattr(
+        sn, "_read_segment", lambda *a, **k: (reads.append(a[1]), real_read(*a, **k))[1]
+    )
+
+    # range entirely in the INLINE tail (newest commits): zero segment reads
+    inline_lo = min(e["col_stats"]["v"]["min"] for e in raw["files"])
+    pruned = prune_files(root, sids[-1], ("v", inline_lo + 1, inline_lo + 2))
+    assert reads == []
+    assert 0 < len(pruned) <= len(raw["files"])
+    got = snapshot_read(spark, root, sids[-1], prune=("v", inline_lo + 1, inline_lo + 2))
+    want = snapshot_read(spark, root, sids[-1])
+    cond = f"v between {inline_lo + 1} and {inline_lo + 2}"
+    assert got.filter(cond).exceptAll(want.filter(cond)).count() == 0
+    assert got.filter(cond).count() == want.filter(cond).count() == 2
+
+    # range inside the OLDEST segment: exactly that one segment is read
+    reads.clear()
+    first = min(refs, key=lambda r: r["col_stats"]["v"]["min"])
+    lo = first["col_stats"]["v"]["min"]
+    pruned = prune_files(root, sids[-1], ("v", lo, lo + 1))
+    assert reads == [first["loc"]]
+    assert all(os.path.basename(p).startswith("part-") for p in pruned)
+    # flat equivalence: same survivors as per-file pruning over the
+    # fully expanded inventory
+    monkeypatch.setattr(sn, "_read_segment", real_read)
+    flat = [
+        e["path"]
+        for e in load_manifest(root, sids[-1])["files"]
+        if e["col_stats"]["v"]["min"] <= lo + 1 and e["col_stats"]["v"]["max"] >= lo
+    ]
+    assert sorted(os.path.relpath(p, root) for p in pruned) == sorted(flat)
+
+    # a column the fold dropped (or never had) prunes nothing at either
+    # level — conservative by construction
+    assert len(prune_files(root, sids[-1], ("no_such", 0, 1))) == 16
+
+
 @pytest.mark.parametrize("seed", [11, 23])
 def test_randomized_history_matches_shadow_model(spark, tmp_path, low_spill, seed):
     """Seeded random append/delete/compact/merge histories against a
