@@ -1704,6 +1704,94 @@ _Q64_ORACLE = """
 """
 
 
+_Q65_VERSION = "v1"
+_Q65_SPILL = 4
+
+
+def _q65_segment_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level pruning under the value gate (round 7): commit the
+    documents table as 8 doc_id-RANGE-disjoint appends (era =
+    min(doc_id // 64, 7), two files each) with the spill threshold
+    forced to 4 so the chain segments exactly as q64's does — but here
+    each segment ref's folded [min, max] doc_id bounds are DISJOINT
+    across segments, the layout two-level pruning exists for. The read
+    prunes on ``doc_id BETWEEN 100 AND 120`` (inside era 1, whose files
+    live in the FIRST spilled segment): ``one_seg_read`` instruments
+    ``_read_segment`` during the prune and is pinned TRUE iff exactly
+    one distinct segment was read — if ref-level bounds stop being
+    folded or stop being consulted, the plan silently degrades to
+    expand-everything and this gate fails loudly instead. The lang
+    aggregate is recomputed by the oracle from the raw table, so a fold
+    that mis-records a bound (wrongly skipping a segment that held
+    matching rows) loses rows and hash-mismatches — the row-loss
+    direction, the one pruning must never take."""
+    from ovalspark.sources import snapshots as _sn
+    from ovalspark.sources.snapshots import (
+        _load_manifest_raw,
+        current_snapshot_id,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    root = _oracle_dir("q65", _Q65_VERSION, sf_dir)
+
+    def build(stage):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        era = F.least(F.floor(F.col("doc_id") / 64), F.lit(7))
+        saved = _sn._SEGMENT_SPILL_ENTRIES
+        _sn._SEGMENT_SPILL_ENTRIES = _Q65_SPILL
+        try:
+            for e in range(8):
+                snapshot_write(
+                    docs.filter(era == e).repartition(2),
+                    stage,
+                    mode="overwrite" if e == 0 else "append",
+                )
+        finally:
+            _sn._SEGMENT_SPILL_ENTRIES = saved
+
+    _publish_once(root, build, is_valid=lambda: current_snapshot_id(root) == 8)
+    raw = _load_manifest_raw(root)
+    refs = raw.get("file_segments") or []
+    stats_folded = bool(refs) and all(
+        "doc_id" in (r.get("col_stats") or {}) for r in refs
+    )
+    reads: list = []
+    real_read = _sn._read_segment
+    _sn._read_segment = lambda r, loc: (reads.append(loc), real_read(r, loc))[1]
+    try:
+        df = snapshot_read(spark, root, 8, prune=("doc_id", 100, 120))
+    finally:
+        _sn._read_segment = real_read
+    one_seg_read = len(set(reads)) == 1
+    return (
+        df.filter((F.col("doc_id") >= 100) & (F.col("doc_id") <= 120))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .withColumn("stats_folded", F.lit(bool(stats_folded)))
+        .withColumn("one_seg_read", F.lit(bool(one_seg_read)))
+        .orderBy("lang")
+    )
+
+
+_Q65_ORACLE = """
+    SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_id,
+           CAST(MAX(doc_id) AS BIGINT) AS max_id,
+           TRUE AS stats_folded,
+           TRUE AS one_seg_read
+    FROM documents
+    WHERE doc_id BETWEEN 100 AND 120
+    GROUP BY lang ORDER BY lang
+"""
+
+
 _Q53_VERSION = "v1"
 
 
@@ -1997,6 +2085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q62_expected_docs_lost": _q62_expected_docs_lost,
             "q63_type_promotion": _q63_type_promotion,
             "q64_segmented_manifests": _q64_segmented_manifests,
+            "q65_segment_pruned_read": _q65_segment_pruned_read,
         }
     )
     return out
@@ -2042,6 +2131,7 @@ def oracle_sql() -> dict[str, str]:
             "q62_expected_docs_lost": _Q62_ORACLE,
             "q63_type_promotion": _Q63_ORACLE,
             "q64_segmented_manifests": _Q64_ORACLE,
+            "q65_segment_pruned_read": _Q65_ORACLE,
         }
     )
     return out
