@@ -109,9 +109,7 @@ def validate_delete(
     VIOLATION_SCHEMA rows — an empty result is a verified delete."""
     import pyspark.sql.functions as F
 
-    from ovalspark.sources.snapshots import load_manifest, manifest_diff, read_deleted_docs
-
-    from ovalspark.sources.snapshots import _load_manifest_raw
+    from ovalspark.sources.snapshots import _load_manifest_raw, manifest_diff, read_deleted_docs
 
     # raw form: every field this needs is top-level; only the full_scan
     # audit expands the file list (a tail at 10⁶ files must not pay an
@@ -131,10 +129,9 @@ def validate_delete(
     from ovalspark.sources.snapshots import _abs_path  # scoped file list
 
     if full_scan:
-        files = [
-            _abs_path(root, f["path"])
-            for f in load_manifest(root, m["snapshot_id"])["files"]
-        ]
+        from ovalspark.sources.snapshots import _expand_manifest
+
+        files = [_abs_path(root, f["path"]) for f in _expand_manifest(root, m)["files"]]
     else:
         files = manifest_diff(root, m["parent_id"], m["snapshot_id"])
     empty = spark.createDataFrame([], VIOLATION_SCHEMA)

@@ -505,7 +505,12 @@ def load_manifest(root: str, snapshot_id: int | None = None) -> dict[str, Any]:
     consumer sees the complete file inventory regardless of how the
     entries are physically stored. The raw ``file_segments`` refs stay on
     the dict for segment-aware callers (vacuum, manifest_diff)."""
-    m = _load_manifest_raw(root, snapshot_id)
+    return _expand_manifest(root, _load_manifest_raw(root, snapshot_id))
+
+
+def _expand_manifest(root: str, m: dict[str, Any]) -> dict[str, Any]:
+    """Expand an already-loaded RAW manifest (callers holding one avoid
+    a second disk read + JSON parse of the same bytes)."""
     segs = m.get("file_segments")
     if segs:
         files: list[dict[str, Any]] = []
@@ -1683,10 +1688,7 @@ def snapshot_read(
         # silently mix file lists
         paths = prune_files(root, m["snapshot_id"], prune)
     else:
-        paths = [
-            _abs_path(root, f["path"])
-            for f in load_manifest(root, m["snapshot_id"])["files"]
-        ]
+        paths = [_abs_path(root, f["path"]) for f in _expand_manifest(root, m)["files"]]
     schema = _committed_schema(m)
     if not paths:
         return spark.createDataFrame([], schema)
