@@ -429,12 +429,15 @@ def test_randomized_history_matches_shadow_model(spark, tmp_path, low_spill, see
     """Seeded random append/delete/compact/merge histories against a
     driver-side shadow multiset of row values: after every operation the
     expanded view must hold exactly the shadow's rows, the manifest's
-    total_rows bookkeeping must match, and the expanded file list must
-    be duplicate-free — whatever sequence of spills, segment breaks,
-    re-spills, and metadata merges the history produced."""
+    total_rows bookkeeping must match, the expanded file list must be
+    duplicate-free, and a random two-level range prune must pick exactly
+    the files a flat per-file filter over the expanded inventory picks
+    (and read exactly the shadow's matching rows) — whatever sequence of
+    spills, segment breaks, re-spills, and metadata merges the history
+    produced re-folds every ref's bounds correctly or this diverges."""
     import random
 
-    from ovalspark.sources.snapshots import merge_segments
+    from ovalspark.sources.snapshots import merge_segments, prune_files
 
     rng = random.Random(seed)
     root = str(tmp_path / f"rand_tbl_{seed}")
@@ -451,6 +454,23 @@ def test_randomized_history_matches_shadow_model(spark, tmp_path, low_spill, see
         assert m["total_rows"] == len(shadow)
         paths = [f["path"] for f in m["files"]]
         assert len(paths) == len(set(paths))  # expansion never duplicates
+        # two-level prune vs the flat model over the expanded inventory
+        lo = rng.randrange(0, nxt)
+        hi = lo + rng.randrange(1, 15)
+        pruned = set(prune_files(root, None, ("v", lo, hi)))
+        flat = {
+            sn._abs_path(root, f["path"])
+            for f in m["files"]
+            if f["col_stats"]["v"]["min"] <= hi and f["col_stats"]["v"]["max"] >= lo
+        }
+        assert pruned == flat
+        rows = sorted(
+            r["v"]
+            for r in snapshot_read(spark, root, prune=("v", lo, hi))
+            .filter(f"v between {lo} and {hi}")
+            .collect()
+        )
+        assert rows == sorted(x for x in shadow if lo <= x <= hi)
 
     for _ in range(12):
         op = rng.choice(["append", "append", "delete", "compact", "merge"])
