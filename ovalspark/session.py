@@ -28,6 +28,19 @@ def get_spark(
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         master = f"local[{cpus}]" if cpus else "local[*]"
+    # Make the package importable in every Python process Spark spawns —
+    # executor workers AND the streaming data-source runner (a driver-side
+    # subprocess that unpickles DataSource classes by reference). Those
+    # processes see env PYTHONPATH, not the driver's sys.path, so a driver
+    # that found ovalspark via cwd or sys.path.insert would otherwise
+    # strand them. Must happen BEFORE the JVM launches (it snapshots env).
+    # No-op when the package arrived via --py-files (not a real dir — the
+    # same mechanism already feeds the spawned processes).
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if os.path.isdir(os.path.join(pkg_parent, "ovalspark")):
+        cur = os.environ.get("PYTHONPATH", "")
+        if pkg_parent not in cur.split(os.pathsep):
+            os.environ["PYTHONPATH"] = pkg_parent + (os.pathsep + cur if cur else "")
     extra_conf = dict(extra_conf or {})
     # local mode: shuffle scratch on tmpfs when available — this box's
     # virtio disk convoys concurrent shuffle writers (measured 10x
@@ -51,6 +64,9 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python data source pushdown (the snapshot format routes these
+        # into two-level manifest pruning — sources/stream_source.py)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("OVALSPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

@@ -36,3 +36,8 @@ from ovalspark.sources.tables import (  # noqa: F401
     write_bucketed,
     write_table,
 )
+from ovalspark.sources.stream_source import (  # noqa: F401
+    FORMAT_NAME,
+    SnapshotDataSource,
+    register_snapshot_source,
+)

@@ -1,0 +1,337 @@
+"""Spark Python Data Source over the snapshot log — batch and streaming.
+
+This is the Spark-native front door to ``sources/snapshots.py``: after
+``register_snapshot_source(spark)`` the versioned table is a first-class
+format, so ANY Spark query — including Structured Streaming with
+watermarks, windowed aggregation, and ``foreachBatch`` — can consume it
+without knowing the manifest layout:
+
+    spark.read.format("ovalspark_snapshots").option("path", root).load()
+    spark.readStream.format("ovalspark_snapshots").option("path", root).load()
+
+Batch reads serve the committed file list AS OF a snapshot (option
+``snapshot_id``; default CURRENT). With ``.option("pushdown", "true")``
+they additionally wire Spark's own filter pushdown (``pushFilters``,
+Spark 4.1) into the manifest layer's two-level pruning:
+range/equality/IN conditions on top-level columns become ``prune_files``
+conditions, so a selective filter plans only the files — and reads only
+the manifest segments — whose folded bounds overlap. Pruning is a
+superset guarantee; every filter is returned to Spark to re-apply, so a
+missing stat can only cost a scan, never rows. Pushdown is opt-in
+because Spark 4.1 caches a Python source's planned partitions on the
+``load()``-scoped table and only re-plans for queries that push filters
+— see ``_PruningBatchReader`` for the measured semantics and the
+one-load()-per-query usage rule.
+
+The stream reader is the validate-every-PUT tail (oval's worker loop,
+``/root/reference/internal/runner/worker.go:100-118``) re-expressed in
+Spark's own offset protocol: offsets are commit ids (``{"snapshot_id":
+N}``), ``latestOffset`` is one CURRENT-pointer read, and a micro-batch's
+partitions are exactly the files its commit span ADDED (``manifest_diff``
+per append — O(changed) metadata, never an inventory expansion). The
+engine's checkpoint gives exactly-once replay for free: the same offset
+range always plans the same immutable file list. Commit semantics:
+appends emit their added files; an overwrite emits the new table
+generation in full; delete/replace commits advance the offset emitting
+nothing (this is an append feed, not a CDC feed — deletions are the
+VALIDATOR's concern, `operators/incremental.py`, not the stream's).
+
+Executor-side reads go through pyarrow: parquet batches are yielded as
+Arrow RecordBatches aligned to the query schema (missing columns
+NULL-filled, the additive-evolution read contract of ``snapshot_read``;
+extra columns dropped; physical types cast to the committed types, which
+also serves int->long / float->double promoted tables). No per-row
+Python anywhere: Arrow batches cross the boundary whole.
+
+Deployment: the DataSource class pickles BY REFERENCE, so executors must
+be able to import ``ovalspark`` — true under ``spark-submit --py-files``
+(tools/make_pyfiles.py) and in repo-rooted local runs.
+``register_snapshot_source`` makes it true everywhere else by shipping a
+content-addressed source zip via ``addPyFile`` (same deterministic
+recipe as make_pyfiles) when the package lives on a real filesystem.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+from ovalspark.sources import snapshots as sn
+
+FORMAT_NAME = "ovalspark_snapshots"
+
+
+class _FilePartition(InputPartition):
+    """One data file — the scheduling granule, like the parquet file
+    source's splits (manifest files are written at bounded target size,
+    so file == split is the right granule here)."""
+
+    def __init__(self, path: str, schema_json: str):
+        self.path = path
+        self.schema_json = schema_json
+
+
+def _read_aligned(path: str, schema_json: str):
+    """Yield a file's rows as Arrow RecordBatches aligned to the query
+    schema: committed column order, missing columns NULL-filled
+    (pre-evolution files), extra columns dropped (post-evolution files
+    under an older declared schema), physical types cast to the declared
+    ones (type-promoted tables store narrow pre-promotion files).
+    Self-contained: runs on executors, imports everything it needs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType as _St
+
+    target = to_arrow_schema(_St.fromJson(json.loads(schema_json)))
+    pf = pq.ParquetFile(path)
+    have = [n for n in target.names if n in set(pf.schema_arrow.names)]
+    for batch in pf.iter_batches(columns=have):
+        arrays = []
+        for field in target:
+            if field.name in have:
+                arr = batch.column(have.index(field.name))
+                if arr.type != field.type:
+                    arr = arr.cast(field.type)
+            else:
+                arr = pa.nulls(batch.num_rows, type=field.type)
+            arrays.append(arr)
+        yield pa.RecordBatch.from_arrays(arrays, schema=target)
+
+
+class _SnapshotBatchReader(DataSourceReader):
+    """The default batch reader: full committed file list, no
+    ``pushFilters`` (deliberately NOT implemented — works on sessions
+    without ``spark.sql.python.filterPushdown.enabled``, and the scan is
+    identical for every query so Spark's table-level read-info cache can
+    never serve one query a listing planned for another)."""
+
+    def __init__(self, root: str, snapshot_id: int | None, schema: StructType):
+        self.root = root
+        self.snapshot_id = snapshot_id
+        self.schema_json = json.dumps(schema.jsonValue())
+
+    def partitions(self):
+        m = sn._load_manifest_raw(self.root, self.snapshot_id)
+        paths = [
+            sn._abs_path(self.root, f["path"])
+            for f in sn._expand_manifest(self.root, m)["files"]
+        ]
+        return [_FilePartition(p, self.schema_json) for p in paths]
+
+    def read(self, partition):
+        yield from _read_aligned(partition.path, partition.schema_json)
+
+
+class _PruningBatchReader(_SnapshotBatchReader):
+    """Opt-in (``.option("pushdown", "true")``): Spark's pushed conjuncts
+    become two-level manifest pruning. ALL filters are returned for
+    Spark to re-apply — pruning is a superset, a missing stat can only
+    cost a scan, never rows.
+
+    Why opt-in: Spark caches a Python source's planned (readFunc,
+    partitions) on the TABLE object a ``load()`` created, and only
+    re-plans for queries that push filters (measured on 4.1.2: filtered
+    query → correct re-plan every time; UNFILTERED query on the same
+    load() after a filtered one → served the cached PRUNED listing).
+    With pushdown on, use one load() per logical query — the natural
+    pattern everywhere in this repo — or stay on the default reader."""
+
+    def pushFilters(self, filters):
+        scalars = (int, float, str)
+        bounds: dict[str, list] = {}
+
+        def bound(col, lo=None, hi=None):
+            b = bounds.setdefault(col, [None, None])
+            if lo is not None and (b[0] is None or lo > b[0]):
+                b[0] = lo
+            if hi is not None and (b[1] is None or hi < b[1]):
+                b[1] = hi
+
+        for f in filters:
+            if not hasattr(f, "attribute") or len(f.attribute) != 1:
+                continue
+            col = f.attribute[0]
+            if isinstance(f, EqualTo) and isinstance(f.value, scalars):
+                bound(col, f.value, f.value)
+            elif isinstance(f, (GreaterThan, GreaterThanOrEqual)) and isinstance(
+                f.value, scalars
+            ):
+                bound(col, lo=f.value)  # strict > kept inclusive: superset
+            elif isinstance(f, (LessThan, LessThanOrEqual)) and isinstance(
+                f.value, scalars
+            ):
+                bound(col, hi=f.value)
+            elif isinstance(f, In):
+                vals = [v for v in f.value if isinstance(v, scalars)]
+                if vals and len(vals) == len(f.value):
+                    try:
+                        bound(col, min(vals), max(vals))
+                    except TypeError:
+                        pass
+        self._conditions = [(c, lo, hi) for c, (lo, hi) in bounds.items()]
+        return filters
+
+    def partitions(self):
+        conds = getattr(self, "_conditions", None)
+        if not conds:
+            return super().partitions()
+        m = sn._load_manifest_raw(self.root, self.snapshot_id)
+        paths = sn.prune_files(self.root, m["snapshot_id"], conds)
+        return [_FilePartition(p, self.schema_json) for p in paths]
+
+
+class _SnapshotStreamReader(DataSourceStreamReader):
+    def __init__(self, root: str, after_id: int, schema: StructType):
+        self.root = root
+        self.after_id = after_id
+        self.schema_json = json.dumps(schema.jsonValue())
+
+    def initialOffset(self) -> dict:
+        return {"snapshot_id": self.after_id}
+
+    def latestOffset(self) -> dict:
+        cur = sn.current_snapshot_id(self.root)
+        # never regress below the stream's own start
+        return {"snapshot_id": max(cur or 0, self.after_id)}
+
+    def partitions(self, start: dict, end: dict):
+        parts: list[InputPartition] = []
+        for sid in range(start["snapshot_id"] + 1, end["snapshot_id"] + 1):
+            try:
+                m = sn._load_manifest_raw(self.root, sid)
+            except FileNotFoundError:
+                raise RuntimeError(
+                    f"snapshot {sid} of {self.root} expired before the stream "
+                    "consumed it — size retention (expire_snapshots keep_last/"
+                    "older_than_s) above the stream's maximum lag"
+                ) from None
+            if m["operation"] == "append":
+                files = sn.manifest_diff(self.root, m["parent_id"], sid)
+            elif m["operation"] == "overwrite":
+                files = [
+                    sn._abs_path(self.root, f["path"])
+                    for f in sn._expand_manifest(self.root, m)["files"]
+                ]
+            else:  # delete / replace: no appended rows
+                files = []
+            parts.extend(_FilePartition(p, self.schema_json) for p in files)
+        return parts
+
+    def read(self, partition):
+        yield from _read_aligned(partition.path, partition.schema_json)
+
+    def commit(self, end: dict) -> None:
+        pass  # the engine's offset log is the source of truth
+
+    def stop(self) -> None:
+        pass
+
+
+class SnapshotDataSource(DataSource):
+    """``format("ovalspark_snapshots")`` — options:
+
+    - ``path`` (required): table root
+    - ``snapshot_id`` (batch): time travel to a specific commit
+    - ``pushdown`` (batch): "true" routes pushed filters into two-level
+      manifest pruning (one load() per query — ``_PruningBatchReader``)
+    - ``after_id`` (stream): start after this commit id (default 0 =
+      from table birth, the file-source convention)
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def _root(self) -> str:
+        root = self.options.get("path")
+        if not root:
+            raise ValueError(
+                f'{FORMAT_NAME} requires .option("path", <table root>) or .load(<table root>)'
+            )
+        return root
+
+    def schema(self) -> StructType:
+        sid = self.options.get("snapshot_id")
+        m = sn._load_manifest_raw(self._root(), int(sid) if sid is not None else None)
+        return sn._committed_schema(m)
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        sid = self.options.get("snapshot_id")
+        cls = (
+            _PruningBatchReader
+            if str(self.options.get("pushdown", "")).lower() == "true"
+            else _SnapshotBatchReader
+        )
+        return cls(self._root(), int(sid) if sid is not None else None, schema)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return _SnapshotStreamReader(
+            self._root(), int(self.options.get("after_id") or 0), schema
+        )
+
+
+def _package_zip() -> str | None:
+    """Content-addressed source zip of the installed ovalspark package
+    (the make_pyfiles recipe: sorted members, zeroed timestamps). None
+    when the package isn't a real directory — i.e. it already arrived
+    via --py-files, so executors have it by the same mechanism."""
+    import hashlib
+    import tempfile
+    import zipfile
+
+    import ovalspark
+
+    pkg = os.path.dirname(os.path.abspath(ovalspark.__file__))
+    if not os.path.isdir(pkg):
+        return None
+    members = []
+    for dirpath, dirnames, filenames in os.walk(pkg):
+        dirnames[:] = sorted(d for d in dirnames if d != "__pycache__")
+        for fn in sorted(filenames):
+            if fn.endswith(".py"):
+                full = os.path.join(dirpath, fn)
+                arc = os.path.join("ovalspark", os.path.relpath(full, pkg))
+                with open(full, "rb") as f:
+                    members.append((arc, f.read()))
+    digest = hashlib.sha256(b"".join(d for _, d in members)).hexdigest()[:16]
+    out = os.path.join(tempfile.gettempdir(), f"ovalspark-src-{digest}.zip")
+    if not os.path.exists(out):
+        tmp = f"{out}.tmp.{os.getpid()}"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as zf:
+            for arc, data in members:
+                info = zipfile.ZipInfo(arc, date_time=(1980, 1, 1, 0, 0, 0))
+                info.external_attr = 0o644 << 16
+                zf.writestr(info, data, zipfile.ZIP_DEFLATED)
+        os.replace(tmp, out)
+    return out
+
+
+def register_snapshot_source(spark) -> None:
+    """Register the format and make it importable on executors: the
+    DataSource class pickles by reference, so workers that didn't get
+    the package via --py-files or a shared filesystem path get it as an
+    addPyFile'd source zip (idempotent: content-addressed name, Spark
+    dedups repeated adds)."""
+    z = _package_zip()
+    if z is not None:
+        spark.sparkContext.addPyFile(z)
+    spark.dataSource.register(SnapshotDataSource)
+
+
+__all__ = ["SnapshotDataSource", "register_snapshot_source", "FORMAT_NAME"]

@@ -1,0 +1,238 @@
+"""The ovalspark_snapshots Python Data Source — batch + streaming.
+
+The format is the Spark-native front door to the snapshot layer: batch
+reads must be value-identical to ``snapshot_read`` (including schema
+evolution's NULL-fill), Spark's pushed filters must reach two-level
+manifest pruning (proven BEHAVIORALLY: a non-overlapping segment's
+metadata is removed from disk and the filtered read still succeeds —
+planning in a subprocess makes monkeypatch instrumentation unobservable
+here), and the stream must deliver every appended row exactly once
+across restarts from the engine's own checkpoint, advancing silently
+over delete/replace commits (append feed, not CDC).
+"""
+
+import glob
+import os
+
+import pytest
+
+from ovalspark.sources import snapshots as sn
+from ovalspark.sources import register_snapshot_source
+from ovalspark.sources.snapshots import (
+    merge_segments,
+    snapshot_delete,
+    snapshot_read,
+    snapshot_write,
+)
+
+SPILL = 4
+
+
+@pytest.fixture
+def low_spill(monkeypatch):
+    monkeypatch.setattr(sn, "_SEGMENT_SPILL_ENTRIES", SPILL)
+
+
+def _slice(spark, lo, hi):
+    return (
+        spark.range(lo, hi)
+        .selectExpr("cast(id as string) as doc_id", "id as v")
+        .repartition(2)
+    )
+
+
+def _rows(df):
+    return sorted((r["doc_id"], r["v"]) for r in df.select("doc_id", "v").collect())
+
+
+def test_batch_read_matches_snapshot_read_on_evolved_segmented_table(
+    spark, tmp_path, low_spill
+):
+    """Format read == snapshot_read on a table that exercises both
+    storage complications at once: segmented manifests AND an additive
+    schema evolution mid-chain (pre-evolution files must NULL-fill)."""
+    import pyspark.sql.functions as F
+
+    root = str(tmp_path / "ds_tbl")
+    for i in range(4):
+        snapshot_write(_slice(spark, i * 10, (i + 1) * 10), root, mode="append" if i else "overwrite")
+    snapshot_write(
+        _slice(spark, 40, 50).withColumn("batch_tag", F.lit("b5")), root, mode="append"
+    )
+
+    register_snapshot_source(spark)
+    got = spark.read.format("ovalspark_snapshots").option("path", root).load()
+    want = snapshot_read(spark, root)
+    assert got.schema == want.schema
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # NULL-fill contract: evolved column absent from the first 40 rows
+    assert got.filter("batch_tag IS NULL").count() == 40
+    assert got.filter("batch_tag = 'b5'").count() == 10
+
+    # time travel option == snapshot_read at that id
+    tt = (
+        spark.read.format("ovalspark_snapshots")
+        .option("path", root)
+        .option("snapshot_id", 2)
+        .load()
+    )
+    assert _rows(tt) == _rows(snapshot_read(spark, root, 2))
+
+
+def _load(spark, root, **opts):
+    r = spark.read.format("ovalspark_snapshots").option("path", root)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_pushed_filters_reach_segment_pruning(spark, tmp_path, low_spill):
+    """Behavioral proof the DSv2 pushdown wires into two-level pruning:
+    build a range-disjoint segmented chain, then REMOVE a segment file
+    whose folded bounds are disjoint from the filter. A pushdown-enabled
+    filtered read plans without ever opening that segment — it succeeds;
+    a full read must expand everything — it fails. Values of the
+    filtered read match the raw filter applied to snapshot_read taken
+    BEFORE the removal. (Planning runs in a subprocess, so this disk-level
+    proof is the only observable instrumentation.)"""
+    root = str(tmp_path / "ds_prune_tbl")
+    for i in range(8):
+        snapshot_write(_slice(spark, i * 10, (i + 1) * 10), root, mode="append" if i else "overwrite")
+    raw = sn._load_manifest_raw(root)
+    refs = raw["file_segments"]
+    assert len(refs) >= 2
+    want = [r for r in _rows(snapshot_read(spark, root)) if 71 <= r[1] <= 72]
+
+    # the filter range [71, 72] lives in the inline tail (newest rows):
+    # every segment is prunable — remove the newest segment's metadata
+    victim = max(refs, key=lambda r: r["col_stats"]["v"]["min"])
+    seg_path = os.path.join(sn._manifest_dir(root), victim["loc"])
+    hidden = seg_path + ".hidden"
+    os.rename(seg_path, hidden)
+    sn._SEGMENT_CACHE.clear()
+    try:
+        register_snapshot_source(spark)
+        got = _load(spark, root, pushdown="true").filter("v >= 71 and v <= 72")
+        assert _rows(got) == want  # planned + read without the segment
+        with pytest.raises(Exception):  # the full read must need it
+            _load(spark, root).count()
+    finally:
+        os.rename(hidden, seg_path)
+    assert _load(spark, root).count() == 80
+
+
+def test_default_reader_immune_to_scan_cache_reuse(spark, tmp_path, low_spill):
+    """The reason pushdown is opt-in: Spark 4.1 caches a Python source's
+    planned partitions per load() and only re-plans for queries that push
+    filters. The DEFAULT reader never prunes, so the hazardous sequence —
+    filtered query, then UNFILTERED query on the same load() — stays
+    correct; and with pushdown on, one-load()-per-query (this repo's
+    pattern everywhere) gives pruned + correct results for each."""
+    root = str(tmp_path / "ds_cache_tbl")
+    for i in range(8):
+        snapshot_write(_slice(spark, i * 10, (i + 1) * 10), root, mode="append" if i else "overwrite")
+    register_snapshot_source(spark)
+    df = _load(spark, root)  # default reader, shared across queries
+    assert df.filter("v >= 71 and v <= 72").count() == 2
+    assert df.count() == 80  # unfiltered after filtered: full listing
+    assert df.filter("v < 5").count() == 5
+    # pushdown path, fresh load per query: correct and pruned every time
+    assert _load(spark, root, pushdown="true").filter("v >= 75").count() == 5
+    assert _load(spark, root, pushdown="true").filter("v >= 35").count() == 45
+    assert _load(spark, root, pushdown="true").count() == 80
+
+
+def test_stream_exactly_once_across_restart_and_deletes(spark, tmp_path, low_spill):
+    """The offset protocol: a run consumes the existing commits, a
+    restart from the engine checkpoint consumes exactly the NEW appends
+    — delete and metadata-merge commits advance the offset emitting
+    nothing, and no row is ever delivered twice (parquet sink +
+    checkpoint = the engine's exactly-once contract)."""
+    root = str(tmp_path / "ds_stream_tbl")
+    out = str(tmp_path / "sink")
+    ck = str(tmp_path / "ck")
+    for i in range(3):
+        snapshot_write(_slice(spark, i * 10, (i + 1) * 10), root, mode="append" if i else "overwrite")
+
+    register_snapshot_source(spark)
+
+    def run_once():
+        q = (
+            spark.readStream.format("ovalspark_snapshots")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got = _rows(spark.read.parquet(out))
+    assert got == _rows(snapshot_read(spark, root))
+
+    # advance the table: append, delete (rewrites files — must NOT
+    # re-emit survivors), metadata merge, append
+    snapshot_write(_slice(spark, 30, 40), root, mode="append")
+    snapshot_delete(spark, root, "v % 10 = 3")
+    merge_segments(root, target_entries=2 * SPILL)
+    snapshot_write(_slice(spark, 40, 50), root, mode="append")
+
+    run_once()
+    got = _rows(spark.read.parquet(out))
+    # append feed: every appended row exactly once; deletes don't retract
+    assert got == sorted((str(v), v) for v in range(50))
+    assert len(got) == len(set(got))
+
+
+def test_stream_after_id_skips_history(spark, tmp_path, low_spill):
+    """after_id = the tail's resume contract in stream form: only
+    commits past it are delivered."""
+    root = str(tmp_path / "ds_after_tbl")
+    for i in range(4):
+        snapshot_write(_slice(spark, i * 10, (i + 1) * 10), root, mode="append" if i else "overwrite")
+    register_snapshot_source(spark)
+    out, ck = str(tmp_path / "sink2"), str(tmp_path / "ck2")
+    q = (
+        spark.readStream.format("ovalspark_snapshots")
+        .option("path", root)
+        .option("after_id", 2)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _rows(spark.read.parquet(out)) == sorted((str(v), v) for v in range(20, 40))
+
+
+def test_stream_overwrite_emits_new_generation(spark, tmp_path, low_spill):
+    """An overwrite is a new table generation: the stream emits its full
+    contents (the old generation's rows are a previous feed era)."""
+    root = str(tmp_path / "ds_ow_tbl")
+    snapshot_write(_slice(spark, 0, 10), root)
+    register_snapshot_source(spark)
+    out, ck = str(tmp_path / "sink3"), str(tmp_path / "ck3")
+
+    def run_once():
+        q = (
+            spark.readStream.format("ovalspark_snapshots")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    snapshot_write(_slice(spark, 100, 105), root, mode="overwrite")
+    run_once()
+    got = _rows(spark.read.parquet(out))
+    assert got == sorted((str(v), v) for v in list(range(10)) + list(range(100, 105)))
