@@ -1792,6 +1792,91 @@ _Q65_ORACLE = """
 """
 
 
+_Q66_VERSION = "v1"
+_Q66_SPILL = 4
+_Q66_ERAS = 10
+
+
+def _q66_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The snapshot log consumed THROUGH Spark's own streaming engine
+    (round 7): the documents table is committed as 10 era appends plus a
+    delete (q64's build, shared semantics), then read back with
+    ``spark.readStream.format("ovalspark_snapshots")`` — offsets are
+    commit ids, one availableNow run drains the whole history into a
+    parquet sink, and the sink is aggregated per lang. The oracle
+    recomputes over the FULL raw table with NO delete filter: the stream
+    is an append feed, so rows the later delete removed from TABLE STATE
+    must still be in the feed exactly once, and the delete commit's file
+    rewrites must contribute NOTHING (a re-emitted survivor doubles
+    n_docs and hash-mismatches; a skipped commit loses an era). This is
+    the exactly-once row-identity contract of the tail, value-checked
+    through the engine's offset protocol instead of the library's."""
+    import tempfile
+
+    from ovalspark.sources import snapshots as _sn
+    from ovalspark.sources import register_snapshot_source
+    from ovalspark.sources.snapshots import (
+        current_snapshot_id,
+        snapshot_delete,
+        snapshot_write,
+    )
+
+    root = _oracle_dir("q66", _Q66_VERSION, sf_dir)
+    pred = f"n_chars % {_Q66_ERAS} = 3 AND doc_id % 2 = 0"
+
+    def build(stage):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        saved = _sn._SEGMENT_SPILL_ENTRIES
+        _sn._SEGMENT_SPILL_ENTRIES = _Q66_SPILL
+        try:
+            for era in range(_Q66_ERAS):
+                snapshot_write(
+                    docs.filter(F.col("n_chars") % _Q66_ERAS == era).repartition(2),
+                    stage,
+                    mode="overwrite" if era == 0 else "append",
+                )
+            snapshot_delete(spark, stage, pred)
+        finally:
+            _sn._SEGMENT_SPILL_ENTRIES = saved
+
+    _publish_once(
+        root, build, is_valid=lambda: current_snapshot_id(root) == _Q66_ERAS + 1
+    )
+    register_snapshot_source(spark)
+    sink = tempfile.mkdtemp(prefix="ovalspark_q66_sink_")
+    q = (
+        spark.readStream.format("ovalspark_snapshots")
+        .option("path", root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", f"{sink}/out")
+        .option("checkpointLocation", f"{sink}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(f"{sink}/out")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.count_distinct("doc_id").alias("n_ids"),
+        )
+        .orderBy("lang")
+    )
+
+
+_Q66_ORACLE = """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids
+    FROM documents
+    GROUP BY lang ORDER BY lang
+"""
+
+
 _Q53_VERSION = "v1"
 
 
@@ -2086,6 +2171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q63_type_promotion": _q63_type_promotion,
             "q64_segmented_manifests": _q64_segmented_manifests,
             "q65_segment_pruned_read": _q65_segment_pruned_read,
+            "q66_stream_feed": _q66_stream_feed,
         }
     )
     return out
@@ -2132,6 +2218,7 @@ def oracle_sql() -> dict[str, str]:
             "q63_type_promotion": _Q63_ORACLE,
             "q64_segmented_manifests": _Q64_ORACLE,
             "q65_segment_pruned_read": _Q65_ORACLE,
+            "q66_stream_feed": _Q66_ORACLE,
         }
     )
     return out
