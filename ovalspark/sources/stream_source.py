@@ -55,7 +55,6 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any
 
 from pyspark.sql.datasource import (
     DataSource,

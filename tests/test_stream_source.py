@@ -11,7 +11,6 @@ across restarts from the engine's own checkpoint, advancing silently
 over delete/replace commits (append feed, not CDC).
 """
 
-import glob
 import os
 
 import pytest
