@@ -41,7 +41,11 @@ Arrow RecordBatches aligned to the query schema (missing columns
 NULL-filled, the additive-evolution read contract of ``snapshot_read``;
 extra columns dropped; physical types cast to the committed types, which
 also serves int->long / float->double promoted tables). No per-row
-Python anywhere: Arrow batches cross the boundary whole.
+Python anywhere: Arrow batches cross the boundary whole. Measured cost
+(BASELINE.md round-7): ~2.2x a native ``snapshot_read`` scan on a 4M-row
+aggregate — a constant factor, not a scaling cliff (partitions scale
+with files). Keep hot BATCH paths on ``snapshot_read``; this format's
+value is the streaming offset protocol and Spark-surface interop.
 
 Deployment: the DataSource class pickles BY REFERENCE, so executors must
 be able to import ``ovalspark`` — true under ``spark-submit --py-files``
