@@ -117,6 +117,36 @@ def _read_aligned(path: str, schema_json: str):
         yield pa.RecordBatch.from_arrays(arrays, schema=target)
 
 
+def _parse_prune(spec: str | None) -> list[tuple] | None:
+    """``"col:lo:hi"`` (";"-separated for conjunctions; empty bound =
+    open; numeric bounds coerced, else compared as strings) → the
+    ``prune_files`` condition list. Option-string form of
+    ``snapshot_read(prune=...)`` — fixed at load() time, so it composes
+    safely with Spark's per-load partition caching."""
+    if not spec:
+        return None
+
+    def coerce(s: str):
+        if s == "":
+            return None
+        for typ in (int, float):
+            try:
+                return typ(s)
+            except ValueError:
+                continue
+        return s
+
+    conds = []
+    for part in spec.split(";"):
+        pieces = part.split(":")
+        if len(pieces) != 3 or not pieces[0]:
+            raise ValueError(
+                f'prune option must be "col:lo:hi[;col:lo:hi...]", got {spec!r}'
+            )
+        conds.append((pieces[0], coerce(pieces[1]), coerce(pieces[2])))
+    return conds
+
+
 class _SnapshotBatchReader(DataSourceReader):
     """The default batch reader: full committed file list, no
     ``pushFilters`` (deliberately NOT implemented — works on sessions
@@ -124,17 +154,30 @@ class _SnapshotBatchReader(DataSourceReader):
     identical for every query so Spark's table-level read-info cache can
     never serve one query a listing planned for another)."""
 
-    def __init__(self, root: str, snapshot_id: int | None, schema: StructType):
+    def __init__(
+        self,
+        root: str,
+        snapshot_id: int | None,
+        schema: StructType,
+        prune: list[tuple] | None = None,
+    ):
         self.root = root
         self.snapshot_id = snapshot_id
         self.schema_json = json.dumps(schema.jsonValue())
+        # load-scoped explicit prune (option "prune"): fixed at load()
+        # time, so Spark's cached partitions always match it — the
+        # cache-safe way to get two-level pruning without pushdown
+        self.prune = prune
 
     def partitions(self):
         m = sn._load_manifest_raw(self.root, self.snapshot_id)
-        paths = [
-            sn._abs_path(self.root, f["path"])
-            for f in sn._expand_manifest(self.root, m)["files"]
-        ]
+        if self.prune:
+            paths = sn.prune_files(self.root, m["snapshot_id"], self.prune)
+        else:
+            paths = [
+                sn._abs_path(self.root, f["path"])
+                for f in sn._expand_manifest(self.root, m)["files"]
+            ]
         return [_FilePartition(p, self.schema_json) for p in paths]
 
     def read(self, partition):
@@ -195,7 +238,9 @@ class _PruningBatchReader(_SnapshotBatchReader):
         if not conds:
             return super().partitions()
         m = sn._load_manifest_raw(self.root, self.snapshot_id)
-        paths = sn.prune_files(self.root, m["snapshot_id"], conds)
+        paths = sn.prune_files(
+            self.root, m["snapshot_id"], conds + (self.prune or [])
+        )
         return [_FilePartition(p, self.schema_json) for p in paths]
 
 
@@ -253,6 +298,9 @@ class SnapshotDataSource(DataSource):
     - ``snapshot_id`` (batch): time travel to a specific commit
     - ``pushdown`` (batch): "true" routes pushed filters into two-level
       manifest pruning (one load() per query — ``_PruningBatchReader``)
+    - ``prune`` (batch): "col:lo:hi[;col:lo:hi...]" — explicit load-scoped
+      two-level pruning (cache-safe: fixed at load() time); the caller
+      still applies the row filter, exactly like ``snapshot_read(prune=)``
     - ``after_id`` (stream): start after this commit id (default 0 =
       from table birth, the file-source convention)
     """
@@ -281,7 +329,12 @@ class SnapshotDataSource(DataSource):
             if str(self.options.get("pushdown", "")).lower() == "true"
             else _SnapshotBatchReader
         )
-        return cls(self._root(), int(sid) if sid is not None else None, schema)
+        return cls(
+            self._root(),
+            int(sid) if sid is not None else None,
+            schema,
+            prune=_parse_prune(self.options.get("prune")),
+        )
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _SnapshotStreamReader(

@@ -141,6 +141,70 @@ def test_default_reader_immune_to_scan_cache_reuse(spark, tmp_path, low_spill):
     assert _load(spark, root, pushdown="true").count() == 80
 
 
+def test_explicit_prune_option_is_load_scoped_and_cache_safe(spark, tmp_path, low_spill):
+    """option('prune', 'col:lo:hi') — the cache-safe pruning form: fixed
+    at load() time, so every query on the load (filtered or not) sees
+    the same pruned superset. Disk-level proof as for pushdown: a
+    disjoint segment's metadata can be absent and the pruned load still
+    plans; and unfiltered counts on the SAME load stay consistent."""
+    root = str(tmp_path / "ds_popt_tbl")
+    for i in range(8):
+        snapshot_write(_slice(spark, i * 10, (i + 1) * 10), root, mode="append" if i else "overwrite")
+    register_snapshot_source(spark)
+    refs = sn._load_manifest_raw(root)["file_segments"]
+    victim = min(refs, key=lambda r: r["col_stats"]["v"]["min"])  # oldest era
+    seg_path = os.path.join(sn._manifest_dir(root), victim["loc"])
+    os.rename(seg_path, seg_path + ".hidden")
+    sn._SEGMENT_CACHE.clear()
+    try:
+        df = _load(spark, root, prune="v:71:72")
+        got = df.filter("v between 71 and 72")
+        assert _rows(got) == [(str(v), v) for v in (71, 72)]
+        # unfiltered on the same load: the SAME pruned superset — never
+        # the full table, never a stale narrower listing
+        n = df.count()
+        assert got.count() <= n < 80
+        assert df.count() == n  # stable across repeated actions
+    finally:
+        os.rename(seg_path + ".hidden", seg_path)
+    # malformed spec: the loud ValueError surfaces through Spark's
+    # planning-subprocess wrapper, message intact
+    with pytest.raises(Exception, match="col:lo:hi"):
+        _load(spark, root, prune="malformed").count()
+
+
+def test_stream_errors_clearly_when_retention_outran_it(spark, tmp_path, low_spill):
+    """A stream resuming behind retention must fail with the diagnosis
+    (expired snapshot + which knob), not an unexplained file error."""
+    from ovalspark.sources.snapshots import expire_snapshots
+
+    root = str(tmp_path / "ds_ret_tbl")
+    out, ck = str(tmp_path / "sink_ret"), str(tmp_path / "ck_ret")
+    for i in range(3):
+        snapshot_write(_slice(spark, i * 10, (i + 1) * 10), root, mode="append" if i else "overwrite")
+    register_snapshot_source(spark)
+
+    def run_once():
+        q = (
+            spark.readStream.format("ovalspark_snapshots")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()  # checkpoint now at snapshot 3
+    for i in range(3, 6):
+        snapshot_write(_slice(spark, i * 10, (i + 1) * 10), root, mode="append")
+    expire_snapshots(root, keep_last=1)  # commits 4..5 expired, 6 kept
+    with pytest.raises(Exception, match="expired before the stream|retention"):
+        run_once()
+
+
 def test_stream_exactly_once_across_restart_and_deletes(spark, tmp_path, low_spill):
     """The offset protocol: a run consumes the existing commits, a
     restart from the engine checkpoint consumes exactly the NEW appends
