@@ -273,6 +273,51 @@ def test_stream_after_id_skips_history(spark, tmp_path, low_spill):
     assert _rows(spark.read.parquet(out)) == sorted((str(v), v) for v in range(20, 40))
 
 
+def test_stream_follows_a_live_writer(spark, tmp_path, low_spill):
+    """The living form: a processingTime stream is consuming while a
+    writer thread commits appends — every committed row arrives exactly
+    once without restarts (latestOffset polls CURRENT between
+    micro-batches; commit atomicity means a torn commit is never an
+    offset)."""
+    import threading
+    import time
+
+    root = str(tmp_path / "ds_live_tbl")
+    out, ck = str(tmp_path / "sink_live"), str(tmp_path / "ck_live")
+    snapshot_write(_slice(spark, 0, 10), root)
+    register_snapshot_source(spark)
+
+    def writer():
+        for i in range(1, 5):
+            time.sleep(0.8)
+            snapshot_write(_slice(spark, i * 10, (i + 1) * 10), root, mode="append")
+
+    w = threading.Thread(target=writer)
+    q = (
+        spark.readStream.format("ovalspark_snapshots")
+        .option("path", root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(processingTime="300 milliseconds")
+        .start()
+    )
+    w.start()
+    w.join()
+    deadline = time.time() + 60
+    while time.time() < deadline:
+        try:
+            if spark.read.parquet(out).count() == 50:
+                break
+        except Exception:
+            pass  # sink dir not yet created
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+    assert _rows(spark.read.parquet(out)) == sorted((str(v), v) for v in range(50))
+
+
 def test_stream_overwrite_emits_new_generation(spark, tmp_path, low_spill):
     """An overwrite is a new table generation: the stream emits its full
     contents (the old generation's rows are a previous feed era)."""
