@@ -828,7 +828,7 @@ def _is_safe_widening(committed_type, new_type) -> bool:
     return False
 
 
-def _check_append_schema(root: str, parent_manifest: dict, df: DataFrame) -> None:
+def _check_append_schema(root: str, parent_manifest: dict, schema) -> None:
     """Additive-evolution gate for appends: the committed columns must
     appear as a PREFIX of the append's schema, same names in the same
     order, each type either identical (compared via per-field
@@ -845,12 +845,12 @@ def _check_append_schema(root: str, parent_manifest: dict, df: DataFrame) -> Non
     lossy), or otherwise retyped committed columns raise
     ``SchemaMismatchError``."""
     committed_ddl = parent_manifest["schema_ddl"]
-    if committed_ddl == df.schema.simpleString():
+    if committed_ddl == schema.simpleString():
         return
     from pyspark.sql.types import StructType
 
     committed = StructType.fromJson(json.loads(parent_manifest["schema_json"]))
-    new_fields = df.schema.fields
+    new_fields = schema.fields
     if len(new_fields) < len(committed.fields):
         dropped = [f.name for f in committed.fields]
         dropped = sorted(set(dropped) - {f.name for f in new_fields}) or dropped
@@ -934,7 +934,7 @@ def snapshot_write(
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     parent = current_snapshot_id(root)
     if mode == "append" and parent is not None:
-        _check_append_schema(root, _load_manifest_raw(root, parent), df)
+        _check_append_schema(root, _load_manifest_raw(root, parent), df.schema)
     if target_file_mb is not None:
         est_bytes = None
         if parent is not None:
@@ -961,6 +961,56 @@ def snapshot_write(
     data_dir = os.path.join(root, "data", f"snap-{sid}-{uuid.uuid4().hex[:8]}")
     df.write.mode("error").parquet(data_dir)
     new_files = _footer_stats(glob.glob(os.path.join(data_dir, "part-*.parquet")), root)
+    manifest_extra: dict[str, Any] = {}
+    if expect is not None:
+        import pyarrow.parquet as pq
+
+        # the leading underscore keeps the sidecar invisible to Spark's
+        # parquet discovery over the data dir (and to our own part-* glob)
+        expect_dir = os.path.join(data_dir, "_expect")
+        expect.select("doc_id").write.mode("error").parquet(expect_dir)
+        n_expected = sum(
+            pq.ParquetFile(p).metadata.num_rows
+            for p in glob.glob(os.path.join(expect_dir, "part-*.parquet"))
+        )
+        manifest_extra["expect"] = {
+            "loc": os.path.relpath(expect_dir, root),
+            "n_docs": int(n_expected),
+        }
+    return _commit_new_files(
+        root,
+        parent,
+        sid,
+        new_files,
+        mode,
+        df.schema.simpleString(),
+        df.schema.json(),
+        properties=properties,
+        guard=guard,
+        manifest_extra=manifest_extra,
+        cleanup_dirs=(data_dir,),
+    )
+
+
+def _commit_new_files(
+    root: str,
+    parent: int | None,
+    sid: int,
+    new_files: list[dict[str, Any]],
+    mode: str,
+    schema_ddl: str,
+    schema_json: str,
+    properties: dict | None = None,
+    guard=None,
+    manifest_extra: dict | None = None,
+    cleanup_dirs: tuple = (),
+) -> int:
+    """The Spark-free second half of a snapshot commit, shared by
+    ``snapshot_write`` and ``commit_staged_files``: append-mode segment
+    carry/spill, totals, manifest assembly, and the guarded CAS with
+    loser cleanup (data dirs + this writer's spill)."""
+    import shutil
+
     inline = list(new_files)
     segments: list[dict] = []
     spilled_loc: str | None = None
@@ -984,8 +1034,8 @@ def snapshot_write(
         "snapshot_id": sid,
         "parent_id": parent,
         "operation": mode,
-        "schema_ddl": df.schema.simpleString(),
-        "schema_json": df.schema.json(),
+        "schema_ddl": schema_ddl,
+        "schema_json": schema_json,
         "total_rows": total_rows,
         "total_bytes": total_bytes,
         "files": inline,
@@ -994,25 +1044,13 @@ def snapshot_write(
         manifest["file_segments"] = segments
     if properties:
         manifest["properties"] = dict(properties)
-    if expect is not None:
-        import pyarrow.parquet as pq
-
-        # the leading underscore keeps the sidecar invisible to Spark's
-        # parquet discovery over the data dir (and to our own part-* glob)
-        expect_dir = os.path.join(data_dir, "_expect")
-        expect.select("doc_id").write.mode("error").parquet(expect_dir)
-        n_expected = sum(
-            pq.ParquetFile(p).metadata.num_rows
-            for p in glob.glob(os.path.join(expect_dir, "part-*.parquet"))
-        )
-        manifest["expect"] = {
-            "loc": os.path.relpath(expect_dir, root),
-            "n_docs": int(n_expected),
-        }
+    if manifest_extra:
+        manifest.update(manifest_extra)
     try:
         _commit_manifest(root, parent, sid, manifest, guard)
     except ConcurrentCommitError:
-        shutil.rmtree(data_dir, ignore_errors=True)
+        for d in cleanup_dirs:
+            shutil.rmtree(d, ignore_errors=True)
         if spilled_loc is not None:
             # this writer's spill is debris once its commit lost — the
             # winner spills the same parent inline itself if it needs to
@@ -1022,6 +1060,46 @@ def snapshot_write(
                 pass
         raise
     return sid
+
+
+def commit_staged_files(
+    root: str,
+    paths: list[str],
+    schema,
+    mode: str = "append",
+    properties: dict | None = None,
+    guard=None,
+) -> int:
+    """Commit ALREADY-WRITTEN parquet files as a new snapshot — the
+    driver-side, Spark-free half of ``snapshot_write`` for writers whose
+    data was produced elsewhere (the streaming sink's executors, an
+    external ingest job): footer stats from the files' own metadata, the
+    same append-schema gate, segment carry, and guarded CAS. ``paths``
+    must live under ``root`` (entries are stored relative); ``schema``
+    is the table schema the files conform to (a StructType). Returns the
+    new snapshot id; on ``ConcurrentCommitError`` the files' parent dirs
+    are NOT removed (the caller owns their lifecycle — a streaming sink
+    retries the whole batch)."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    if not paths:
+        raise ValueError("commit_staged_files requires at least one file")
+    parent = current_snapshot_id(root)
+    if mode == "append" and parent is not None:
+        _check_append_schema(root, _load_manifest_raw(root, parent), schema)
+    sid = 1 if parent is None else parent + 1
+    new_files = _footer_stats(list(paths), root)
+    return _commit_new_files(
+        root,
+        parent,
+        sid,
+        new_files,
+        mode,
+        schema.simpleString(),
+        schema.json(),
+        properties=properties,
+        guard=guard,
+    )
 
 
 def read_expected_docs(

@@ -8,6 +8,13 @@ without knowing the manifest layout:
 
     spark.read.format("ovalspark_snapshots").option("path", root).load()
     spark.readStream.format("ovalspark_snapshots").option("path", root).load()
+    df.writeStream.format("ovalspark_snapshots").option("path", root)...
+
+and the table is simultaneously a streaming SINK: each micro-batch
+commits as one snapshot through the same guarded CAS as every other
+writer (``_SnapshotStreamWriter`` — exactly-once via a per-table
+``stream_batch_id`` ledger in the manifest), so a streaming pipeline's
+output is immediately time-travelable and tail-validatable.
 
 Batch reads serve the committed file list AS OF a snapshot (option
 ``snapshot_id``; default CURRENT). With ``.option("pushdown", "true")``
@@ -63,6 +70,7 @@ import os
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     EqualTo,
     GreaterThan,
@@ -71,6 +79,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -291,6 +300,101 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         pass
 
 
+class _StagedFiles(WriterCommitMessage):
+    """One task's staged output: the parquet file it wrote (or None for
+    an empty task) and the per-task dir that owns its lifecycle."""
+
+    def __init__(self, path: str | None, dir: str | None):
+        self.path = path
+        self.dir = dir
+
+
+class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
+    """writeStream INTO a snapshot table: each micro-batch commits as ONE
+    snapshot (append mode; ``outputMode("complete")`` maps to overwrite
+    commits), so every stream write is time-travelable, tail-validatable,
+    and guarded by the same commit CAS as any other writer.
+
+    Exactly-once: executors stage each task's rows as a parquet file in
+    a private ``data/snap-st-*`` dir (the same unreferenced-until-commit
+    lifecycle as ``snapshot_write``'s data dirs — vacuum reclaims
+    orphans by membership+age); the driver commits them with
+    ``commit_staged_files`` recording ``stream_batch_id`` in the
+    manifest. A replayed batch (engine crash between sink commit and
+    offset-log write) finds its id already committed — the walk stops at
+    the most recent stream commit — and discards its re-staged files
+    instead of double-committing. One streaming writer per table: the
+    batch-id ledger is per-table, not per-query (concurrent independent
+    writers should use the tail/snapshot_write API under distinct
+    guards)."""
+
+    def __init__(self, root: str, schema: StructType, overwrite: bool, guard: str | None):
+        self.root = root
+        self.schema = schema
+        self.overwrite = overwrite
+        self.guard = guard
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        task_dir = os.path.join(self.root, "data", f"snap-st-{uuid.uuid4().hex[:12]}")
+        path = None
+        writer = None
+        try:
+            for batch in iterator:
+                if writer is None:
+                    os.makedirs(task_dir, exist_ok=True)
+                    path = os.path.join(task_dir, f"part-0-{uuid.uuid4().hex[:8]}.parquet")
+                    writer = pq.ParquetWriter(path, batch.schema)
+                writer.write_batch(batch)
+        finally:
+            if writer is not None:
+                writer.close()
+        return _StagedFiles(path, task_dir if path else None)
+
+    def _last_stream_batch(self) -> int | None:
+        sid = sn.current_snapshot_id(self.root)
+        while sid:
+            m = sn._load_manifest_raw(self.root, sid)
+            b = (m.get("properties") or {}).get("stream_batch_id")
+            if b is not None:
+                return int(b)
+            sid = m["parent_id"]
+        return None
+
+    def commit(self, messages, batchId: int) -> None:
+        import shutil
+
+        dirs = [m.dir for m in messages if m is not None and m.dir]
+        paths = [m.path for m in messages if m is not None and m.path]
+        last = self._last_stream_batch()
+        if last is not None and batchId <= last:
+            # replayed batch: already durably committed — drop the replay's
+            # re-staged files, never double-commit
+            for d in dirs:
+                shutil.rmtree(d, ignore_errors=True)
+            return
+        if not paths:
+            return  # empty micro-batch: no snapshot, nothing staged
+        sn.commit_staged_files(
+            self.root,
+            paths,
+            self.schema,
+            mode="overwrite" if self.overwrite else "append",
+            properties={"stream_batch_id": int(batchId)},
+            guard=self.guard,
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        import shutil
+
+        for m in messages:
+            if m is not None and m.dir:
+                shutil.rmtree(m.dir, ignore_errors=True)
+
+
 class SnapshotDataSource(DataSource):
     """``format("ovalspark_snapshots")`` — options:
 
@@ -301,8 +405,10 @@ class SnapshotDataSource(DataSource):
     - ``prune`` (batch): "col:lo:hi[;col:lo:hi...]" — explicit load-scoped
       two-level pruning (cache-safe: fixed at load() time); the caller
       still applies the row filter, exactly like ``snapshot_read(prune=)``
-    - ``after_id`` (stream): start after this commit id (default 0 =
-      from table birth, the file-source convention)
+    - ``after_id`` (stream read): start after this commit id (default 0
+      = from table birth, the file-source convention)
+    - ``guard`` (stream write): commit-guard name for the sink's
+      snapshot commits (default: the ``OVALSPARK_COMMIT_GUARD`` env)
     """
 
     @classmethod
@@ -339,6 +445,11 @@ class SnapshotDataSource(DataSource):
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _SnapshotStreamReader(
             self._root(), int(self.options.get("after_id") or 0), schema
+        )
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return _SnapshotStreamWriter(
+            self._root(), schema, overwrite, self.options.get("guard")
         )
 
 

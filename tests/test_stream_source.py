@@ -273,6 +273,119 @@ def test_stream_after_id_skips_history(spark, tmp_path, low_spill):
     assert _rows(spark.read.parquet(out)) == sorted((str(v), v) for v in range(20, 40))
 
 
+def test_stream_sink_commits_each_batch_as_snapshot(spark, tmp_path, low_spill):
+    """writeStream INTO a snapshot table: a snapshot→snapshot pipeline
+    over two availableNow runs — every batch is one append commit whose
+    manifest records its stream_batch_id, the destination is a normal
+    table (time travel, history, reads), and a restart moves exactly the
+    new source commits across, no row twice."""
+    from ovalspark.sources.snapshots import snapshot_history
+
+    src, dst, ck = (str(tmp_path / d) for d in ("src", "dst", "ck"))
+    for i in range(3):
+        snapshot_write(_slice(spark, i * 10, (i + 1) * 10), src, mode="append" if i else "overwrite")
+    register_snapshot_source(spark)
+
+    def run_once():
+        q = (
+            spark.readStream.format("ovalspark_snapshots")
+            .option("path", src)
+            .load()
+            .writeStream.format("ovalspark_snapshots")
+            .option("path", dst)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    assert _rows(snapshot_read(spark, dst)) == sorted((str(v), v) for v in range(30))
+    m1 = sn._load_manifest_raw(dst)
+    assert m1["properties"]["stream_batch_id"] == 0
+
+    snapshot_write(_slice(spark, 30, 40), src, mode="append")
+    run_once()
+    assert _rows(snapshot_read(spark, dst)) == sorted((str(v), v) for v in range(40))
+    # destination is a first-class table: history shows the two appends
+    ops = [r["operation"] for r in snapshot_history(spark, dst).collect()]
+    assert ops.count("append") == 2
+    # and it reads back through the format too (round trip)
+    assert _load(spark, dst).count() == 40
+
+
+def test_stream_sink_replay_is_idempotent_and_discards_restaged_files(
+    spark, tmp_path, low_spill
+):
+    """The crash window the batch-id ledger closes: the engine replays a
+    batch whose sink commit already landed (crash between sink commit
+    and offset-log write). A direct writer-level replay with re-staged
+    files must commit nothing and remove the replay's staging dirs."""
+    import glob as _glob
+
+    import pyarrow as pa
+
+    from ovalspark.sources.stream_source import _SnapshotStreamWriter
+
+    dst = str(tmp_path / "dst2")
+    snapshot_write(_slice(spark, 0, 10), dst)
+    schema = snapshot_read(spark, dst).schema
+    w = _SnapshotStreamWriter(dst, schema, False, None)
+
+    def staged_batch(lo, hi):
+        batch = pa.RecordBatch.from_pydict(
+            {"doc_id": [str(v) for v in range(lo, hi)], "v": list(range(lo, hi))}
+        )
+        return w.write(iter([batch]))
+
+    # a real commit advances the table and records the ledger
+    msg = staged_batch(10, 20)
+    w.commit([msg], 7)
+    assert snapshot_read(spark, dst).count() == 20
+    assert sn._load_manifest_raw(dst)["properties"]["stream_batch_id"] == 7
+    # replay of batch 7: nothing commits, the re-staged dir is removed
+    sid_before = sn.current_snapshot_id(dst)
+    replay = staged_batch(10, 20)
+    w.commit([replay], 7)
+    assert sn.current_snapshot_id(dst) == sid_before
+    assert not os.path.exists(replay.dir)
+    assert snapshot_read(spark, dst).count() == 20
+    # an empty batch commits nothing but a LATER batch proceeds
+    w.commit([], 8)
+    assert sn.current_snapshot_id(dst) == sid_before
+    w.commit([staged_batch(20, 25)], 9)
+    assert snapshot_read(spark, dst).count() == 25
+    # no stray staging dirs remain beyond committed ones
+    for d in _glob.glob(os.path.join(dst, "data", "snap-st-*")):
+        assert _glob.glob(os.path.join(d, "*.parquet"))
+
+
+def test_stream_sink_complete_mode_overwrites(spark, tmp_path, low_spill):
+    """outputMode('complete') maps to overwrite commits: the destination
+    holds exactly the aggregate's current state, re-runnable."""
+    src, dst, ck = (str(tmp_path / d) for d in ("src3", "dst3", "ck3"))
+    for i in range(3):
+        snapshot_write(_slice(spark, i * 10, (i + 1) * 10), src, mode="append" if i else "overwrite")
+    register_snapshot_source(spark)
+    q = (
+        spark.readStream.format("ovalspark_snapshots")
+        .option("path", src)
+        .load()
+        .groupBy()
+        .sum("v")
+        .writeStream.format("ovalspark_snapshots")
+        .option("path", dst)
+        .option("checkpointLocation", ck)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = snapshot_read(spark, dst).collect()
+    assert len(got) == 1 and got[0][0] == sum(range(30))
+    assert sn._load_manifest_raw(dst)["operation"] == "overwrite"
+
+
 def test_stream_follows_a_live_writer(spark, tmp_path, low_spill):
     """The living form: a processingTime stream is consuming while a
     writer thread commits appends — every committed row arrives exactly
