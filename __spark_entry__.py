@@ -1877,6 +1877,83 @@ _Q66_ORACLE = """
 """
 
 
+_Q67_VERSION = "v1"
+
+
+def _q67_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full streaming round trip under the value gate (round 7):
+    q66's source history (10 era appends + a delete) is piped
+    snapshot→snapshot — ``readStream.format("ovalspark_snapshots")`` →
+    ``writeStream.format("ovalspark_snapshots")`` — so one availableNow
+    run exercises BOTH halves of the format: commit-id offsets on the
+    read side, per-batch guarded snapshot commits with the
+    stream_batch_id ledger on the write side. The destination is then
+    read back as an ordinary snapshot table and aggregated; the oracle
+    recomputes over the FULL raw documents (append feed: the delete
+    never retracts). A double-committed batch, a dropped commit, or a
+    sink file lost between staging and commit all hash-mismatch. The
+    destination rebuilds per run (tempdir) — only the SOURCE history is
+    the published artifact, shared with q66."""
+    import tempfile
+
+    from ovalspark.sources import snapshots as _sn
+    from ovalspark.sources import register_snapshot_source
+    from ovalspark.sources.snapshots import (
+        current_snapshot_id,
+        snapshot_delete,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    root = _oracle_dir("q66", _Q66_VERSION, sf_dir)  # share q66's source
+    pred = f"n_chars % {_Q66_ERAS} = 3 AND doc_id % 2 = 0"
+
+    def build(stage):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        saved = _sn._SEGMENT_SPILL_ENTRIES
+        _sn._SEGMENT_SPILL_ENTRIES = _Q66_SPILL
+        try:
+            for era in range(_Q66_ERAS):
+                snapshot_write(
+                    docs.filter(F.col("n_chars") % _Q66_ERAS == era).repartition(2),
+                    stage,
+                    mode="overwrite" if era == 0 else "append",
+                )
+            snapshot_delete(spark, stage, pred)
+        finally:
+            _sn._SEGMENT_SPILL_ENTRIES = saved
+
+    _publish_once(
+        root, build, is_valid=lambda: current_snapshot_id(root) == _Q66_ERAS + 1
+    )
+    register_snapshot_source(spark)
+    work = tempfile.mkdtemp(prefix="ovalspark_q67_")
+    q = (
+        spark.readStream.format("ovalspark_snapshots")
+        .option("path", root)
+        .load()
+        .writeStream.format("ovalspark_snapshots")
+        .option("path", f"{work}/dst")
+        .option("checkpointLocation", f"{work}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        snapshot_read(spark, f"{work}/dst")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.count_distinct("doc_id").alias("n_ids"),
+        )
+        .orderBy("lang")
+    )
+
+
+_Q67_ORACLE = _Q66_ORACLE
+
+
 _Q53_VERSION = "v1"
 
 
@@ -2172,6 +2249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q64_segmented_manifests": _q64_segmented_manifests,
             "q65_segment_pruned_read": _q65_segment_pruned_read,
             "q66_stream_feed": _q66_stream_feed,
+            "q67_stream_sink": _q67_stream_sink,
         }
     )
     return out
@@ -2219,6 +2297,7 @@ def oracle_sql() -> dict[str, str]:
             "q64_segmented_manifests": _Q64_ORACLE,
             "q65_segment_pruned_read": _Q65_ORACLE,
             "q66_stream_feed": _Q66_ORACLE,
+            "q67_stream_sink": _Q67_ORACLE,
         }
     )
     return out
