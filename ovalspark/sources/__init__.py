@@ -2,6 +2,7 @@ from ovalspark.sources.snapshots import (  # noqa: F401
     ConcurrentCommitError,
     SchemaMismatchError,
     adopt_catalog_pointer,
+    commit_staged_files,
     current_snapshot_id,
     expire_snapshots,
     load_manifest,
