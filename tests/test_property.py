@@ -93,16 +93,22 @@ _PROMOTIONS = {("int", "bigint"), ("float", "double")}
 
 
 def _schema_of(cols):
-    from pyspark.sql.types import StructType
+    # constructed directly (no StructType.fromDDL) so the gate property
+    # runs session-free — it is pure metadata logic
+    from pyspark.sql import types as T
 
-    return StructType.fromDDL(", ".join(f"{n} {t}" for n, t in cols))
+    atom = {
+        "string": T.StringType(),
+        "bigint": T.LongType(),
+        "int": T.IntegerType(),
+        "double": T.DoubleType(),
+        "float": T.FloatType(),
+        "boolean": T.BooleanType(),
+        "date": T.DateType(),
+    }
+    return T.StructType([T.StructField(n, atom[t]) for n, t in cols])
 
 
-class _Frame:
-    """Stub: _check_append_schema consumes only ``.schema``."""
-
-    def __init__(self, cols):
-        self.schema = _schema_of(cols)
 
 
 def _manifest_for(cols):
@@ -131,7 +137,7 @@ def test_append_schema_gate_property(data):
     committed = [(n, data.draw(st.sampled_from(_TYPE_POOL))) for n in names]
     m = _manifest_for(committed)
 
-    _check_append_schema("/t", m, _Frame(committed))  # identical: passes
+    _check_append_schema("/t", m, _schema_of(committed))  # identical: passes
 
     extra_names = data.draw(
         st.lists(
@@ -139,17 +145,17 @@ def test_append_schema_gate_property(data):
         )
     )
     extras = [(n, data.draw(st.sampled_from(_TYPE_POOL))) for n in extra_names]
-    _check_append_schema("/t", m, _Frame(committed + extras))  # additive: passes
+    _check_append_schema("/t", m, _schema_of(committed + extras))  # additive: passes
 
     drop_i = data.draw(st.integers(0, len(committed) - 1))
     dropped = committed[:drop_i] + committed[drop_i + 1 :]
     if dropped:
         with _pytest.raises(SchemaMismatchError):
-            _check_append_schema("/t", m, _Frame(dropped))
+            _check_append_schema("/t", m, _schema_of(dropped))
     else:
         # dropping the only column = empty append schema: also rejected
         with _pytest.raises(SchemaMismatchError):
-            _check_append_schema("/t", m, _Frame([("zz", "string")] if committed[0][0] != "zz" else [("yy", "string")]))
+            _check_append_schema("/t", m, _schema_of([("zz", "string")] if committed[0][0] != "zz" else [("yy", "string")]))
 
     re_i = data.draw(st.integers(0, len(committed) - 1))
     old_t = committed[re_i][1]
@@ -158,21 +164,21 @@ def test_append_schema_gate_property(data):
     retyped[re_i] = (retyped[re_i][0], new_t)
     if (old_t, new_t) in _PROMOTIONS:
         # int→bigint / float→double are sound widenings: accepted
-        _check_append_schema("/t", m, _Frame(retyped))
+        _check_append_schema("/t", m, _schema_of(retyped))
     else:
         # every other retype — including the NARROWING inverses
         # (bigint→int, double→float) — still raises
         with _pytest.raises(SchemaMismatchError):
-            _check_append_schema("/t", m, _Frame(retyped))
+            _check_append_schema("/t", m, _schema_of(retyped))
 
     # promoting EVERY promotable column at once (plus an additive tail)
     # is still one sound append
     promoted_all = [
         (n, {"int": "bigint", "float": "double"}.get(t, t)) for n, t in committed
     ]
-    _check_append_schema("/t", m, _Frame(promoted_all + extras))
+    _check_append_schema("/t", m, _schema_of(promoted_all + extras))
 
     reordered = list(reversed(committed))
     if reordered != committed:  # names are unique, so 2+ columns differ
         with _pytest.raises(SchemaMismatchError):
-            _check_append_schema("/t", m, _Frame(reordered))
+            _check_append_schema("/t", m, _schema_of(reordered))
