@@ -273,6 +273,83 @@ def test_stream_after_id_skips_history(spark, tmp_path, low_spill):
     assert _rows(spark.read.parquet(out)) == sorted((str(v), v) for v in range(20, 40))
 
 
+def test_windowed_drift_over_the_snapshot_feed(spark, tmp_path, low_spill, small_world):
+    """The composition the format exists for: a watermarked streaming
+    validator (windowed DIST_DRIFT, q55's operator) consuming table
+    commits THROUGH the stream — results row-identical to the batch form
+    over snapshot_read of the same table. A law-conforming commit's
+    window must not flag; an all-video 1-span commit's window must."""
+    import datetime as dt
+
+    import pyspark.sql.functions as F
+
+    from ovalspark.streaming.validate_stream import windowed_distribution_drift
+
+    spec, _, docs, _ = small_world
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    clean = docs.select("spans", F.lit(t0 + dt.timedelta(minutes=3)).alias("written_at"))
+    skewed = docs.limit(100).select(
+        F.transform(
+            F.slice("spans", 1, 1), lambda s: s.withField("kind", F.lit("video"))
+        ).alias("spans"),
+        F.lit(t0 + dt.timedelta(minutes=23)).alias("written_at"),
+    )
+    pusher = docs.limit(1).select(
+        "spans", F.lit(t0 + dt.timedelta(minutes=90)).alias("written_at")
+    )
+    root = str(tmp_path / "drift_tbl")
+    snapshot_write(clean.repartition(2), root)
+    snapshot_write(skewed.repartition(2), root, mode="append")
+    snapshot_write(pusher.repartition(1), root, mode="append")
+
+    register_snapshot_source(spark)
+    out, ck = str(tmp_path / "drift_out"), str(tmp_path / "drift_ck")
+
+    def run_once():
+        stream = spark.readStream.format("ovalspark_snapshots").option("path", root).load()
+        q = (
+            windowed_distribution_drift(
+                stream, spec.min_spans, spec.max_spans, window_dur="10 minutes", watermark="30 minutes"
+            )
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # two runs: a Python source executes availableNow as one micro-batch
+    # (engine fallback), and append-mode windows emit during a batch that
+    # STARTS with the watermark already past their end — run 1 advances
+    # the watermark to pusher-30min (checkpointed), a later commit gives
+    # run 2 a data batch that evicts the finalized windows
+    run_once()
+    snapshot_write(
+        docs.limit(1).select(
+            "spans", F.lit(t0 + dt.timedelta(minutes=95)).alias("written_at")
+        ).repartition(1),
+        root,
+        mode="append",
+    )
+    run_once()
+    got = {r.window_start.minute: r for r in spark.read.parquet(out).collect()}
+    assert set(got) == {0, 20}
+    assert not got[0].ks_drifted and not got[0].chi2_drifted
+    assert got[20].ks_drifted and got[20].chi2_drifted
+
+    # bit-exact vs the BATCH form over the same table (watermark is a
+    # no-op on batch frames; batch emits the unfinalized window too)
+    batch = windowed_distribution_drift(
+        snapshot_read(spark, root), spec.min_spans, spec.max_spans,
+        window_dur="10 minutes", watermark="30 minutes",
+    )
+    brows = {r.window_start.minute: r for r in batch.collect()}
+    for m, r in got.items():
+        assert brows[m] == r
+
+
 def test_stream_sink_commits_each_batch_as_snapshot(spark, tmp_path, low_spill):
     """writeStream INTO a snapshot table: a snapshot→snapshot pipeline
     over two availableNow runs — every batch is one append commit whose
