@@ -437,6 +437,104 @@ def test_stream_sink_replay_is_idempotent_and_discards_restaged_files(
         assert _glob.glob(os.path.join(d, "*.parquet"))
 
 
+@pytest.mark.slow
+def test_stream_sink_sigkill_mid_pipeline_resumes_exactly_once(spark, tmp_path, low_spill):
+    """The north-rule crash scenario for the sink: a REAL child process
+    runs the snapshot→snapshot pipeline on a short trigger while this
+    process keeps committing source appends; the child is SIGKILLed
+    mid-flight (committed batches, in-flight batch, unlogged offsets all
+    possible), then the pipeline resumes from the engine checkpoint in
+    THIS process. The destination must hold every source row exactly
+    once and its stream_batch_id ledger must be strictly increasing —
+    the replay window between sink commit and offset log is exactly what
+    the per-table ledger closes."""
+    import signal
+    import subprocess
+    import sys
+    import time
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    src, dst, ck = (str(tmp_path / d) for d in ("src", "dst", "ck"))
+    snapshot_write(_slice(spark, 0, 10), src)
+
+    child_code = f"""
+import sys
+sys.path.insert(0, {repo!r})
+from ovalspark.session import get_spark
+from ovalspark.sources import register_snapshot_source
+spark = get_spark(master="local[4]", shuffle_partitions=4)
+register_snapshot_source(spark)
+q = (spark.readStream.format("ovalspark_snapshots").option("path", {src!r}).load()
+     .writeStream.format("ovalspark_snapshots").option("path", {dst!r})
+     .option("checkpointLocation", {ck!r})
+     .trigger(processingTime="200 milliseconds").start())
+q.awaitTermination()
+"""
+    child = subprocess.Popen(
+        [sys.executable, "-c", child_code],
+        cwd=repo,
+        env={**os.environ, "PYTHONPATH": repo},
+        stdout=subprocess.DEVNULL,
+        stderr=subprocess.DEVNULL,
+    )
+    try:
+        # keep the source moving while the child streams; kill once the
+        # destination has committed at least two stream batches
+        killed = False
+        deadline = time.time() + 180
+        i = 1
+        while time.time() < deadline and not killed:
+            snapshot_write(_slice(spark, i * 10, (i + 1) * 10), src, mode="append")
+            i += 1
+            cur = sn.current_snapshot_id(dst)
+            if cur is not None and cur >= 2:
+                os.kill(child.pid, signal.SIGKILL)
+                child.wait(timeout=60)
+                killed = True
+            else:
+                time.sleep(0.5)
+        assert killed, "destination never reached two commits before the deadline"
+    finally:
+        if child.poll() is None:
+            child.kill()
+            child.wait(timeout=60)
+
+    n_src_rows = i * 10
+    register_snapshot_source(spark)
+
+    def drain():
+        q = (
+            spark.readStream.format("ovalspark_snapshots")
+            .option("path", src)
+            .load()
+            .writeStream.format("ovalspark_snapshots")
+            .option("path", dst)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # twice: a Python source's availableNow is single-batch, and a run
+    # that begins with the crash's UNCOMMITTED batch replays only that
+    # batch's WAL range (the engine's own fallback caveat) — the second
+    # run drains everything committed since
+    drain()
+    drain()
+    got = _rows(snapshot_read(spark, dst))
+    assert got == sorted((str(v), v) for v in range(n_src_rows))  # exactly once
+    # the ledger is strictly increasing across the crash boundary
+    ids, s = [], sn.current_snapshot_id(dst)
+    while s:
+        m = sn._load_manifest_raw(dst, s)
+        b = (m.get("properties") or {}).get("stream_batch_id")
+        if b is not None:
+            ids.append(int(b))
+        s = m["parent_id"]
+    ids.reverse()
+    assert ids == sorted(set(ids)), ids
+
+
 def test_stream_sink_complete_mode_overwrites(spark, tmp_path, low_spill):
     """outputMode('complete') maps to overwrite commits: the destination
     holds exactly the aggregate's current state, re-runnable."""
