@@ -494,7 +494,15 @@ def register_snapshot_source(spark) -> None:
     DataSource class pickles by reference, so workers that didn't get
     the package via --py-files or a shared filesystem path get it as an
     addPyFile'd source zip (idempotent: content-addressed name, Spark
-    dedups repeated adds)."""
+    dedups repeated adds).
+
+    STREAMING caveat on foreign sessions: the streaming source runner is
+    a driver-side subprocess that resolves imports from the JVM's env
+    PYTHONPATH — addPyFile does not reach it. ``get_spark`` exports the
+    package path before the JVM launches and ``spark-submit --py-files``
+    covers it natively; a session built some other way must have had
+    PYTHONPATH set (or the package pip-installed) before JVM start for
+    readStream/writeStream — batch reads work regardless."""
     z = _package_zip()
     if z is not None:
         spark.sparkContext.addPyFile(z)
