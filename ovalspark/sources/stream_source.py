@@ -98,13 +98,24 @@ class _FilePartition(InputPartition):
         self.schema_json = schema_json
 
 
-def _read_aligned(path: str, schema_json: str):
+def _partitions_or_empty_sentinel(paths, schema_json):
+    """Spark's Python runner calls read(None) when partitions() returns
+    an empty sequence — an empty table / delete-only micro-batch must
+    instead plan ONE sentinel partition whose read yields nothing."""
+    if not paths:
+        return [_FilePartition(None, schema_json)]
+    return [_FilePartition(p, schema_json) for p in paths]
+
+
+def _read_aligned(path: str | None, schema_json: str):
     """Yield a file's rows as Arrow RecordBatches aligned to the query
     schema: committed column order, missing columns NULL-filled
     (pre-evolution files), extra columns dropped (post-evolution files
     under an older declared schema), physical types cast to the declared
     ones (type-promoted tables store narrow pre-promotion files).
     Self-contained: runs on executors, imports everything it needs."""
+    if path is None:
+        return  # empty-sentinel partition: the table/batch has no files
     import pyarrow as pa
     import pyarrow.parquet as pq
     from pyspark.sql.pandas.types import to_arrow_schema
@@ -187,7 +198,7 @@ class _SnapshotBatchReader(DataSourceReader):
                 sn._abs_path(self.root, f["path"])
                 for f in sn._expand_manifest(self.root, m)["files"]
             ]
-        return [_FilePartition(p, self.schema_json) for p in paths]
+        return _partitions_or_empty_sentinel(paths, self.schema_json)
 
     def read(self, partition):
         yield from _read_aligned(partition.path, partition.schema_json)
@@ -250,7 +261,7 @@ class _PruningBatchReader(_SnapshotBatchReader):
         paths = sn.prune_files(
             self.root, m["snapshot_id"], conds + (self.prune or [])
         )
-        return [_FilePartition(p, self.schema_json) for p in paths]
+        return _partitions_or_empty_sentinel(paths, self.schema_json)
 
 
 class _SnapshotStreamReader(DataSourceStreamReader):
@@ -288,6 +299,11 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             else:  # delete / replace: no appended rows
                 files = []
             parts.extend(_FilePartition(p, self.schema_json) for p in files)
+        if not parts:
+            # delete/replace-only span: the offset advances, no rows —
+            # one sentinel partition, because read(None) is what the
+            # engine does with an empty sequence
+            return _partitions_or_empty_sentinel([], self.schema_json)
         return parts
 
     def read(self, partition):

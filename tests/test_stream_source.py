@@ -561,6 +561,53 @@ def test_stream_sink_complete_mode_overwrites(spark, tmp_path, low_spill):
     assert sn._load_manifest_raw(dst)["operation"] == "overwrite"
 
 
+def test_empty_table_and_delete_only_batch_plan_cleanly(spark, tmp_path, low_spill):
+    """Zero-file plans: Spark's Python runner calls read(None) when
+    partitions() returns an empty sequence, so an empty table (all rows
+    deleted) and a delete-only micro-batch must plan a sentinel
+    partition instead — batch count 0, stream advances emitting
+    nothing."""
+    root = str(tmp_path / "ds_empty_tbl")
+    snapshot_write(_slice(spark, 0, 10), root)
+    snapshot_delete(spark, root, "v >= 0")  # table now holds zero files
+    register_snapshot_source(spark)
+    df = _load(spark, root)
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["doc_id", "v"]
+    assert _load(spark, root, prune="v:3:4").count() == 0
+
+    # stream: first run consumes the append; the DELETE-ONLY second run
+    # must advance the offset with an empty batch, not crash
+    out, ck = str(tmp_path / "sink_e"), str(tmp_path / "ck_e")
+
+    def run_once():
+        q = (
+            spark.readStream.format("ovalspark_snapshots")
+            .option("path", root)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    snapshot_write(_slice(spark, 10, 20), root, mode="append")
+    run_once()
+    # append feed: commit 1's rows are in the feed even though the
+    # delete removed them from table state
+    assert _rows(spark.read.parquet(out)) == sorted((str(v), v) for v in range(20))
+    snapshot_delete(spark, root, "v >= 10")  # a delete-only commit
+    run_once()
+    assert len(_rows(spark.read.parquet(out))) == 20  # advanced, emitted nothing
+    # and the offset really advanced past the delete: a later append is
+    # the ONLY thing the next run delivers
+    snapshot_write(_slice(spark, 20, 25), root, mode="append")
+    run_once()
+    assert len(_rows(spark.read.parquet(out))) == 25
+
+
 def test_stream_follows_a_live_writer(spark, tmp_path, low_spill):
     """The living form: a processingTime stream is consuming while a
     writer thread commits appends — every committed row arrives exactly
