@@ -53,6 +53,10 @@ Python anywhere: Arrow batches cross the boundary whole. Measured cost
 aggregate — a constant factor, not a scaling cliff (partitions scale
 with files). Keep hot BATCH paths on ``snapshot_read``; this format's
 value is the streaming offset protocol and Spark-surface interop.
+Column pruning: pass ``.schema("doc_id string")`` (a subset of the
+committed columns) and the executor-side pyarrow read opens only those
+columns — the alignment logic treats a user schema exactly like an
+evolved one.
 
 Deployment: the DataSource class pickles BY REFERENCE, so executors must
 be able to import ``ovalspark`` — true under ``spark-submit --py-files``
@@ -373,7 +377,16 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
     def _last_stream_batch(self) -> int | None:
         sid = sn.current_snapshot_id(self.root)
         while sid:
-            m = sn._load_manifest_raw(self.root, sid)
+            try:
+                m = sn._load_manifest_raw(self.root, sid)
+            except FileNotFoundError:
+                # retention expired history before reaching a stream
+                # commit: the ledger is unknowable past this point —
+                # treat as "no prior stream batch" (a replay whose ledger
+                # entry was expired implies retention ran ahead of the
+                # stream's checkpoint, the same operator error the
+                # reader diagnoses)
+                return None
             b = (m.get("properties") or {}).get("stream_batch_id")
             if b is not None:
                 return int(b)
