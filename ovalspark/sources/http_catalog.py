@@ -155,6 +155,23 @@ class CatalogServer:
                 self.wfile.write(payload)
 
             def do_GET(self):
+                # malformed requests answer 400 instead of tearing the
+                # connection — an aborted connection looks like a network
+                # failure to the client, which would burn its whole
+                # retry/backoff budget diagnosing "unreachable" when the
+                # real problem is the request itself
+                try:
+                    self._do_get()
+                except (ValueError, KeyError, TypeError, json.JSONDecodeError) as e:
+                    self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+
+            def do_POST(self):
+                try:
+                    self._do_post()
+                except (ValueError, KeyError, TypeError, json.JSONDecodeError) as e:
+                    self._reply(400, {"error": f"{type(e).__name__}: {e}"})
+
+            def _do_get(self):
                 parts = self.path.strip("/").split("/")
                 if len(parts) >= 3 and parts[0] == "t":
                     key = parts[1]
@@ -168,13 +185,14 @@ class CatalogServer:
                             locs = {} if t is None else dict(t.manifests)
                             return self._reply(200, {"locs": {str(k): v for k, v in locs.items()}})
                         if parts[2] == "manifest" and len(parts) == 4:
-                            loc = None if t is None else t.manifests.get(int(parts[3]))
+                            sid = int(parts[3])  # validate before lookup: 400, not 404
+                            loc = None if t is None else t.manifests.get(sid)
                             if loc is None:
                                 return self._reply(404)
                             return self._reply(200, {"loc": loc})
                 return self._reply(404)
 
-            def do_POST(self):
+            def _do_post(self):
                 n = int(self.headers.get("Content-Length", 0))
                 body = json.loads(self.rfile.read(n) or b"{}")
                 parts = self.path.strip("/").split("/")
@@ -256,7 +274,24 @@ def client_cas(endpoint: str, key: str, parent: int | None, sid: int, loc: str |
     _, body = _request(
         "POST", f"{endpoint}/t/{key}/commit", {"parent": parent, "id": sid, "loc": loc}
     )
-    return bool(body["won"])
+    if bool(body["won"]):
+        return True
+    if loc is None:
+        return False
+    # CONFIRM the loss before reporting it. The server's own replay fence
+    # (pointer == sid and recorded loc == ours) only holds while the
+    # pointer still sits on sid: if our CAS was APPLIED but the reply was
+    # lost, and another writer committed a CHILD before our retry landed
+    # (possible whenever lease exclusion doesn't hold — mixed guards, TTL
+    # expiry), the retry sees pointer != parent and pointer != sid and the
+    # fence says lost. Reporting that as a loss is catastrophic: the
+    # caller (_commit_manifest) unlinks the LIVE manifest and rmtrees the
+    # committed snapshot's data dir — corrupting a chain the next commit
+    # already built on. The manifest location is writer-unique, so the
+    # catalog recording OUR loc for sid is proof positive that OUR commit
+    # landed: one extra GET, paid only on the loss path, turns "maybe a
+    # lost reply" into a definite answer.
+    return client_manifest_loc(endpoint, key, sid) == loc
 
 
 def client_manifest_loc(endpoint: str, key: str, sid: int) -> str | None:

@@ -534,10 +534,19 @@ def _expand_manifest(root: str, m: dict[str, Any]) -> dict[str, Any]:
 _SEGMENT_SPILL_ENTRIES = 512
 
 # Immutable + uniquely named ⇒ cache never invalidates. Entries are
-# shallow-copied OUT so a caller mutating m["files"][i] (tests simulate
-# torn footers that way) can't poison later reads.
+# copied OUT — including the nested col_stats dicts — so a caller
+# mutating m["files"][i] or its stats (tests simulate torn footers that
+# way) can't poison later reads served from the cache.
 _SEGMENT_CACHE: dict[str, list[dict[str, Any]]] = {}
 _SEGMENT_CACHE_MAX = 64
+
+
+def _copy_entry(e: dict[str, Any]) -> dict[str, Any]:
+    out = dict(e)
+    cs = out.get("col_stats")
+    if cs is not None:
+        out["col_stats"] = {c: dict(st) for c, st in cs.items()}
+    return out
 
 
 def _read_segment(root: str, loc: str) -> list[dict[str, Any]]:
@@ -549,7 +558,7 @@ def _read_segment(root: str, loc: str) -> list[dict[str, Any]]:
         if len(_SEGMENT_CACHE) >= _SEGMENT_CACHE_MAX:
             _SEGMENT_CACHE.pop(next(iter(_SEGMENT_CACHE)))
         _SEGMENT_CACHE[p] = entries
-    return [dict(e) for e in entries]
+    return [_copy_entry(e) for e in entries]
 
 
 def _spill_segment(root: str, sid: int, entries: list[dict[str, Any]]) -> dict[str, Any]:

@@ -185,6 +185,54 @@ def test_lost_reply_replay_is_idempotent(http_table):
     assert hc.client_manifest_loc(endpoint, key, 2) == "v2-bbbb.json"
 
 
+def test_lost_reply_confirmed_as_win_after_pointer_advanced(http_table):
+    """The hard lost-reply case: our CAS was APPLIED, the reply was lost,
+    and a rival committed a CHILD before our retry landed (lease
+    exclusion not holding — mixed guards or TTL expiry). The server's
+    replay fence no longer matches (pointer is past sid), but reporting
+    a loss here would make _commit_manifest unlink the LIVE manifest and
+    rmtree committed data. client_cas must confirm via the recorded
+    writer-unique loc and report the win."""
+    from ovalspark.sources import http_catalog as hc
+
+    root, _, endpoint = http_table
+    key = _descriptor(root)["key"]
+    # writer A's CAS applies; the reply is "lost" (we ignore it)
+    assert hc.client_cas(endpoint, key, None, 1, "v1-aaaa.json") is True
+    assert hc.client_cas(endpoint, key, 1, 2, "v2-wa.json") is True
+    # rival B commits a child on top of A's (durable) commit
+    assert hc.client_cas(endpoint, key, 2, 3, "v3-wb.json") is True
+    # A's connection-level retry of its own sid-2 commit: pointer is now
+    # 3 — neither parent nor sid matches, yet A DID win slot 2
+    assert hc.client_cas(endpoint, key, 1, 2, "v2-wa.json") is True
+    # a genuine loser of slot 2 (different loc) still loses
+    assert hc.client_cas(endpoint, key, 1, 2, "v2-loser.json") is False
+    assert hc.client_current(endpoint, key) == (True, 3)
+    assert hc.client_manifest_loc(endpoint, key, 2) == "v2-wa.json"
+
+
+def test_malformed_requests_answer_400_without_retry_burn(http_table):
+    """A bad request must be answered (400 + diagnosis), not abort the
+    connection: an aborted connection is indistinguishable from a dead
+    service, so the client would burn its full retry/backoff budget and
+    misreport the catalog as unreachable."""
+    import time as _t
+
+    from ovalspark.sources import http_catalog as hc
+
+    root, _, endpoint = http_table
+    key = _descriptor(root)["key"]
+    t0 = _t.monotonic()
+    code, body = hc._request("GET", f"{endpoint}/t/{key}/manifest/not-an-int")
+    assert code == 400 and "error" in body
+    code, body = hc._request("POST", f"{endpoint}/t/{key}/commit", {"parent": None})
+    assert code == 400 and "error" in body  # missing required "id"
+    code, body = hc._request("POST", f"{endpoint}/t/{key}/lease", {"owner": "x"})
+    assert code == 400 and "error" in body  # missing ttl_s
+    # all three round-trips answered promptly — no backoff sleeps burned
+    assert _t.monotonic() - t0 < 1.0
+
+
 def test_stolen_lease_cannot_tear_commit(http_table):
     """Writer A stalls past its lease TTL; writer B takes the lease and
     commits the slot. A's CAS then LOSES by comparison — exclusion is an

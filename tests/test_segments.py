@@ -589,3 +589,29 @@ def test_segmented_appends_under_catalog_guard(spark, tmp_path, low_spill):
     got = snapshot_read(spark, root)
     assert got.count() == 60
     assert got.selectExpr("sum(v)").first()[0] == sum(range(60))
+
+
+def test_segment_cache_serves_isolated_copies(spark, tmp_path, low_spill):
+    """Entries served from the segment cache are the caller's to mutate:
+    scribbling on a returned entry — INCLUDING its nested col_stats —
+    must not poison the next read (the cache comment's claim, now tested
+    one level deeper than the top-level dict)."""
+    root = str(tmp_path / "cache_iso_tbl")
+    _build_chain(spark, root, n_commits=6, rows_per=10)
+    sid = sn.current_snapshot_id(root)
+    raw = _load_manifest_raw(root, sid)
+    loc = raw["file_segments"][0]["loc"]
+
+    first = sn._read_segment(root, loc)
+    assert first and first[0].get("col_stats"), "chain must carry stats"
+    # mutate everything a validator or test harness might touch
+    first[0]["path"] = "poisoned"
+    first[0]["rows"] = -1
+    first[0]["col_stats"]["v"]["min"] = 10**9
+    first[0]["col_stats"]["v"]["max"] = -(10**9)
+
+    second = sn._read_segment(root, loc)
+    assert second[0]["path"] != "poisoned"
+    assert second[0]["rows"] > 0
+    assert second[0]["col_stats"]["v"]["min"] < 10**9
+    assert second[0]["col_stats"]["v"]["max"] > -(10**9)
