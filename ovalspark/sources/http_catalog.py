@@ -35,12 +35,17 @@ Design points that only show up once the catalog is remote:
   writer whose lease was stolen (network partition past the TTL) cannot
   tear anything: its CAS loses by comparison, exactly the property that
   made the sqlite catalog the fix for leaky dirlock leases.
-* **Durability scope, stated plainly:** the in-process server keeps
-  state in memory — right for proving the PROTOCOL (the writer process
-  dies in the kill tests, never the catalog), while a production
-  deployment points the same descriptor at a durable service (DynamoDB
-  conditional put, Iceberg REST commit). The client/server wire contract
-  is the deliverable; the store behind it is deployment-specific.
+* **The catalog's own durability is part of the contract.** The service
+  journals pointer + manifest-loc state to sqlite when given a
+  ``store_path`` (every CAS one transaction: pointer flip and loc row
+  land together or not at all), so the catalog PROCESS can be SIGKILLed
+  mid-CAS and restarted on the same store with no torn pointer and no
+  lost loc row — the failure mode a RAM-only catalog cannot survive, and
+  the one the whole commit protocol rests on. ``python -m
+  ovalspark.sources.http_catalog --store P`` runs that deployment shape;
+  the in-memory default remains for protocol tests. A production
+  deployment can still point the same descriptor at DynamoDB /
+  Iceberg-REST — the wire contract is unchanged.
 
 Wire protocol (JSON bodies; ``<key>`` is the descriptor's table key):
 
@@ -70,76 +75,220 @@ from ovalspark.sources.commit_guard import CommitGuard, register_guard
 # server
 
 
-class _TableState:
-    __slots__ = ("pointer", "manifests", "lease_owner", "lease_expiry")
+class _MemStore:
+    """Pointer + manifest-loc state in process memory — the protocol-
+    proving store (tests that kill WRITERS, never the catalog). All
+    calls run under the server's lock; begin/commit/rollback are no-ops
+    because the CAS decides before it mutates."""
 
     def __init__(self):
-        self.pointer: int | None = None
-        self.manifests: dict[int, str] = {}
-        self.lease_owner: str | None = None
-        self.lease_expiry: float = 0.0
+        self._pointers: dict[str, int] = {}
+        self._locs: dict[str, dict[int, str]] = {}
+
+    def begin(self):
+        pass
+
+    def commit(self):
+        pass
+
+    def rollback(self):
+        pass
+
+    def close(self):
+        pass
+
+    def get_pointer(self, key: str) -> int | None:
+        return self._pointers.get(key)
+
+    def set_pointer(self, key: str, sid: int) -> None:
+        self._pointers[key] = sid
+
+    def get_loc(self, key: str, sid: int) -> str | None:
+        return self._locs.get(key, {}).get(sid)
+
+    def set_loc(self, key: str, sid: int, loc: str) -> None:
+        self._locs.setdefault(key, {})[sid] = loc
+
+    def all_locs(self, key: str) -> dict[int, str]:
+        return dict(self._locs.get(key, {}))
+
+    def delete_locs(self, key: str, sids: list[int]) -> None:
+        m = self._locs.get(key)
+        if m is not None:
+            for sid in sids:
+                m.pop(sid, None)
+
+
+class _SqliteStore:
+    """Durable store: pointer flips and manifest-loc rows journal to one
+    sqlite file, each CAS inside ONE transaction — SIGKILLing the
+    catalog service mid-CAS leaves either the whole commit (pointer AND
+    loc row) or none of it, never a torn pair. A restarted service on
+    the same store resumes serving the identical state; a writer whose
+    reply the kill swallowed then lands on the idempotent replay fence
+    exactly as if only the reply had been lost. Single connection,
+    serialized by the server lock (check_same_thread=False is safe under
+    that discipline)."""
+
+    def __init__(self, path: str):
+        import sqlite3
+
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        self._con = sqlite3.connect(path, timeout=30.0, check_same_thread=False)
+        self._con.isolation_level = None  # explicit BEGIN/COMMIT only
+        self._con.execute(
+            "CREATE TABLE IF NOT EXISTS pointers (k TEXT PRIMARY KEY, id INTEGER NOT NULL)"
+        )
+        self._con.execute(
+            "CREATE TABLE IF NOT EXISTS manifest_locs "
+            "(k TEXT, id INTEGER, loc TEXT NOT NULL, PRIMARY KEY (k, id))"
+        )
+
+    def begin(self):
+        self._con.execute("BEGIN IMMEDIATE")
+
+    def commit(self):
+        self._con.execute("COMMIT")
+
+    def rollback(self):
+        self._con.execute("ROLLBACK")
+
+    def close(self):
+        self._con.close()
+
+    def get_pointer(self, key: str) -> int | None:
+        row = self._con.execute("SELECT id FROM pointers WHERE k=?", (key,)).fetchone()
+        return None if row is None else int(row[0])
+
+    def set_pointer(self, key: str, sid: int) -> None:
+        self._con.execute(
+            "INSERT INTO pointers (k, id) VALUES (?, ?) "
+            "ON CONFLICT(k) DO UPDATE SET id=excluded.id",
+            (key, sid),
+        )
+
+    def get_loc(self, key: str, sid: int) -> str | None:
+        row = self._con.execute(
+            "SELECT loc FROM manifest_locs WHERE k=? AND id=?", (key, sid)
+        ).fetchone()
+        return None if row is None else row[0]
+
+    def set_loc(self, key: str, sid: int, loc: str) -> None:
+        self._con.execute(
+            "INSERT INTO manifest_locs (k, id, loc) VALUES (?, ?, ?)", (key, sid, loc)
+        )
+
+    def all_locs(self, key: str) -> dict[int, str]:
+        rows = self._con.execute(
+            "SELECT id, loc FROM manifest_locs WHERE k=?", (key,)
+        ).fetchall()
+        return {int(i): loc for i, loc in rows}
+
+    def delete_locs(self, key: str, sids: list[int]) -> None:
+        self._con.executemany(
+            "DELETE FROM manifest_locs WHERE k=? AND id=?", [(key, int(s)) for s in sids]
+        )
+
+
+class _Lease:
+    __slots__ = ("owner", "expiry")
+
+    def __init__(self):
+        self.owner: str | None = None
+        self.expiry: float = 0.0
 
 
 class CatalogServer:
-    """In-process catalog service: start() binds 127.0.0.1 on an
-    ephemeral port and serves on a daemon thread; ``endpoint`` is what
+    """In-process catalog service: start() binds 127.0.0.1 (ephemeral
+    port by default) and serves on a daemon thread; ``endpoint`` is what
     goes into the table descriptor. One process-wide lock serializes
     mutations — the CAS atomicity a DynamoDB conditional put gives a
     real deployment (state volume here is a pointer and a loc map per
-    table, far below any lock-contention concern)."""
+    table, far below any lock-contention concern).
 
-    def __init__(self):
-        self._tables: dict[str, _TableState] = {}
+    ``store_path`` selects durability: None keeps state in memory
+    (protocol tests); a path journals pointer + manifest-loc state to
+    sqlite there, so the SERVICE itself can be SIGKILLed mid-CAS and a
+    restart on the same store resumes with no torn pointer and no lost
+    loc row (``python -m ovalspark.sources.http_catalog --store P`` runs
+    exactly that deployment shape — see ``_serve_main``). Leases are
+    deliberately ephemeral either way: they are an optimization (writer
+    exclusion), they ride a monotonic clock that doesn't survive the
+    process, and a restart clearing them only means writers re-acquire —
+    correctness stays with the CAS."""
+
+    def __init__(self, store_path: str | None = None):
+        self._store = _MemStore() if store_path is None else _SqliteStore(store_path)
+        self._leases: dict[str, _Lease] = {}
         self._lock = threading.Lock()
         self._httpd: ThreadingHTTPServer | None = None
         self._thread: threading.Thread | None = None
+        # test-only fault injection: hold the commit REPLY for this many
+        # seconds after the CAS has been applied — the window a SIGKILL
+        # of the service turns into "applied but never answered"
+        self._hold_commit_reply_s = float(
+            os.environ.get("OVALSPARK_CATALOG_TEST_HOLD_REPLY_S", "0") or 0
+        )
 
     # -- state transitions (all under self._lock) --
 
     def _cas(self, key: str, parent: int | None, sid: int, loc: str | None) -> bool:
         with self._lock:
-            t = self._tables.setdefault(key, _TableState())
-            if t.pointer is None:
-                if parent is not None:
-                    return False  # writer resolved a pointer the catalog lost?
-                won = True
-            elif parent is None:
-                # adoption replay / concurrent adoption of the SAME id:
-                # idempotent; a different id means someone else adopted
-                return t.pointer == sid and (loc is None or t.manifests.get(sid) == loc)
-            elif t.pointer == parent:
-                if loc is not None and sid in t.manifests:
-                    return False  # stray/forged manifest row for the target sid
-                won = True
-            elif t.pointer == sid and loc is not None and t.manifests.get(sid) == loc:
-                return True  # lost-reply replay of OUR earlier win (loc is writer-unique)
-            else:
-                return False
-            t.pointer = sid
-            if loc is not None:
-                t.manifests[sid] = loc
-            return won
+            st = self._store
+            st.begin()
+            try:
+                pointer = st.get_pointer(key)
+                if pointer is None:
+                    if parent is not None:
+                        st.rollback()
+                        return False  # writer resolved a pointer the catalog lost?
+                    won = True
+                elif parent is None:
+                    # adoption replay / concurrent adoption of the SAME id:
+                    # idempotent; a different id means someone else adopted
+                    won = pointer == sid and (loc is None or st.get_loc(key, sid) == loc)
+                    st.rollback()  # no mutation either way
+                    return won
+                elif pointer == parent:
+                    if loc is not None and st.get_loc(key, sid) is not None:
+                        st.rollback()
+                        return False  # stray/forged manifest row for the target sid
+                    won = True
+                elif pointer == sid and loc is not None and st.get_loc(key, sid) == loc:
+                    st.rollback()
+                    return True  # lost-reply replay of OUR win (loc is writer-unique)
+                else:
+                    st.rollback()
+                    return False
+                st.set_pointer(key, sid)
+                if loc is not None:
+                    st.set_loc(key, sid, loc)
+                st.commit()  # pointer + loc land atomically, durably
+                return won
+            except BaseException:
+                st.rollback()
+                raise
 
     def _lease(self, key: str, owner: str, ttl_s: float) -> tuple[bool, float]:
         now = time.monotonic()
         with self._lock:
-            t = self._tables.setdefault(key, _TableState())
-            if t.lease_owner in (None, owner) or now >= t.lease_expiry:
-                t.lease_owner = owner
-                t.lease_expiry = now + ttl_s
+            t = self._leases.setdefault(key, _Lease())
+            if t.owner in (None, owner) or now >= t.expiry:
+                t.owner = owner
+                t.expiry = now + ttl_s
                 return True, 0.0
-            return False, t.lease_expiry - now
+            return False, t.expiry - now
 
     def _release(self, key: str, owner: str) -> None:
         with self._lock:
-            t = self._tables.get(key)
-            if t is not None and t.lease_owner == owner:
-                t.lease_owner = None
-                t.lease_expiry = 0.0
+            t = self._leases.get(key)
+            if t is not None and t.owner == owner:
+                t.owner = None
+                t.expiry = 0.0
 
     # -- http plumbing --
 
-    def start(self) -> str:
+    def start(self, port: int = 0) -> str:
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -176,17 +325,17 @@ class CatalogServer:
                 if len(parts) >= 3 and parts[0] == "t":
                     key = parts[1]
                     with server._lock:
-                        t = server._tables.get(key)
                         if parts[2] == "pointer":
-                            if t is None or t.pointer is None:
+                            ptr = server._store.get_pointer(key)
+                            if ptr is None:
                                 return self._reply(404)
-                            return self._reply(200, {"id": t.pointer})
+                            return self._reply(200, {"id": ptr})
                         if parts[2] == "manifests":
-                            locs = {} if t is None else dict(t.manifests)
+                            locs = server._store.all_locs(key)
                             return self._reply(200, {"locs": {str(k): v for k, v in locs.items()}})
                         if parts[2] == "manifest" and len(parts) == 4:
                             sid = int(parts[3])  # validate before lookup: 400, not 404
-                            loc = None if t is None else t.manifests.get(sid)
+                            loc = server._store.get_loc(key, sid)
                             if loc is None:
                                 return self._reply(404)
                             return self._reply(200, {"loc": loc})
@@ -200,6 +349,11 @@ class CatalogServer:
                     key = parts[1]
                     if parts[2] == "commit":
                         won = server._cas(key, body.get("parent"), body["id"], body.get("loc"))
+                        if server._hold_commit_reply_s > 0:
+                            # fault injection (tests only): the CAS is
+                            # durable, the reply hangs — a SIGKILL of the
+                            # service lands in exactly this window
+                            time.sleep(server._hold_commit_reply_s)
                         return self._reply(200, {"won": won})
                     if parts[2] == "lease":
                         ok, wait = server._lease(key, body["owner"], float(body["ttl_s"]))
@@ -209,24 +363,28 @@ class CatalogServer:
                         return self._reply(200)
                     if parts[2] == "manifests" and len(parts) == 4 and parts[3] == "delete":
                         with server._lock:
-                            t = server._tables.get(key)
-                            if t is not None:
-                                for sid in body.get("ids", []):
-                                    t.manifests.pop(int(sid), None)
+                            server._store.begin()
+                            try:
+                                server._store.delete_locs(key, body.get("ids", []))
+                                server._store.commit()
+                            except BaseException:
+                                server._store.rollback()
+                                raise
                         return self._reply(200)
                 return self._reply(404)
 
-        self._httpd = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", port), Handler)
         self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
         self._thread.start()
-        host, port = self._httpd.server_address
-        return f"http://{host}:{port}"
+        host, bound = self._httpd.server_address
+        return f"http://{host}:{bound}"
 
     def stop(self) -> None:
         if self._httpd is not None:
             self._httpd.shutdown()
             self._httpd.server_close()
             self._httpd = None
+        self._store.close()
 
 
 # ---------------------------------------------------------------------------
@@ -399,3 +557,32 @@ def attach_http_catalog(root: str, endpoint: str) -> int | None:
     if current_snapshot_id(root) is None:
         return None
     return adopt_catalog_pointer(root, guard="http")
+
+
+# ---------------------------------------------------------------------------
+# standalone service — the deployment shape whose DURABILITY the kill
+# tests exercise: a separate process that can be SIGKILLed mid-CAS and
+# restarted on the same store without losing a pointer or a loc row
+
+
+def _serve_main(argv: list[str] | None = None) -> int:
+    """``python -m ovalspark.sources.http_catalog --store P [--port N]``:
+    run the catalog as its own process over a durable sqlite store.
+    Prints ``ENDPOINT http://host:port`` (flushed) once serving, then
+    blocks until killed — tests parse the line, SIGKILL the process
+    mid-commit, and restart it on the same store and port."""
+    import argparse
+
+    p = argparse.ArgumentParser(description=_serve_main.__doc__)
+    p.add_argument("--store", required=True, help="sqlite journal path (created if absent)")
+    p.add_argument("--port", type=int, default=0, help="bind port (0 = ephemeral)")
+    a = p.parse_args(argv)
+    server = CatalogServer(store_path=a.store)
+    endpoint = server.start(port=a.port)
+    print(f"ENDPOINT {endpoint}", flush=True)
+    threading.Event().wait()  # serve until the process is killed
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(_serve_main())

@@ -318,7 +318,7 @@ def test_attach_empty_table_adopts_on_first_commit(spark, http_table):
     snapshot_write(df, root, guard="http")
     assert current_snapshot_id(root) == 1
     key = _descriptor(root)["key"]
-    assert server._tables[key].pointer == 1
+    assert server._store.get_pointer(key) == 1
 
 
 def test_attach_refuses_sqlite_owned_table(spark, tmp_path):
