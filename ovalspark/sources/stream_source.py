@@ -339,20 +339,49 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
     a private ``data/snap-st-*`` dir (the same unreferenced-until-commit
     lifecycle as ``snapshot_write``'s data dirs — vacuum reclaims
     orphans by membership+age); the driver commits them with
-    ``commit_staged_files`` recording ``stream_batch_id`` in the
-    manifest. A replayed batch (engine crash between sink commit and
-    offset-log write) finds its id already committed — the walk stops at
-    the most recent stream commit — and discards its re-staged files
-    instead of double-committing. One streaming writer per table: the
-    batch-id ledger is per-table, not per-query (concurrent independent
-    writers should use the tail/snapshot_write API under distinct
-    guards)."""
+    ``commit_staged_files`` recording ``stream_batch_id`` (and
+    ``stream_epoch``) in the manifest. A replayed batch (engine crash
+    between sink commit and offset-log write) finds its id already
+    committed and discards its re-staged files instead of
+    double-committing.
 
-    def __init__(self, root: str, schema: StructType, overwrite: bool, guard: str | None):
+    The replay ledger is TWO records that cross-check each other:
+
+    * the manifest property — written atomically WITH the commit, so it
+      is authoritative for every commit that still resolves;
+    * ``manifest/stream_ledger.json`` — a tiny tmp+rename file updated
+      AFTER each batch, recording (epoch, batch id, checked_through).
+      It makes the lookup O(commits since the previous batch) instead of
+      O(interleaved commits since the last stream commit) — the walk
+      stops at ``checked_through``, a snapshot id at or below which every
+      manifest has already been examined — and it keeps the ledger
+      READABLE after retention expires the manifests that carried it
+      (previously a replayed batch would double-commit there, silently).
+      A crash between commit and ledger write is covered by the walk
+      (the un-ledgered commit sits above ``checked_through``).
+
+    Checkpoint resets are refused, not silently absorbed: a batch id
+    BELOW the ledger within the same epoch can only come from a NEW
+    query on a fresh checkpoint (a healthy restart replays exactly the
+    last batch), and discarding its batches would be silent data loss —
+    the sink raises with the remedy (``.option("ledger_epoch", n)``, a
+    deliberate epoch bump that starts a fresh id sequence while keeping
+    replay protection within each epoch). One streaming writer per table
+    per epoch: a stale writer from an older epoch raises too."""
+
+    def __init__(
+        self,
+        root: str,
+        schema: StructType,
+        overwrite: bool,
+        guard: str | None,
+        epoch: int = 0,
+    ):
         self.root = root
         self.schema = schema
         self.overwrite = overwrite
         self.guard = guard
+        self.epoch = epoch
 
     def write(self, iterator):
         import uuid
@@ -374,47 +403,113 @@ class _SnapshotStreamWriter(DataSourceStreamArrowWriter):
                 writer.close()
         return _StagedFiles(path, task_dir if path else None)
 
-    def _last_stream_batch(self) -> int | None:
-        sid = sn.current_snapshot_id(self.root)
-        while sid:
+    def _ledger_path(self) -> str:
+        return os.path.join(sn._manifest_dir(self.root), "stream_ledger.json")
+
+    def _write_ledger(self, epoch: int, batch: int, checked_through: int) -> None:
+        sn._atomic_write(
+            self._ledger_path(),
+            json.dumps(
+                {
+                    "stream_epoch": int(epoch),
+                    "stream_batch_id": int(batch),
+                    "checked_through": int(checked_through),
+                }
+            ),
+        )
+
+    def _last_stream_state(self) -> tuple[tuple[int, int] | None, int | None]:
+        """((epoch, batch) of the newest stream commit, CURRENT id).
+        Ledger file + bounded manifest walk: only manifests ABOVE the
+        ledger's ``checked_through`` are loaded (the crash window between
+        a commit and its ledger write), so interleaved non-stream commits
+        are each examined once ever, and retention expiring ledgered
+        manifests no longer blinds the sink. (None, cur) means "no prior
+        stream batch provable" — only reachable on a pre-ledger table
+        whose history retention already expired."""
+        ledger = None
+        try:
+            with open(self._ledger_path()) as f:
+                ledger = json.load(f)
+        except FileNotFoundError:
+            pass
+        floor = int(ledger["checked_through"]) if ledger else 0
+        best: tuple[int, int] | None = (
+            (int(ledger["stream_epoch"]), int(ledger["stream_batch_id"])) if ledger else None
+        )
+        cur = sn.current_snapshot_id(self.root)
+        sid = cur
+        while sid and sid > floor:
             try:
                 m = sn._load_manifest_raw(self.root, sid)
             except FileNotFoundError:
-                # retention expired history before reaching a stream
-                # commit: the ledger is unknowable past this point —
-                # treat as "no prior stream batch" (a replay whose ledger
-                # entry was expired implies retention ran ahead of the
-                # stream's checkpoint, the same operator error the
-                # reader diagnoses)
-                return None
+                if ledger is not None:
+                    break  # the ledger already covers the expired span
+                # pre-ledger table with expired history: unknowable —
+                # the same retention-ahead-of-checkpoint operator error
+                # the stream READER diagnoses loudly
+                return None, cur
             b = (m.get("properties") or {}).get("stream_batch_id")
             if b is not None:
-                return int(b)
+                # newest stream commit on the chain; the ledger can only
+                # be at or behind it (written after the commit)
+                e = int((m.get("properties") or {}).get("stream_epoch", 0))
+                found = (e, int(b))
+                best = found if best is None or found > best else best
+                break
             sid = m["parent_id"]
-        return None
+        return best, cur
 
     def commit(self, messages, batchId: int) -> None:
         import shutil
 
         dirs = [m.dir for m in messages if m is not None and m.dir]
         paths = [m.path for m in messages if m is not None and m.path]
-        last = self._last_stream_batch()
-        if last is not None and batchId <= last:
-            # replayed batch: already durably committed — drop the replay's
-            # re-staged files, never double-commit
-            for d in dirs:
-                shutil.rmtree(d, ignore_errors=True)
-            return
+        best, cur = self._last_stream_state()
+        if best is not None:
+            last_epoch, last_batch = best
+            if self.epoch < last_epoch:
+                raise ValueError(
+                    f"stream sink for {self.root}: this query writes epoch "
+                    f"{self.epoch} but the table's ledger is at epoch "
+                    f"{last_epoch} — a newer query owns this table (one "
+                    f"streaming writer per table per epoch)"
+                )
+            if self.epoch == last_epoch and batchId < last_batch:
+                # a healthy restart replays exactly the LAST batch; a
+                # smaller id means a fresh checkpoint restarted the id
+                # sequence — silently discarding its batches would be
+                # silent data loss, so refuse with the remedy
+                raise ValueError(
+                    f"stream sink for {self.root}: batch {batchId} is below "
+                    f"the table's committed stream batch {last_batch} (epoch "
+                    f"{last_epoch}) — this looks like a NEW query on a fresh "
+                    f"checkpoint. To start a new id sequence deliberately, "
+                    f'set .option("ledger_epoch", {last_epoch + 1}) on the sink'
+                )
+            if self.epoch == last_epoch and batchId == last_batch:
+                # replayed batch (crash between sink commit and offset-log
+                # write): already durably committed — drop the re-staged
+                # files, never double-commit; advance checked_through so
+                # the walk above stays amortized O(changed)
+                for d in dirs:
+                    shutil.rmtree(d, ignore_errors=True)
+                if cur is not None:
+                    self._write_ledger(last_epoch, last_batch, cur)
+                return
         if not paths:
             return  # empty micro-batch: no snapshot, nothing staged
-        sn.commit_staged_files(
+        sid = sn.commit_staged_files(
             self.root,
             paths,
             self.schema,
             mode="overwrite" if self.overwrite else "append",
-            properties={"stream_batch_id": int(batchId)},
+            properties={"stream_batch_id": int(batchId), "stream_epoch": int(self.epoch)},
             guard=self.guard,
         )
+        # ledger write AFTER the commit: a crash here leaves the commit
+        # above checked_through, where the next walk finds it
+        self._write_ledger(self.epoch, batchId, sid)
 
     def abort(self, messages, batchId: int) -> None:
         import shutil
@@ -438,6 +533,11 @@ class SnapshotDataSource(DataSource):
       = from table birth, the file-source convention)
     - ``guard`` (stream write): commit-guard name for the sink's
       snapshot commits (default: the ``OVALSPARK_COMMIT_GUARD`` env)
+    - ``ledger_epoch`` (stream write): replay-ledger epoch (default 0).
+      Bump it when deliberately restarting a query on a FRESH checkpoint
+      against a table with prior stream commits — the sink refuses a
+      rewound batch-id sequence within an epoch rather than silently
+      discarding the new query's batches
     """
 
     @classmethod
@@ -478,7 +578,11 @@ class SnapshotDataSource(DataSource):
 
     def streamWriter(self, schema: StructType, overwrite: bool):
         return _SnapshotStreamWriter(
-            self._root(), schema, overwrite, self.options.get("guard")
+            self._root(),
+            schema,
+            overwrite,
+            self.options.get("guard"),
+            epoch=int(self.options.get("ledger_epoch") or 0),
         )
 
 

@@ -679,3 +679,126 @@ def test_stream_overwrite_emits_new_generation(spark, tmp_path, low_spill):
     run_once()
     got = _rows(spark.read.parquet(out))
     assert got == sorted((str(v), v) for v in list(range(10)) + list(range(100, 105)))
+
+
+# ---------------------------------------------------------------------------
+# durable stream-sink ledger (stream_ledger.json)
+
+
+def _staged(w, lo, hi):
+    import pyarrow as pa
+
+    batch = pa.RecordBatch.from_pydict(
+        {"doc_id": [str(v) for v in range(lo, hi)], "v": list(range(lo, hi))}
+    )
+    return w.write(iter([batch]))
+
+
+def test_ledger_survives_retention_expiry_no_double_commit(spark, tmp_path, low_spill):
+    """Round-7's one remaining exactly-once hole: retention expires the
+    manifests that carried stream_batch_id, then the engine replays the
+    last batch. The manifest walk is blind past the expiry — the ledger
+    FILE must still identify the replay and commit nothing."""
+    from ovalspark.sources.snapshots import expire_snapshots
+    from ovalspark.sources.stream_source import _SnapshotStreamWriter
+
+    dst = str(tmp_path / "ledger_exp")
+    snapshot_write(_slice(spark, 0, 10), dst)
+    schema = snapshot_read(spark, dst).schema
+    w = _SnapshotStreamWriter(dst, schema, False, None)
+    w.commit([_staged(w, 10, 20)], 3)
+    stream_sid = sn.current_snapshot_id(dst)
+
+    # interleaved non-stream commits bury the stream commit, then
+    # retention expires everything at or below it
+    for i in range(3):
+        snapshot_write(_slice(spark, 100 + i * 10, 110 + i * 10), dst, mode="append")
+    expire_snapshots(dst, keep_last=2, do_vacuum=False)
+    with pytest.raises(FileNotFoundError):
+        sn._load_manifest_raw(dst, stream_sid)  # the walk alone is blind now
+
+    rows_before = snapshot_read(spark, dst).count()
+    sid_before = sn.current_snapshot_id(dst)
+    replay = _staged(w, 10, 20)
+    w.commit([replay], 3)  # replayed batch
+    assert sn.current_snapshot_id(dst) == sid_before  # no double-commit
+    assert snapshot_read(spark, dst).count() == rows_before
+    assert not os.path.exists(replay.dir)
+    # and the NEXT batch proceeds normally
+    w.commit([_staged(w, 200, 205)], 4)
+    assert snapshot_read(spark, dst).count() == rows_before + 5
+
+
+def test_fresh_checkpoint_refused_not_silently_discarded(spark, tmp_path, low_spill):
+    """A new query on a fresh checkpoint restarts batch ids at 0; the old
+    behavior silently discarded every batch with id <= the table ledger —
+    silent data loss. The sink must refuse with the epoch remedy, and an
+    explicit epoch bump must start a fresh sequence with replay
+    protection intact inside the new epoch."""
+    from ovalspark.sources.stream_source import _SnapshotStreamWriter
+
+    dst = str(tmp_path / "ledger_fresh")
+    snapshot_write(_slice(spark, 0, 10), dst)
+    schema = snapshot_read(spark, dst).schema
+    w0 = _SnapshotStreamWriter(dst, schema, False, None)
+    w0.commit([_staged(w0, 10, 20)], 5)
+
+    # fresh checkpoint, same epoch: batch 0 < ledger 5 -> refuse loudly
+    fresh = _SnapshotStreamWriter(dst, schema, False, None)
+    with pytest.raises(ValueError, match="ledger_epoch"):
+        fresh.commit([_staged(fresh, 20, 25)], 0)
+
+    # deliberate epoch bump: batch 0 commits, replay of (1, 0) discards
+    w1 = _SnapshotStreamWriter(dst, schema, False, None, epoch=1)
+    w1.commit([_staged(w1, 20, 25)], 0)
+    assert snapshot_read(spark, dst).count() == 25
+    sid = sn.current_snapshot_id(dst)
+    replay = _staged(w1, 20, 25)
+    w1.commit([replay], 0)
+    assert sn.current_snapshot_id(dst) == sid
+    assert not os.path.exists(replay.dir)
+
+    # a stale writer from the superseded epoch raises instead of racing
+    with pytest.raises(ValueError, match="epoch"):
+        w0.commit([_staged(w0, 30, 35)], 6)
+
+
+def test_ledger_walk_amortized_over_interleaved_commits(spark, tmp_path, low_spill, monkeypatch):
+    """Round-7 defect #1: each micro-batch walked manifests from CURRENT
+    back to the last stream commit — O(interleaved commits) PER BATCH.
+    With checked_through in the ledger, each interleaved commit is
+    examined once ever: a second batch after k interleaved commits loads
+    O(k) manifests, and a replay right after it loads O(1)."""
+    from ovalspark.sources.stream_source import _SnapshotStreamWriter
+
+    dst = str(tmp_path / "ledger_walk")
+    snapshot_write(_slice(spark, 0, 10), dst)
+    schema = snapshot_read(spark, dst).schema
+    w = _SnapshotStreamWriter(dst, schema, False, None)
+    w.commit([_staged(w, 10, 20)], 0)
+
+    for i in range(6):  # interleaved non-stream commits
+        snapshot_write(_slice(spark, 100 + i * 10, 105 + i * 10), dst, mode="append")
+
+    loads = {"n": 0}
+    real = sn._load_manifest_raw
+
+    def counting(root, snapshot_id=None):
+        loads["n"] += 1
+        return real(root, snapshot_id)
+
+    monkeypatch.setattr(sn, "_load_manifest_raw", counting)
+    best, cur = w._last_stream_state()
+    assert best == (0, 0)
+    first_walk = loads["n"]
+    assert first_walk <= 7  # the 6 interleaved + at most the stream commit
+
+    # committing batch 1 advances checked_through to its own snapshot
+    loads["n"] = 0
+    monkeypatch.setattr(sn, "_load_manifest_raw", real)
+    w.commit([_staged(w, 20, 25)], 1)
+    monkeypatch.setattr(sn, "_load_manifest_raw", counting)
+    loads["n"] = 0
+    best, cur = w._last_stream_state()
+    assert best == (0, 1)
+    assert loads["n"] <= 1  # nothing above checked_through but CURRENT itself
