@@ -1954,6 +1954,112 @@ def _q67_stream_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 _Q67_ORACLE = _Q66_ORACLE
 
 
+_Q68_VERSION = "v1"
+_Q68_ERAS = 4
+# Column-predicate delete (persists the _deleted sidecar the CDC feed
+# retracts from); the SAME predicate must be SQL-expressible for the
+# oracle's complement below
+_Q68_DEL_SQL = "n_chars % 7 = 2 AND doc_id % 2 = 0"
+
+
+def _q68_cdc_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A mirror built PURELY from the CDC feed (round 8): the documents
+    table is committed as 4 era appends, a Column-predicate delete
+    (which persists the ``_deleted`` sidecar), and a compaction; the
+    feed is drained with ``.option("cdc", "true")`` — every row carries
+    (_op, _commit_id), the delete emits key retractions, the compaction
+    must emit NOTHING — and folded into table state (newest commit wins
+    per doc_id; within one commit insert beats delete, the
+    truncate-and-load reading of overwrites). The folded mirror is
+    aggregated per lang; the oracle recomputes from the raw documents
+    with the delete predicate's complement. A skipped retraction leaves
+    deleted docs in the mirror (n_docs too high); a re-emitted
+    compaction survivor double-counts; a lost insert loses an era —
+    all hash-mismatch. This is oval's LIST-reconciliation honesty
+    (internal/runner/worker.go:163-177) applied to a downstream mirror."""
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from ovalspark.sources import snapshots as _sn
+    from ovalspark.sources import register_snapshot_source
+    from ovalspark.sources.snapshots import (
+        current_snapshot_id,
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_write,
+    )
+
+    root = _oracle_dir("q68", _Q68_VERSION, sf_dir)
+
+    def build(stage):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        saved = _sn._SEGMENT_SPILL_ENTRIES
+        _sn._SEGMENT_SPILL_ENTRIES = _Q66_SPILL
+        try:
+            for era in range(_Q68_ERAS):
+                snapshot_write(
+                    docs.filter(F.col("n_chars") % _Q68_ERAS == era).repartition(2),
+                    stage,
+                    mode="overwrite" if era == 0 else "append",
+                )
+            snapshot_delete(
+                spark,
+                stage,
+                (F.col("n_chars") % 7 == 2) & (F.col("doc_id") % 2 == 0),
+            )
+            snapshot_compact(spark, stage, target_file_mb=64)
+        finally:
+            _sn._SEGMENT_SPILL_ENTRIES = saved
+
+    _publish_once(
+        root, build, is_valid=lambda: current_snapshot_id(root) == _Q68_ERAS + 2
+    )
+    register_snapshot_source(spark)
+    sink = tempfile.mkdtemp(prefix="ovalspark_q68_sink_")
+    q = (
+        spark.readStream.format("ovalspark_snapshots")
+        .option("path", root)
+        .option("cdc", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", f"{sink}/out")
+        .option("checkpointLocation", f"{sink}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    feed = spark.read.parquet(f"{sink}/out")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("_commit_id").desc(), F.col("_op").desc()
+    )
+    mirror = (
+        feed.withColumn("_rank", F.row_number().over(w))
+        .filter("_rank = 1 AND _op = 'insert'")
+        .drop("_rank", "_op", "_commit_id")
+    )
+    return (
+        mirror.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.count_distinct("doc_id").alias("n_ids"),
+        )
+        .orderBy("lang")
+    )
+
+
+_Q68_ORACLE = f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids
+    FROM documents
+    WHERE NOT ({_Q68_DEL_SQL})
+    GROUP BY lang ORDER BY lang
+"""
+
+
 _Q53_VERSION = "v1"
 
 
@@ -2250,6 +2356,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q65_segment_pruned_read": _q65_segment_pruned_read,
             "q66_stream_feed": _q66_stream_feed,
             "q67_stream_sink": _q67_stream_sink,
+            "q68_cdc_mirror": _q68_cdc_mirror,
         }
     )
     return out
@@ -2298,6 +2405,7 @@ def oracle_sql() -> dict[str, str]:
             "q65_segment_pruned_read": _Q65_ORACLE,
             "q66_stream_feed": _Q66_ORACLE,
             "q67_stream_sink": _Q67_ORACLE,
+            "q68_cdc_mirror": _Q68_ORACLE,
         }
     )
     return out

@@ -40,8 +40,11 @@ engine's checkpoint gives exactly-once replay for free: the same offset
 range always plans the same immutable file list. Commit semantics:
 appends emit their added files; an overwrite emits the new table
 generation in full; delete/replace commits advance the offset emitting
-nothing (this is an append feed, not a CDC feed — deletions are the
-VALIDATOR's concern, `operators/incremental.py`, not the stream's).
+nothing by default (an append feed — deletions are the VALIDATOR's
+concern, `operators/incremental.py`). ``.option("cdc", "true")`` opts
+into a CHANGE feed instead: rows carry ``_op``/``_commit_id`` and
+deletes/overwrites emit retractions, so a downstream mirror can fold
+the feed into an exact copy of the table (``_SnapshotStreamReader``).
 
 Executor-side reads go through pyarrow: parquet batches are yielded as
 Arrow RecordBatches aligned to the query schema (missing columns
@@ -95,11 +98,15 @@ FORMAT_NAME = "ovalspark_snapshots"
 class _FilePartition(InputPartition):
     """One data file — the scheduling granule, like the parquet file
     source's splits (manifest files are written at bounded target size,
-    so file == split is the right granule here)."""
+    so file == split is the right granule here). ``op``/``commit_id``
+    are only meaningful to the CDC stream reader: the row operation this
+    file's rows represent and the commit that performed it."""
 
-    def __init__(self, path: str, schema_json: str):
+    def __init__(self, path: str, schema_json: str, op: str = "insert", commit_id=None):
         self.path = path
         self.schema_json = schema_json
+        self.op = op
+        self.commit_id = commit_id
 
 
 def _partitions_or_empty_sentinel(paths, schema_json):
@@ -268,11 +275,56 @@ class _PruningBatchReader(_SnapshotBatchReader):
         return _partitions_or_empty_sentinel(paths, self.schema_json)
 
 
+CDC_OP_COL = "_op"
+CDC_COMMIT_COL = "_commit_id"
+
+
+def _cdc_schema(base: StructType) -> StructType:
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    return StructType(
+        list(base.fields)
+        + [StructField(CDC_OP_COL, StringType()), StructField(CDC_COMMIT_COL, LongType())]
+    )
+
+
 class _SnapshotStreamReader(DataSourceStreamReader):
-    def __init__(self, root: str, after_id: int, schema: StructType):
+    """Offsets are commit ids; a micro-batch's partitions are exactly the
+    files its commit span changed. Two feeds share the machinery:
+
+    * default (append feed): appends emit their added files, an
+      overwrite emits the new generation in full, delete/replace advance
+      the offset emitting nothing — the validator's view of history.
+    * ``cdc`` (``.option("cdc", "true")``): every row carries ``_op``
+      ('insert' | 'delete') and ``_commit_id``, and state CHANGES are
+      emitted too, so a downstream mirror folding the feed converges to
+      the table instead of silently diverging at the first delete (the
+      LIST-reconciliation honesty oval's worker applies to mirrors,
+      internal/runner/worker.go:163-177). Per commit kind: appends →
+      insert rows; Column-predicate deletes → delete rows keyed by the
+      ``_deleted`` sidecar (``doc_id`` populated, other columns NULL —
+      key-delete semantics, exact for this library's doc_id-keyed data
+      model); overwrites → delete rows for the ENTIRE parent generation
+      followed by insert rows for the new one (truncate-and-load, the
+      only faithful row-level reading); replace (compaction) → nothing
+      (layout change, no row change). A SQL-string delete commit has no
+      recorded row set, so the CDC feed REFUSES it loudly rather than
+      silently skipping a retraction — use Column predicates (which
+      persist the sidecar) on CDC-fed tables."""
+
+    def __init__(self, root: str, after_id: int, schema: StructType, cdc: bool = False):
         self.root = root
         self.after_id = after_id
-        self.schema_json = json.dumps(schema.jsonValue())
+        self.cdc = cdc
+        if cdc:
+            data_fields = [
+                f for f in schema.fields if f.name not in (CDC_OP_COL, CDC_COMMIT_COL)
+            ]
+            self.schema_json = json.dumps(StructType(data_fields).jsonValue())
+            self.full_schema_json = json.dumps(schema.jsonValue())
+        else:
+            self.schema_json = json.dumps(schema.jsonValue())
+            self.full_schema_json = self.schema_json
 
     def initialOffset(self) -> dict:
         return {"snapshot_id": self.after_id}
@@ -281,6 +333,25 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         cur = sn.current_snapshot_id(self.root)
         # never regress below the stream's own start
         return {"snapshot_id": max(cur or 0, self.after_id)}
+
+    def _sidecar_parts(self, m: dict, sid: int) -> list[InputPartition]:
+        import glob as _glob
+
+        dd = m.get("deleted_docs")
+        if dd is None:
+            if int(m.get("deleted_rows") or 0) == 0:
+                return []  # no-op delete: nothing was removed
+            raise RuntimeError(
+                f"cdc feed of {self.root}: delete commit {sid} recorded no "
+                f"deleted-docs sidecar (SQL-string predicate "
+                f"{m.get('delete_predicate')!r}) — its retraction cannot be "
+                f"emitted. Use Column-predicate deletes on CDC-fed tables; "
+                f"they persist the matched doc_id set"
+            )
+        files = sorted(
+            _glob.glob(os.path.join(sn._abs_path(self.root, dd["loc"]), "part-*.parquet"))
+        )
+        return [_FilePartition(p, self.schema_json, "delete", sid) for p in files]
 
     def partitions(self, start: dict, end: dict):
         parts: list[InputPartition] = []
@@ -296,13 +367,33 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             if m["operation"] == "append":
                 files = sn.manifest_diff(self.root, m["parent_id"], sid)
             elif m["operation"] == "overwrite":
+                if self.cdc and m.get("parent_id") is not None:
+                    # truncate-and-load: retract the parent generation...
+                    try:
+                        pm = sn._load_manifest_raw(self.root, m["parent_id"])
+                    except FileNotFoundError:
+                        raise RuntimeError(
+                            f"cdc feed of {self.root}: overwrite commit {sid}'s "
+                            f"parent {m['parent_id']} expired — its retraction "
+                            f"cannot be emitted (retention outran the stream)"
+                        ) from None
+                    parts.extend(
+                        _FilePartition(
+                            sn._abs_path(self.root, f["path"]), self.schema_json, "delete", sid
+                        )
+                        for f in sn._expand_manifest(self.root, pm)["files"]
+                    )
+                # ...then (both modes) emit the new generation in full
                 files = [
                     sn._abs_path(self.root, f["path"])
                     for f in sn._expand_manifest(self.root, m)["files"]
                 ]
-            else:  # delete / replace: no appended rows
+            elif m["operation"] == "delete" and self.cdc:
+                parts.extend(self._sidecar_parts(m, sid))
                 files = []
-            parts.extend(_FilePartition(p, self.schema_json) for p in files)
+            else:  # delete (append feed) / replace: no appended rows
+                files = []
+            parts.extend(_FilePartition(p, self.schema_json, "insert", sid) for p in files)
         if not parts:
             # delete/replace-only span: the offset advances, no rows —
             # one sentinel partition, because read(None) is what the
@@ -311,7 +402,26 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         return parts
 
     def read(self, partition):
-        yield from _read_aligned(partition.path, partition.schema_json)
+        if not self.cdc:
+            yield from _read_aligned(partition.path, partition.schema_json)
+            return
+        import pyarrow as pa
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from pyspark.sql.types import StructType as _St
+
+        full = to_arrow_schema(_St.fromJson(json.loads(self.full_schema_json)))
+        op = getattr(partition, "op", "insert")
+        cid = getattr(partition, "commit_id", None)
+        for batch in _read_aligned(partition.path, partition.schema_json):
+            arrays = []
+            for field in full:
+                if field.name == CDC_OP_COL:
+                    arrays.append(pa.repeat(pa.scalar(op, type=field.type), batch.num_rows))
+                elif field.name == CDC_COMMIT_COL:
+                    arrays.append(pa.repeat(pa.scalar(cid, type=field.type), batch.num_rows))
+                else:
+                    arrays.append(batch.column(field.name))
+            yield pa.RecordBatch.from_arrays(arrays, schema=full)
 
     def commit(self, end: dict) -> None:
         pass  # the engine's offset log is the source of truth
@@ -531,6 +641,11 @@ class SnapshotDataSource(DataSource):
       still applies the row filter, exactly like ``snapshot_read(prune=)``
     - ``after_id`` (stream read): start after this commit id (default 0
       = from table birth, the file-source convention)
+    - ``cdc`` (stream read): "true" emits a change feed instead of the
+      append feed — every row carries ``_op`` ('insert'|'delete') and
+      ``_commit_id``, deletes/overwrites emit retractions (see
+      ``_SnapshotStreamReader``), so a mirror folding the feed converges
+      to the table
     - ``guard`` (stream write): commit-guard name for the sink's
       snapshot commits (default: the ``OVALSPARK_COMMIT_GUARD`` env)
     - ``ledger_epoch`` (stream write): replay-ledger epoch (default 0).
@@ -552,12 +667,22 @@ class SnapshotDataSource(DataSource):
             )
         return root
 
+    def _cdc(self) -> bool:
+        return str(self.options.get("cdc", "")).lower() == "true"
+
     def schema(self) -> StructType:
         sid = self.options.get("snapshot_id")
         m = sn._load_manifest_raw(self._root(), int(sid) if sid is not None else None)
-        return sn._committed_schema(m)
+        base = sn._committed_schema(m)
+        return _cdc_schema(base) if self._cdc() else base
 
     def reader(self, schema: StructType) -> DataSourceReader:
+        if self._cdc():
+            raise ValueError(
+                'option "cdc" is a STREAMING read option — a batch read of '
+                "table state has no row operations to report (use readStream, "
+                "or drop the option)"
+            )
         sid = self.options.get("snapshot_id")
         cls = (
             _PruningBatchReader
@@ -573,7 +698,10 @@ class SnapshotDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return _SnapshotStreamReader(
-            self._root(), int(self.options.get("after_id") or 0), schema
+            self._root(),
+            int(self.options.get("after_id") or 0),
+            schema,
+            cdc=self._cdc(),
         )
 
     def streamWriter(self, schema: StructType, overwrite: bool):

@@ -802,3 +802,139 @@ def test_ledger_walk_amortized_over_interleaved_commits(spark, tmp_path, low_spi
     best, cur = w._last_stream_state()
     assert best == (0, 1)
     assert loads["n"] <= 1  # nothing above checked_through but CURRENT itself
+
+
+# ---------------------------------------------------------------------------
+# CDC feed (.option("cdc", "true"))
+
+
+def _drain_cdc(spark, root, sink):
+    register_snapshot_source(spark)
+    q = (
+        spark.readStream.format("ovalspark_snapshots")
+        .option("path", root)
+        .option("cdc", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", f"{sink}/out")
+        .option("checkpointLocation", f"{sink}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{sink}/out")
+
+
+def _fold_mirror(feed):
+    """Fold a CDC feed into table state: keep each doc's newest event,
+    drop it if that event is a delete. Key-delete semantics over the
+    library's doc_id-keyed data model."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    # newest commit wins; within ONE commit insert beats delete (an
+    # overwrite retracts the old generation and inserts the new in the
+    # same commit — a re-inserted key's new row must survive the fold)
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("_commit_id").desc(), F.col("_op").desc()
+    )
+    return (
+        feed.withColumn("_rank", F.row_number().over(w))
+        .filter("_rank = 1 AND _op = 'insert'")
+        .drop("_rank", "_op", "_commit_id")
+    )
+
+
+def test_cdc_mirror_converges_through_delete_compact_overwrite(spark, tmp_path, low_spill):
+    """The round-7 'Missing #3' scenario: a mirror built purely from the
+    feed. History: 3 appends, a Column-predicate delete, a compaction
+    (layout only), an overwrite (truncate-and-load), one more append.
+    The folded mirror must hash-match snapshot_read at CURRENT; the
+    compaction must contribute ZERO events (a re-emitted survivor would
+    double rows)."""
+    from pyspark.sql import functions as F
+
+    from ovalspark.sources.snapshots import snapshot_compact
+
+    root = str(tmp_path / "cdc_src")
+    snapshot_write(_slice(spark, 0, 20), root)
+    snapshot_write(_slice(spark, 20, 40), root, mode="append")
+    snapshot_write(_slice(spark, 40, 60), root, mode="append")
+    snapshot_delete(spark, root, F.col("v") % 3 == 0)  # Column pred -> sidecar
+    snapshot_compact(spark, root, target_file_mb=64)
+    snapshot_write(_slice(spark, 100, 130), root)  # overwrite: truncate-and-load
+    snapshot_write(_slice(spark, 130, 140), root, mode="append")
+
+    feed = _drain_cdc(spark, root, str(tmp_path / "cdc_sink"))
+    assert set(feed.columns) == {"doc_id", "v", "_op", "_commit_id"}
+    # compaction (commit 5) emitted nothing
+    assert feed.filter("_commit_id = 5").count() == 0
+    # the delete commit emitted key-only retractions: doc_id set, v NULL
+    dels = feed.filter("_commit_id = 4")
+    assert dels.count() == 20  # v in 0..59, v % 3 == 0
+    assert dels.filter("_op != 'delete' OR v IS NOT NULL").count() == 0
+    # the overwrite retracted the whole surviving parent generation
+    assert feed.filter("_commit_id = 6 AND _op = 'delete'").count() == 40
+    assert feed.filter("_commit_id = 6 AND _op = 'insert'").count() == 30
+
+    mirror = _rows(_fold_mirror(feed))
+    truth = _rows(snapshot_read(spark, root))
+    assert mirror == truth  # exact convergence, 40 rows
+    assert len(truth) == 40
+
+
+def test_cdc_default_mode_unchanged_and_batch_refused(spark, tmp_path, low_spill):
+    """Default (append-feed) behavior must stay byte-identical — no _op
+    column, deletes emit nothing; and the cdc option on a BATCH read
+    refuses with guidance."""
+    from pyspark.sql.utils import AnalysisException
+
+    root = str(tmp_path / "cdc_default")
+    snapshot_write(_slice(spark, 0, 10), root)
+    snapshot_delete(spark, root, "v < 3")
+    register_snapshot_source(spark)
+
+    sink = str(tmp_path / "cdc_default_sink")
+    q = (
+        spark.readStream.format("ovalspark_snapshots")
+        .option("path", root)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", f"{sink}/out")
+        .option("checkpointLocation", f"{sink}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.read.parquet(f"{sink}/out")
+    assert set(got.columns) == {"doc_id", "v"}
+    assert got.count() == 10  # append feed: the delete retracts nothing
+
+    with pytest.raises(Exception, match="cdc.*STREAMING|STREAMING.*cdc"):
+        spark.read.format("ovalspark_snapshots").option("path", root).option(
+            "cdc", "true"
+        ).load().collect()
+
+
+def test_cdc_refuses_sql_string_delete_loudly(spark, tmp_path, low_spill):
+    """A SQL-string delete records no deleted-docs sidecar: the CDC feed
+    must fail with a diagnosis naming the commit and the remedy, never
+    silently skip a retraction."""
+    root = str(tmp_path / "cdc_sqldel")
+    snapshot_write(_slice(spark, 0, 10), root)
+    snapshot_delete(spark, root, "v < 5")  # SQL string -> no sidecar
+    register_snapshot_source(spark)
+    sink = str(tmp_path / "cdc_sqldel_sink")
+    q = (
+        spark.readStream.format("ovalspark_snapshots")
+        .option("path", root)
+        .option("cdc", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", f"{sink}/out")
+        .option("checkpointLocation", f"{sink}/ck")
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="Column-predicate|sidecar"):
+        q.awaitTermination(300)
