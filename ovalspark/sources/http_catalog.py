@@ -54,6 +54,7 @@ Wire protocol (JSON bodies; ``<key>`` is the descriptor's table key):
     GET  /t/<key>/manifest/<sid>     -> {"loc": str}         | 404
     GET  /t/<key>/manifests          -> {"locs": {sid: loc}}
     POST /t/<key>/manifests/delete   {"ids": [..]}           -> {}
+    POST /t/<key>/seed               {"pointer", "locs"}     -> {"ok"} | 409
     POST /t/<key>/lease              {"owner", "ttl_s"}      -> 200 | 409
     POST /t/<key>/release            {"owner"}               -> 200
 """
@@ -269,6 +270,31 @@ class CatalogServer:
                 st.rollback()
                 raise
 
+    def _seed(self, key: str, pointer: int, locs: dict[int, str]) -> bool:
+        """Bulk-load a table's pointer + manifest-loc rows — the
+        migration primitive. Succeeds only on a key with NO pointer yet,
+        or idempotently when the existing state EQUALS the request (a
+        migration retried after a crash between seed and descriptor
+        flip). Any other state is a conflict: seeding must never
+        overwrite a live table."""
+        with self._lock:
+            st = self._store
+            st.begin()
+            try:
+                existing = st.get_pointer(key)
+                if existing is not None:
+                    ok = existing == pointer and st.all_locs(key) == locs
+                    st.rollback()
+                    return ok
+                st.set_pointer(key, pointer)
+                for sid, loc in locs.items():
+                    st.set_loc(key, int(sid), loc)
+                st.commit()
+                return True
+            except BaseException:
+                st.rollback()
+                raise
+
     def _lease(self, key: str, owner: str, ttl_s: float) -> tuple[bool, float]:
         now = time.monotonic()
         with self._lock:
@@ -355,6 +381,13 @@ class CatalogServer:
                             # service lands in exactly this window
                             time.sleep(server._hold_commit_reply_s)
                         return self._reply(200, {"won": won})
+                    if parts[2] == "seed":
+                        ok = server._seed(
+                            key,
+                            int(body["pointer"]),
+                            {int(k): v for k, v in body["locs"].items()},
+                        )
+                        return self._reply(200 if ok else 409, {"ok": ok})
                     if parts[2] == "lease":
                         ok, wait = server._lease(key, body["owner"], float(body["ttl_s"]))
                         return self._reply(200 if ok else 409, {"granted": ok, "retry_after_s": wait})
@@ -466,6 +499,15 @@ def client_delete_manifests(endpoint: str, key: str, sids: list[int]) -> None:
     _request("POST", f"{endpoint}/t/{key}/manifests/delete", {"ids": list(sids)})
 
 
+def client_seed(endpoint: str, key: str, pointer: int, locs: dict[int, str]) -> bool:
+    code, body = _request(
+        "POST",
+        f"{endpoint}/t/{key}/seed",
+        {"pointer": int(pointer), "locs": {str(k): v for k, v in locs.items()}},
+    )
+    return code == 200 and bool(body.get("ok"))
+
+
 # ---------------------------------------------------------------------------
 # guard + attachment
 
@@ -549,14 +591,97 @@ def attach_http_catalog(root: str, endpoint: str) -> int | None:
     owned, _ = _catalog_current(root)
     if owned:
         raise ValueError(
-            f"table at {root} is already catalog-owned — migrating a pointer "
-            f"between catalogs is not supported; adopt into one catalog only"
+            f"table at {root} is already catalog-owned — use "
+            f"migrate_pointer_to_http(root, endpoint) to move a "
+            f"sqlite-owned pointer into the network catalog"
         )
     desc = {"type": "http", "endpoint": endpoint, "key": uuid.uuid4().hex}
     _atomic_write(os.path.join(_manifest_dir(root), "catalog.json"), json.dumps(desc))
     if current_snapshot_id(root) is None:
         return None
     return adopt_catalog_pointer(root, guard="http")
+
+
+def migrate_pointer_to_http(root: str, endpoint: str) -> int:
+    """Move a SQLITE-owned table's commit authority into the network
+    catalog — the quiesced two-phase protocol ``attach_http_catalog``
+    refuses to improvise:
+
+    1. **Freeze.** Acquire the sqlite guard: its token is the open
+       ``BEGIN IMMEDIATE`` transaction on catalog.db, so every
+       sqlite-routed CAS (any guard — the CAS itself opens a write
+       transaction) blocks until we release. No http writers can exist
+       yet: the descriptor that routes to http is written LAST.
+    2. **Copy.** Read pointer + manifest-loc rows through the held
+       transaction (consistent by the write lock) and bulk-load them
+       into the service (``/seed`` — succeeds only on an empty key, or
+       idempotently on a byte-equal retry after a crash between seed
+       and flip).
+    3. **Flip.** Atomically write the http descriptor. From this moment
+       every resolution path (``_catalog_current``, ``_catalog_cas``,
+       ``_catalog_manifest_loc``) routes descriptor-first: a writer that
+       resolved its parent under sqlite a microsecond earlier CASes
+       against the seeded (identical) pointer and wins or loses exactly
+       as it would have. The sqlite rows stay behind as inert forensics,
+       shadowed by the descriptor.
+
+    A writer racing the migration therefore either commits BEFORE the
+    freeze (its commit is copied), waits THROUGH it (and routes http
+    after), or loses its CAS cleanly — never a fork of commit authority.
+    Re-running after success is idempotent (returns the live pointer);
+    a crash between seed and flip leaves the table sqlite-owned and the
+    orphan server key unreferenced (a retry seeds a fresh key). Returns
+    the migrated snapshot id."""
+    from ovalspark.sources.commit_guard import resolve_guard
+    from ovalspark.sources.snapshots import (
+        _atomic_write,
+        _catalog_descriptor,
+        _manifest_dir,
+    )
+
+    d = _catalog_descriptor(root)
+    if d is not None and d.get("type") == "http":
+        if d["endpoint"] != endpoint:
+            raise ValueError(
+                f"table at {root} already belongs to http catalog "
+                f"{d['endpoint']!r} — catalog-to-catalog moves between "
+                f"services are not supported"
+            )
+        _, cid = client_current(endpoint, d["key"])
+        return cid  # idempotent re-run after a completed migration
+
+    import sqlite3
+
+    g = resolve_guard("sqlite")
+    con = g.acquire(root)  # the open write transaction IS the freeze
+    try:
+        try:
+            row = con.execute("SELECT id FROM current WHERE k='CURRENT'").fetchone()
+        except sqlite3.OperationalError as e:
+            if "no such table" not in str(e):
+                raise
+            row = None  # guard-created empty catalog.db: never adopted
+        if row is None:
+            raise ValueError(
+                f"table at {root} is not sqlite catalog-owned — for a "
+                f"file-pointered table use attach_http_catalog(root, endpoint)"
+            )
+        pointer = int(row[0])
+        locs = {
+            int(i): loc
+            for i, loc in con.execute("SELECT id, loc FROM manifests").fetchall()
+        }
+        key = uuid.uuid4().hex
+        if not client_seed(endpoint, key, pointer, locs):
+            raise RuntimeError(
+                f"catalog service at {endpoint} refused to seed key {key} — "
+                f"key collision (retry) or a live table under that key"
+            )
+        desc = {"type": "http", "endpoint": endpoint, "key": key}
+        _atomic_write(os.path.join(_manifest_dir(root), "catalog.json"), json.dumps(desc))
+        return pointer
+    finally:
+        g.release(con)
 
 
 # ---------------------------------------------------------------------------

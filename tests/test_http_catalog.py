@@ -388,3 +388,144 @@ def test_maintenance_lifecycle_over_http(spark, http_table):
     assert removed  # sid1's pre-delete files are unreferenced now
     assert snapshot_read(spark, root).count() == 50
     assert current_snapshot_id(root) == sid3
+
+
+# ---------------------------------------------------------------------------
+# pointer migration sqlite -> http
+
+
+def test_migrate_sqlite_owned_table_to_http(spark, tmp_path):
+    """The two-phase move: pointer + every manifest-loc row land in the
+    service, pre-migration history stays time-travelable (locs copied,
+    not re-derived), and post-migration commits route through the
+    service under ANY guard name."""
+    from ovalspark.sources import http_catalog as hc
+    from ovalspark.sources.http_catalog import CatalogServer, migrate_pointer_to_http
+    from ovalspark.sources.snapshots import (
+        current_snapshot_id,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    root = str(tmp_path / "mig_tbl")
+    df = spark.range(10).selectExpr("cast(id as string) doc_id", "id v")
+    snapshot_write(df, root, guard="sqlite")
+    snapshot_write(df.limit(4), root, mode="append", guard="sqlite")
+    server = CatalogServer()
+    endpoint = server.start()
+    try:
+        assert migrate_pointer_to_http(root, endpoint) == 2
+        key = _descriptor(root)["key"]
+        assert hc.client_current(endpoint, key) == (True, 2)
+        # every sqlite loc row traveled (catalog-owned commits have
+        # writer-unique filenames only the loc map can resolve)
+        assert set(hc.client_manifest_locs(endpoint, key)) == {1, 2}
+        assert snapshot_read(spark, root, 1).count() == 10  # pre-migration history
+        # commits under http AND under the old sqlite name both route
+        # through the service now (descriptor decides, not guard)
+        snapshot_write(df.limit(2), root, mode="append", guard="http")
+        snapshot_write(df.limit(1), root, mode="append", guard="sqlite")
+        assert current_snapshot_id(root) == 4
+        assert hc.client_current(endpoint, key) == (True, 4)
+        assert snapshot_read(spark, root).count() == 17
+        # idempotent re-run returns the live pointer
+        assert migrate_pointer_to_http(root, endpoint) == 4
+    finally:
+        server.stop()
+
+
+def test_migrate_refusals(spark, tmp_path):
+    from ovalspark.sources.http_catalog import (
+        CatalogServer,
+        attach_http_catalog,
+        migrate_pointer_to_http,
+    )
+    from ovalspark.sources.snapshots import snapshot_write
+
+    df = spark.range(4).selectExpr("cast(id as string) doc_id")
+    server = CatalogServer()
+    endpoint = server.start()
+    try:
+        # file-pointered table: attach, don't migrate
+        root1 = str(tmp_path / "file_tbl")
+        snapshot_write(df, root1, guard="flock")
+        with pytest.raises(ValueError, match="attach_http_catalog"):
+            migrate_pointer_to_http(root1, endpoint)
+        # http-owned table, DIFFERENT endpoint: refuse the cross-service move
+        root2 = str(tmp_path / "http_tbl")
+        snapshot_write(df, root2, guard="flock")
+        attach_http_catalog(root2, endpoint)
+        with pytest.raises(ValueError, match="catalog-to-catalog"):
+            migrate_pointer_to_http(root2, "http://127.0.0.1:1")
+        # same endpoint: idempotent, returns live pointer
+        assert migrate_pointer_to_http(root2, endpoint) == 1
+    finally:
+        server.stop()
+
+
+def test_seed_conflicts_refused_idempotent_retry_ok(http_table):
+    """/seed must never overwrite a live key: empty -> ok, byte-equal
+    retry -> ok (crash between seed and flip), anything else -> 409."""
+    from ovalspark.sources import http_catalog as hc
+
+    root, _, endpoint = http_table
+    assert hc.client_seed(endpoint, "mkey", 3, {1: "v1-a.json", 3: "v3-c.json"}) is True
+    # idempotent retry of the identical payload
+    assert hc.client_seed(endpoint, "mkey", 3, {1: "v1-a.json", 3: "v3-c.json"}) is True
+    # conflicting pointer or locs: refused
+    assert hc.client_seed(endpoint, "mkey", 4, {1: "v1-a.json"}) is False
+    assert hc.client_seed(endpoint, "mkey", 3, {1: "v1-OTHER.json", 3: "v3-c.json"}) is False
+    # a live (CAS-built) key is never seedable
+    assert hc.client_cas(endpoint, "live", None, 1, "v1-x.json") is True
+    assert hc.client_seed(endpoint, "live", 9, {9: "v9-z.json"}) is False
+
+
+def test_writer_racing_migration_never_forks_authority(spark, tmp_path):
+    """A writer appending in a loop under guard='sqlite' while the main
+    thread migrates mid-stream: every append must land exactly once
+    (dense chain, correct row total) and the final pointer must be
+    http-owned — the racing writer either committed before the freeze,
+    waited through it, or re-routed after the flip."""
+    import threading
+
+    from ovalspark.sources import http_catalog as hc
+    from ovalspark.sources.http_catalog import CatalogServer, migrate_pointer_to_http
+    from ovalspark.sources.snapshots import (
+        current_snapshot_id,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    root = str(tmp_path / "race_mig")
+    df = spark.range(8).selectExpr("cast(id as string) doc_id", "id v")
+    snapshot_write(df, root, guard="sqlite")
+
+    n_appends = 6
+    errors: list = []
+
+    def writer():
+        try:
+            for _ in range(n_appends):
+                snapshot_write(df.limit(2), root, mode="append", guard="sqlite")
+        except Exception as e:  # noqa: BLE001 — surfaced in the assert below
+            errors.append(e)
+
+    server = CatalogServer()
+    endpoint = server.start()
+    try:
+        t = threading.Thread(target=writer)
+        t.start()
+        time.sleep(0.3)  # let a few appends land under sqlite first
+        migrated = migrate_pointer_to_http(root, endpoint)
+        t.join(timeout=300)
+        assert not errors, errors
+        assert migrated >= 1
+        assert current_snapshot_id(root) == 1 + n_appends
+        key = _descriptor(root)["key"]
+        assert hc.client_current(endpoint, key) == (True, 1 + n_appends)
+        assert snapshot_read(spark, root).count() == 8 + 2 * n_appends
+        # post-migration commits continue the same chain
+        snapshot_write(df.limit(3), root, mode="append", guard="http")
+        assert current_snapshot_id(root) == 2 + n_appends
+    finally:
+        server.stop()
