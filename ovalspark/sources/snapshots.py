@@ -1799,8 +1799,20 @@ def manifest_diff(root: str, from_id: int | None, to_id: int | None = None) -> l
     no data is listed or scanned; this is what lets incremental validation
     scope a plan to O(new data) instead of O(corpus) per commit."""
     to_raw = _load_manifest_raw(root, to_id)
+    from_raw = None if from_id is None else _load_manifest_raw(root, from_id)
+    return _manifest_diff_raw(root, from_raw, to_raw)
+
+
+def _manifest_diff_raw(
+    root: str, from_raw: dict[str, Any] | None, to_raw: dict[str, Any]
+) -> list[str]:
+    """``manifest_diff`` over ALREADY-LOADED raw manifests — the shape a
+    caller walking a commit span wants: consecutive commits share their
+    parent manifest, so loading each raw manifest once and diffing dicts
+    turns a k-commit catch-up from ~3k manifest reads (one per commit
+    plus two inside each diff) into k+1 (``stream_source`` reader)."""
     to_segs = to_raw.get("file_segments") or []
-    if from_id is None:
+    if from_raw is None:
         # full bootstrap: expand segments directly (inherently O(to_id's
         # inventory) — there is no settled history to skip)
         full: list[dict[str, Any]] = []
@@ -1808,7 +1820,6 @@ def manifest_diff(root: str, from_id: int | None, to_id: int | None = None) -> l
             full.extend(_read_segment(root, ref["loc"]))
         full.extend(to_raw["files"])
         return [_abs_path(root, f["path"]) for f in full]
-    from_raw = _load_manifest_raw(root, from_id)
     from_segs = from_raw.get("file_segments") or []
     # segments SHARED by both manifests (by immutable loc) contribute no
     # additions and need no expansion — a tail diffing consecutive append

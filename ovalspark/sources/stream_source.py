@@ -355,28 +355,48 @@ class _SnapshotStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         parts: list[InputPartition] = []
-        for sid in range(start["snapshot_id"] + 1, end["snapshot_id"] + 1):
+        # one raw-manifest load per commit in the span (plus the span's
+        # entry parent): consecutive appends diff against the PREVIOUS
+        # iteration's raw dict instead of re-loading both sides per
+        # commit — a k-commit catch-up after downtime plans with k+1
+        # manifest reads, not ~3k
+        prev: tuple[int, dict] | None = None
+
+        def load_raw(sid: int) -> dict:
             try:
-                m = sn._load_manifest_raw(self.root, sid)
+                return sn._load_manifest_raw(self.root, sid)
             except FileNotFoundError:
                 raise RuntimeError(
                     f"snapshot {sid} of {self.root} expired before the stream "
                     "consumed it — size retention (expire_snapshots keep_last/"
                     "older_than_s) above the stream's maximum lag"
                 ) from None
+
+        for sid in range(start["snapshot_id"] + 1, end["snapshot_id"] + 1):
+            m = load_raw(sid)
             if m["operation"] == "append":
-                files = sn.manifest_diff(self.root, m["parent_id"], sid)
+                pid = m["parent_id"]
+                if pid is None:
+                    from_raw = None
+                elif prev is not None and prev[0] == pid:
+                    from_raw = prev[1]
+                else:
+                    from_raw = load_raw(pid)
+                files = sn._manifest_diff_raw(self.root, from_raw, m)
             elif m["operation"] == "overwrite":
                 if self.cdc and m.get("parent_id") is not None:
                     # truncate-and-load: retract the parent generation...
-                    try:
-                        pm = sn._load_manifest_raw(self.root, m["parent_id"])
-                    except FileNotFoundError:
-                        raise RuntimeError(
-                            f"cdc feed of {self.root}: overwrite commit {sid}'s "
-                            f"parent {m['parent_id']} expired — its retraction "
-                            f"cannot be emitted (retention outran the stream)"
-                        ) from None
+                    if prev is not None and prev[0] == m["parent_id"]:
+                        pm = prev[1]
+                    else:
+                        try:
+                            pm = sn._load_manifest_raw(self.root, m["parent_id"])
+                        except FileNotFoundError:
+                            raise RuntimeError(
+                                f"cdc feed of {self.root}: overwrite commit {sid}'s "
+                                f"parent {m['parent_id']} expired — its retraction "
+                                f"cannot be emitted (retention outran the stream)"
+                            ) from None
                     parts.extend(
                         _FilePartition(
                             sn._abs_path(self.root, f["path"]), self.schema_json, "delete", sid
@@ -394,6 +414,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
             else:  # delete (append feed) / replace: no appended rows
                 files = []
             parts.extend(_FilePartition(p, self.schema_json, "insert", sid) for p in files)
+            prev = (sid, m)
         if not parts:
             # delete/replace-only span: the offset advances, no rows —
             # one sentinel partition, because read(None) is what the

@@ -938,3 +938,63 @@ def test_cdc_refuses_sql_string_delete_loudly(spark, tmp_path, low_spill):
     )
     with pytest.raises(Exception, match="Column-predicate|sidecar"):
         q.awaitTermination(300)
+
+
+def test_pushdown_cache_hazard_still_present_flip_optin_when_fixed(
+    spark, tmp_path, low_spill
+):
+    """REGRESSION CANARY for the documented Spark 4.1 partition-cache
+    hazard that makes pushdown opt-in: violating the one-load()-per-query
+    rule on purpose — a filtered query, then an UNFILTERED query on the
+    SAME pushdown load() — must today be served the cached PRUNED
+    listing (an undercount). When a Spark upgrade re-plans unfiltered
+    queries correctly, this test FAILS: that is the signal to flip
+    pushdown to default-on and retire the usage rule (see
+    _PruningBatchReader's docstring)."""
+    root = str(tmp_path / "ds_hazard_tbl")
+    for i in range(8):
+        snapshot_write(_slice(spark, i * 10, (i + 1) * 10), root, mode="append" if i else "overwrite")
+    register_snapshot_source(spark)
+    df = _load(spark, root, pushdown="true")  # ONE load, reused: the violation
+    assert df.filter("v >= 71 and v <= 72").count() == 2  # pruned, correct
+    stale = df.count()  # unfiltered on the same load
+    assert stale < 80, (
+        "Spark re-planned the unfiltered query on a cached pushdown load - "
+        "the 4.1 partition-cache hazard is gone; make pushdown the default "
+        "and drop the one-load()-per-query rule"
+    )
+    # a FRESH load stays correct — the hazard is load-scoped, not global
+    assert _load(spark, root, pushdown="true").count() == 80
+
+
+def test_catchup_span_plans_with_one_manifest_load_per_commit(
+    spark, tmp_path, low_spill, monkeypatch
+):
+    """Round-7 'wrong' #8: a k-commit catch-up (stream resuming after
+    downtime) loaded ~3 manifests per commit (one directly + two inside
+    each manifest_diff). Consecutive commits share their parent dict
+    now: the span must plan with k+1 loads and the SAME file set."""
+    from ovalspark.sources.stream_source import _SnapshotStreamReader
+
+    root = str(tmp_path / "catchup_tbl")
+    k = 20
+    for i in range(k):
+        snapshot_write(_slice(spark, i * 10, (i + 1) * 10), root, mode="append" if i else "overwrite")
+
+    expected = []
+    for sid in range(2, k + 1):
+        expected.extend(sn.manifest_diff(root, sid - 1, sid))
+    expected.extend(sn.manifest_diff(root, None, 1))
+
+    loads = {"n": 0}
+    real = sn._load_manifest_raw
+
+    def counting(r, snapshot_id=None):
+        loads["n"] += 1
+        return real(r, snapshot_id)
+
+    monkeypatch.setattr(sn, "_load_manifest_raw", counting)
+    reader = _SnapshotStreamReader(root, 0, snapshot_read(spark, root).schema)
+    parts = reader.partitions({"snapshot_id": 0}, {"snapshot_id": k})
+    assert loads["n"] <= k + 1
+    assert sorted(p.path for p in parts) == sorted(expected)
