@@ -90,6 +90,35 @@ def main() -> int:
     total = round(sum(timings.values()), 3)
     docs_per_sec = round(n_docs_validated / timings["q40_span_validation"], 1) if timings.get("q40_span_validation") else None
 
+    # sf1 contract (round 7 ran it once; the point of a creep detector is
+    # running EVERY round): at the default sf0.1 gate, also time the suite
+    # on the cached deterministic 10x world and report per-query ratios.
+    # Skip when the driver points at a non-default world (scaling a custom
+    # dir 10x is not the contract) or SPARK_GRAFT_SF1=0.
+    sf1_timings: dict[str, float] = {}
+    sf1_total = None
+    sf1_suite_ratio = None
+    sf1_ratios: dict[str, float] = {}
+    if sf == "0.1" and os.environ.get("SPARK_GRAFT_SF1", "1") != "0":
+        from tools import make_sf1
+
+        if not make_sf1.is_built():
+            make_sf1.build(spark, src=sf_dir, quiet=True)
+        for _pass in range(2):
+            for name in HEADLINE:
+                df = qs[name](spark, make_sf1.OUT)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                dt = round(time.perf_counter() - t0, 3)
+                sf1_timings[name] = min(sf1_timings.get(name, dt), dt)
+            spark.catalog.clearCache()
+        sf1_total = round(sum(sf1_timings.values()), 3)
+        sf1_suite_ratio = round(sf1_total / total, 2)
+        sf1_ratios = {
+            name: round(sf1_timings[name] / timings[name], 2) if timings[name] else None
+            for name in HEADLINE
+        }
+
     # Full scaling-campaign history: measured offline on the 2.1M-doc
     # bucketed world via tools/bench_validation.py (fresh JVM per width,
     # 5 GC-separated runs each, BEST reported: run 0 pays codegen/JIT
@@ -211,8 +240,24 @@ def main() -> int:
             "detail": "BENCH_FULL.json",
         },
     }
+    if sf1_total is not None:
+        # compact: suite-level ratio + the worst per-query ratio only —
+        # the full per-query sf1 table goes to BENCH_FULL.json
+        worst = max(sf1_ratios, key=lambda n: sf1_ratios[n] or 0.0)
+        summary["sf1"] = {
+            "total_sec": sf1_total,
+            "suite_ratio_10x_rows": sf1_suite_ratio,
+            "max_query_ratio": [worst, sf1_ratios[worst]],
+        }
     full = dict(summary)
     full["scaling"] = full_scaling
+    if sf1_total is not None:
+        full["sf1"] = {
+            "total_sec": sf1_total,
+            "suite_ratio_10x_rows": sf1_suite_ratio,
+            "queries": sf1_timings,
+            "ratios": sf1_ratios,
+        }
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
     print(json.dumps(summary, separators=(",", ":")))

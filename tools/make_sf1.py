@@ -75,31 +75,35 @@ KEYED = {
 FIXED_DIMS = ["nation", "region"]
 
 
-def main() -> int:
+MARKER = "_OVALSPARK_SF1_COMPLETE"
+
+
+def is_built(out: str = OUT) -> bool:
+    """True if a PRIOR build ran to completion (marker written last —
+    an interrupted build leaves no marker and gets rebuilt)."""
+    return os.path.exists(os.path.join(out, MARKER))
+
+
+def build(spark, src: str = SRC, out: str = OUT, quiet: bool = False) -> None:
+    """Build the 10× world with an EXISTING session (bench.py shares its
+    local[32] session; ``main`` wraps this for the CLI path)."""
     from pyspark.sql import functions as F
 
-    from ovalspark.session import get_spark
-
-    spark = get_spark(
-        app_name="make-sf1",
-        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
-        shuffle_partitions=32,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
-    )
-    if os.path.exists(OUT):
-        shutil.rmtree(OUT)
-    os.makedirs(OUT)
+    if os.path.exists(out):
+        shutil.rmtree(out)
+    os.makedirs(out)
 
     for t in FIXED_DIMS:
-        src = spark.read.parquet(f"{SRC}/{t}.parquet")
-        src.write.parquet(f"{OUT}/{t}.parquet")
-        print(f"{t}: fixed dim, {src.count()} rows")
+        src_df = spark.read.parquet(f"{src}/{t}.parquet")
+        src_df.write.parquet(f"{out}/{t}.parquet")
+        if not quiet:
+            print(f"{t}: fixed dim, {src_df.count()} rows")
 
     for t, keycols in KEYED.items():
-        src = spark.read.parquet(f"{SRC}/{t}.parquet")
+        src_df = spark.read.parquet(f"{src}/{t}.parquet")
         replicas = []
         for r in range(REPLICAS):
-            rep = src
+            rep = src_df
             for col, domain in keycols.items():
                 rep = rep.withColumn(col, F.col(col) + F.lit(r * STRIDES[domain]))
             if t == "documents" and r > 0:
@@ -115,12 +119,27 @@ def main() -> int:
                     ),
                 ).withColumn("n_chars", F.length("text").cast("long"))
             replicas.append(rep)
-        out = replicas[0]
+        out_df = replicas[0]
         for rep in replicas[1:]:
-            out = out.unionByName(rep)
-        out.write.parquet(f"{OUT}/{t}.parquet")
-        n = spark.read.parquet(f"{OUT}/{t}.parquet").count()
-        print(f"{t}: {n} rows ({REPLICAS}x)")
+            out_df = out_df.unionByName(rep)
+        out_df.write.parquet(f"{out}/{t}.parquet")
+        if not quiet:
+            n = spark.read.parquet(f"{out}/{t}.parquet").count()
+            print(f"{t}: {n} rows ({REPLICAS}x)")
+    with open(os.path.join(out, MARKER), "w") as f:
+        f.write("ok\n")
+
+
+def main() -> int:
+    from ovalspark.session import get_spark
+
+    spark = get_spark(
+        app_name="make-sf1",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        shuffle_partitions=32,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    build(spark)
     print(f"sf1 world at {OUT}")
     return 0
 
