@@ -2060,6 +2060,176 @@ _Q68_ORACLE = f"""
 """
 
 
+_Q69_VERSION = "v1"
+
+
+def _q69_branch_wap_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-audit-publish as a value-checked gate row
+    (sources/branches.py — the table-level inversion of oval's
+    write-then-verify loop, worker.go:43-177): main starts as the 'en'
+    docs; a BAD branch stages rows whose doc_ids collide with main and
+    is REFUSED by the merged-view uniqueness audit (main untouched); a
+    GOOD branch stages the non-'en' docs and publishes. The query
+    aggregates BOTH main states (pre-publish, post-publish) per lang;
+    the oracle recomputes them from the raw documents table — so a
+    publish that leaked the refused branch, dropped staged rows, copied
+    instead of referenced, or disturbed the pre-publish snapshot
+    hash-mismatches. Structural pins run in-query: the publish commit's
+    manifest must reference branch files IN PLACE (zero data copied)
+    and record the WAP provenance properties."""
+    from ovalspark.sources.branches import create_branch, validate_then_publish
+    from ovalspark.sources.snapshots import (
+        current_snapshot_id,
+        load_manifest,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    root = _oracle_dir("q69", _Q69_VERSION, sf_dir)
+
+    def uniq_audit(df: DataFrame) -> DataFrame:
+        return df.groupBy("doc_id").count().filter(F.col("count") > 1)
+
+    def build(stage):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        snapshot_write(docs.filter(F.col("lang") == "en"), stage)
+        bad_root = create_branch(stage, "bad")
+        snapshot_write(docs.filter(F.col("lang") == "en").limit(50), bad_root)
+        sid, _ = validate_then_publish(
+            spark, stage, "bad", uniq_audit, mode="append", audit_merged=True
+        )
+        assert sid is None, "duplicate-staging branch must be refused"
+        rel_root = create_branch(stage, "release")
+        snapshot_write(docs.filter(F.col("lang") != "en"), rel_root)
+        sid, _ = validate_then_publish(
+            spark, stage, "release", uniq_audit, mode="append", audit_merged=True
+        )
+        assert sid == 2, f"clean branch must publish as snapshot 2, got {sid}"
+
+    _publish_once(root, build, is_valid=lambda: current_snapshot_id(root) == 2)
+
+    # structural pins: metadata-only publish with provenance recorded
+    m = load_manifest(root, 2)
+    props = m.get("properties") or {}
+    assert props.get("published_branch") == "release", props
+    branch_refs = [f for f in m["files"] if f["path"].startswith("_branches/release/")]
+    assert branch_refs, "publish must reference branch files in place"
+
+    def agg(df: DataFrame, snap: int) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.lit(snap).cast("int").alias("snap"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.count_distinct("doc_id").alias("n_ids"),
+        )
+
+    pre = agg(snapshot_read(spark, root, 1), 1)
+    post = agg(snapshot_read(spark, root, 2), 2)
+    return (
+        pre.unionByName(post)
+        .select("snap", "lang", "n_docs", "sum_chars", "n_ids")
+        .orderBy("snap", "lang")
+    )
+
+
+_Q69_ORACLE = """
+    SELECT * FROM (
+        SELECT CAST(1 AS INTEGER) AS snap, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids
+        FROM documents WHERE lang = 'en' GROUP BY lang
+        UNION ALL
+        SELECT CAST(2 AS INTEGER) AS snap, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids
+        FROM documents GROUP BY lang
+    ) ORDER BY snap, lang
+"""
+
+
+_Q70_VERSION = "v1"
+
+
+def _q70_tag_retention_pin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot TAGS as a value-checked gate row: snapshot 1 (the full
+    documents table) is tagged 'audited', snapshot 2 overwrites to the
+    'en' subset, snapshot 3 overwrites to the even-n_chars subset, then
+    retention runs with keep_last=1 — and must expire EXACTLY snapshot 2
+    (3 is the tip, 1 is pinned by the tag). The query aggregates the
+    tag-resolved read and the tip; the oracle recomputes both from the
+    raw table — a tag that resolved to the wrong id, or a retention pass
+    that expired (or vacuumed the files of) the pinned snapshot,
+    hash-mismatches or errors. In-query pin: the untagged middle
+    snapshot must be GONE (time travel to it raises)."""
+    from ovalspark.sources.snapshots import (
+        create_tag,
+        current_snapshot_id,
+        expire_snapshots,
+        resolve_tag,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    root = _oracle_dir("q70", _Q70_VERSION, sf_dir)
+
+    def build(stage):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        snapshot_write(docs, stage)
+        create_tag(stage, "audited", snapshot_id=1)
+        snapshot_write(docs.filter(F.col("lang") == "en"), stage, mode="overwrite")
+        snapshot_write(docs.filter(F.col("n_chars") % 2 == 0), stage, mode="overwrite")
+        expired = expire_snapshots(stage, keep_last=1, min_age_s=0.0)
+        assert expired == [2], f"retention must expire exactly [2], got {expired}"
+
+    _publish_once(
+        root,
+        build,
+        is_valid=lambda: current_snapshot_id(root) == 3
+        and resolve_tag(root, "audited") == 1,
+    )
+
+    try:
+        snapshot_read(spark, root, snapshot_id=2)
+        raise AssertionError("expired snapshot 2 must not resolve")
+    except FileNotFoundError:
+        pass
+
+    def agg(df: DataFrame, state: str) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.lit(state).alias("state"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.count_distinct("doc_id").alias("n_ids"),
+        )
+
+    tagged = agg(snapshot_read(spark, root, tag="audited"), "tagged")
+    tip = agg(snapshot_read(spark, root), "tip")
+    return (
+        tagged.unionByName(tip)
+        .select("state", "lang", "n_docs", "sum_chars", "n_ids")
+        .orderBy("state", "lang")
+    )
+
+
+_Q70_ORACLE = """
+    SELECT * FROM (
+        SELECT 'tagged' AS state, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids
+        FROM documents GROUP BY lang
+        UNION ALL
+        SELECT 'tip' AS state, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids
+        FROM documents WHERE n_chars % 2 = 0 GROUP BY lang
+    ) ORDER BY state, lang
+"""
+
+
 _Q53_VERSION = "v1"
 
 
@@ -2357,6 +2527,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q66_stream_feed": _q66_stream_feed,
             "q67_stream_sink": _q67_stream_sink,
             "q68_cdc_mirror": _q68_cdc_mirror,
+            "q69_branch_wap_publish": _q69_branch_wap_publish,
+            "q70_tag_retention_pin": _q70_tag_retention_pin,
         }
     )
     return out
@@ -2406,6 +2578,8 @@ def oracle_sql() -> dict[str, str]:
             "q66_stream_feed": _Q66_ORACLE,
             "q67_stream_sink": _Q67_ORACLE,
             "q68_cdc_mirror": _Q68_ORACLE,
+            "q69_branch_wap_publish": _Q69_ORACLE,
+            "q70_tag_retention_pin": _Q70_ORACLE,
         }
     )
     return out

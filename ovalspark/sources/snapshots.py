@@ -1555,8 +1555,11 @@ def expire_snapshots(
             return []
         locs = _catalog_manifest_locs(root)
         now = _time.time()
+        tagged = set(list_tags(root).values())
         expired = []
         for sid in range(1, cur - keep_last + 1):
+            if sid in tagged:
+                continue  # a TAG pins its snapshot against retention
             loc = locs.get(sid)
             p = (
                 os.path.join(_manifest_dir(root), loc)
@@ -1609,6 +1612,78 @@ def expire_snapshots(
     return expired
 
 
+def _tags_path(root: str) -> str:
+    return os.path.join(_manifest_dir(root), "TAGS.json")
+
+
+def list_tags(root: str) -> dict[str, int]:
+    """name -> snapshot id for every tag on the table (empty if none)."""
+    p = _tags_path(root)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return {k: int(v) for k, v in json.load(f).items()}
+
+
+def resolve_tag(root: str, name: str) -> int:
+    tags = list_tags(root)
+    if name not in tags:
+        raise KeyError(f"no tag {name!r} at {root} (have: {sorted(tags)})")
+    return tags[name]
+
+
+def create_tag(root: str, name: str, snapshot_id: int | None = None, guard=None) -> int:
+    """TAG a snapshot: an immutable named ref (Iceberg tags) that (a)
+    resolves by name (``resolve_tag`` / ``snapshot_read(..., tag=)``)
+    and (b) PINS its snapshot against ``expire_snapshots`` — the audited
+    /published/regulatory states a table must keep while ordinary
+    history ages out. Defaults to CURRENT. Tags are immutable: re-tagging
+    a taken name raises (delete first). The update runs under the commit
+    guard so concurrent taggers serialize with writers; the tag file is
+    root-local metadata (one small JSON), same locality class as
+    segments. Returns the tagged id."""
+    import re as _re
+
+    if not _re.match(r"^[A-Za-z0-9][A-Za-z0-9._-]*$", name):
+        raise ValueError(f"invalid tag name {name!r}")
+    from ovalspark.sources.commit_guard import resolve_guard
+
+    g = resolve_guard(guard)
+    token = g.acquire(root)
+    try:
+        sid = snapshot_id if snapshot_id is not None else current_snapshot_id(root)
+        if sid is None:
+            raise ValueError(f"cannot tag {root}: table has no snapshots")
+        _load_manifest_raw(root, sid)  # expired/never-committed ids raise here
+        tags = list_tags(root)
+        if name in tags:
+            raise ValueError(
+                f"tag {name!r} already points at snapshot {tags[name]} — "
+                f"tags are immutable; delete_tag first"
+            )
+        tags[name] = int(sid)
+        _atomic_write(_tags_path(root), json.dumps(tags, indent=1, sort_keys=True))
+        return int(sid)
+    finally:
+        g.release(token)
+
+
+def delete_tag(root: str, name: str, guard=None) -> None:
+    """Drop a tag; its snapshot becomes expirable again."""
+    from ovalspark.sources.commit_guard import resolve_guard
+
+    g = resolve_guard(guard)
+    token = g.acquire(root)
+    try:
+        tags = list_tags(root)
+        if name not in tags:
+            raise KeyError(f"no tag {name!r} at {root}")
+        del tags[name]
+        _atomic_write(_tags_path(root), json.dumps(tags, indent=1, sort_keys=True))
+    finally:
+        g.release(token)
+
+
 def vacuum(root: str, min_age_s: float = 0.0) -> list[str]:
     """Reclaim commit debris: data dirs not referenced by any committed
     manifest, and manifests past CURRENT (torn commits). Returns the
@@ -1637,39 +1712,59 @@ def vacuum(root: str, min_age_s: float = 0.0) -> list[str]:
     live_dirs: set[str] = set()
     live_manifests: set[str] = set()
     live_segments: set[str] = set()
-    if cur is not None:
-        for sid in range(1, cur + 1):
-            p = _resolve_manifest_path(root, sid)
-            if os.path.exists(p):
-                live_manifests.add(os.path.normpath(p))
-                with open(p) as f:
-                    m = json.load(f)
-                entries = list(m["files"])
-                for ref in m.get("file_segments") or []:
-                    # a segment referenced by ANY retained manifest is
-                    # live, and so are the data dirs of its entries
-                    live_segments.add(
-                        os.path.normpath(os.path.join(_manifest_dir(root), ref["loc"]))
-                    )
-                    entries.extend(_read_segment(root, ref["loc"]))
-                for fe in entries:
-                    live_dirs.add(os.path.dirname(os.path.normpath(_abs_path(root, fe["path"]))))
-                exp = m.get("expect")
-                if exp is not None:
-                    # an EMPTY append that recorded a promise references
-                    # its data dir only through the expect sidecar —
-                    # that promise (= every doc LOST) must survive vacuum
-                    live_dirs.add(
-                        os.path.dirname(os.path.normpath(_abs_path(root, exp["loc"])))
-                    )
-                dd = m.get("deleted_docs")
-                if dd is not None:
-                    # same carve-out for the delete sidecar: a delete
-                    # that removed every row of its rewritten files has
-                    # no new_files entry pointing at its data dir
-                    live_dirs.add(
-                        os.path.dirname(os.path.normpath(_abs_path(root, dd["loc"])))
-                    )
+
+    def _collect_live(r: str) -> None:
+        c = current_snapshot_id(r)
+        if c is None:
+            return
+        for sid in range(1, c + 1):
+            p = _resolve_manifest_path(r, sid)
+            if not os.path.exists(p):
+                continue
+            live_manifests.add(os.path.normpath(p))
+            with open(p) as f:
+                m = json.load(f)
+            entries = list(m["files"])
+            for ref in m.get("file_segments") or []:
+                # a segment referenced by ANY retained manifest is
+                # live, and so are the data dirs of its entries
+                live_segments.add(
+                    os.path.normpath(os.path.join(_manifest_dir(r), ref["loc"]))
+                )
+                entries.extend(_read_segment(r, ref["loc"]))
+            for fe in entries:
+                live_dirs.add(os.path.dirname(os.path.normpath(_abs_path(r, fe["path"]))))
+            exp = m.get("expect")
+            if exp is not None:
+                # an EMPTY append that recorded a promise references
+                # its data dir only through the expect sidecar —
+                # that promise (= every doc LOST) must survive vacuum
+                live_dirs.add(
+                    os.path.dirname(os.path.normpath(_abs_path(r, exp["loc"])))
+                )
+            dd = m.get("deleted_docs")
+            if dd is not None:
+                # same carve-out for the delete sidecar: a delete
+                # that removed every row of its rewritten files has
+                # no new_files entry pointing at its data dir
+                live_dirs.add(
+                    os.path.dirname(os.path.normpath(_abs_path(r, dd["loc"])))
+                )
+
+    _collect_live(root)
+    # branch-aware sweep: a table's branches (sources/branches) stage
+    # their data UNDER this root, and a PUBLISH re-references it from
+    # main's manifests — liveness is therefore the union of main's and
+    # every live branch's references, and data dirs of dropped/expired
+    # branches that nothing references anymore are debris like any other
+    branch_data_globs: list[str] = []
+    bdir = os.path.join(root, "_branches")
+    if os.path.isdir(bdir):
+        for bname in sorted(os.listdir(bdir)):
+            broot = os.path.join(bdir, bname)
+            if os.path.isdir(broot):
+                _collect_live(broot)
+                branch_data_globs.append(os.path.join(broot, "data", "snap-*"))
     # debris = any manifest file that is not the resolved path of a
     # committed id: torn commits past CURRENT, CAS losers' unique-named
     # files, retention leftovers — membership, not filename parsing
@@ -1683,10 +1778,11 @@ def vacuum(root: str, min_age_s: float = 0.0) -> list[str]:
         if os.path.normpath(sp) not in live_segments and _old_enough(sp):
             os.unlink(sp)
             removed.append(sp)
-    for dd in glob.glob(os.path.join(root, "data", "snap-*")):
-        if os.path.normpath(dd) not in live_dirs and _old_enough(dd):
-            shutil.rmtree(dd, ignore_errors=True)
-            removed.append(dd)
+    for g in [os.path.join(root, "data", "snap-*")] + branch_data_globs:
+        for dd in glob.glob(g):
+            if os.path.normpath(dd) not in live_dirs and _old_enough(dd):
+                shutil.rmtree(dd, ignore_errors=True)
+                removed.append(dd)
     return sorted(removed)
 
 
@@ -1748,6 +1844,7 @@ def snapshot_read(
     root: str,
     snapshot_id: int | None = None,
     prune: list[tuple] | tuple | None = None,
+    tag: str | None = None,
 ) -> DataFrame:
     """Read a table AS OF a snapshot (default: latest). The file list is
     immutable once committed, so this read is repeatable byte-for-byte no
@@ -1766,6 +1863,10 @@ def snapshot_read(
     committed before an additive schema evolution read their missing
     columns as NULL — and column presence never depends on which file
     Spark happens to sample for inference."""
+    if tag is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id or tag, not both")
+        snapshot_id = resolve_tag(root, tag)
     # raw first: schema + id are top-level, and a PRUNED read must not
     # pay the full segment expansion prune_files exists to avoid
     m = _load_manifest_raw(root, snapshot_id)
