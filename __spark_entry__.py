@@ -2230,6 +2230,105 @@ _Q70_ORACLE = """
 """
 
 
+_Q71_VERSION = "v1"
+
+
+def _q71_mor_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read delete lifecycle as a value-checked gate row
+    (q57's oracle-over-source trick for the METADATA-ONLY delete path):
+    snapshot 1 commits the documents table; snapshot 2 MoR-deletes
+    ``lang = 'en' AND n_chars % 3 = 0`` (zero files rewritten — pinned
+    in-query); snapshot 3 RE-APPENDS exactly the deleted rows under
+    suffixed doc_ids (the scope discipline: rows appended after the
+    delete that match its predicate must survive); snapshot 4
+    materializes the filters. The query aggregates snapshots 2, 3 and 4
+    per lang; the oracle recomputes all three from the raw table — a
+    filter that leaked at read, deleted the re-appended rows, or a
+    materialization that dropped/duplicated rows hash-mismatches."""
+    from ovalspark.sources.snapshots import (
+        current_snapshot_id,
+        load_manifest,
+        materialize_deletes,
+        snapshot_delete,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    root = _oracle_dir("q71", _Q71_VERSION, sf_dir)
+    pred = "lang = 'en' AND n_chars % 3 = 0"
+
+    def build(stage):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        snapshot_write(docs.repartition(4, "lang"), stage)
+        snapshot_delete(spark, stage, pred, strategy="merge-on-read")
+        readd = docs.filter(F.expr(pred)).withColumn(
+            "doc_id", F.col("doc_id") + F.lit(10_000_000)  # disjoint id space
+        )
+        snapshot_write(readd, stage, mode="append")
+        materialize_deletes(spark, stage)
+
+    _publish_once(root, build, is_valid=lambda: current_snapshot_id(root) == 4)
+
+    # structural pins: the delete was metadata-only and materialization
+    # cleared the filters
+    m1, m2, m4 = (load_manifest(root, s) for s in (1, 2, 4))
+    assert m2.get("mor") is True and len(m2["row_filters"]) == 1
+    assert {f["path"] for f in m2["files"]} == {f["path"] for f in m1["files"]}, (
+        "MoR delete must not rewrite data files"
+    )
+    assert "row_filters" not in m4
+
+    def agg(df: DataFrame, snap: int) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.lit(snap).cast("int").alias("snap"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.count_distinct("doc_id").alias("n_ids"),
+        )
+
+    out = (
+        agg(snapshot_read(spark, root, 2), 2)
+        .unionByName(agg(snapshot_read(spark, root, 3), 3))
+        .unionByName(agg(snapshot_read(spark, root, 4), 4))
+    )
+    return out.select("snap", "lang", "n_docs", "sum_chars", "n_ids").orderBy(
+        "snap", "lang"
+    )
+
+
+_Q71_PRED_SQL = "lang = 'en' AND n_chars % 3 = 0"
+
+_Q71_ORACLE = f"""
+    WITH survivors AS (
+        SELECT * FROM documents WHERE NOT ({_Q71_PRED_SQL})
+    ), readded AS (
+        SELECT * REPLACE (doc_id + 10000000 AS doc_id)
+        FROM documents WHERE {_Q71_PRED_SQL}
+    ), post AS (
+        SELECT * FROM survivors UNION ALL SELECT * FROM readded
+    )
+    SELECT * FROM (
+        SELECT CAST(2 AS INTEGER) AS snap, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids
+        FROM survivors GROUP BY lang
+        UNION ALL
+        SELECT CAST(3 AS INTEGER) AS snap, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids
+        FROM post GROUP BY lang
+        UNION ALL
+        SELECT CAST(4 AS INTEGER) AS snap, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids
+        FROM post GROUP BY lang
+    ) ORDER BY snap, lang
+"""
+
+
 _Q53_VERSION = "v1"
 
 
@@ -2529,6 +2628,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q68_cdc_mirror": _q68_cdc_mirror,
             "q69_branch_wap_publish": _q69_branch_wap_publish,
             "q70_tag_retention_pin": _q70_tag_retention_pin,
+            "q71_mor_delete": _q71_mor_delete,
         }
     )
     return out
@@ -2580,6 +2680,7 @@ def oracle_sql() -> dict[str, str]:
             "q68_cdc_mirror": _Q68_ORACLE,
             "q69_branch_wap_publish": _Q69_ORACLE,
             "q70_tag_retention_pin": _Q70_ORACLE,
+            "q71_mor_delete": _Q71_ORACLE,
         }
     )
     return out

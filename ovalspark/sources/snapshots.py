@@ -718,41 +718,53 @@ def prune_files(
     inventory). Refs without aggregates (pre-stats segments) expand and
     prune per-file, the conservative path."""
     m = _load_manifest_raw(root, snapshot_id)
-    if conditions is None:
-        conditions = []
-    if isinstance(conditions, tuple):
-        conditions = [conditions]
-
-    num = (int, float)
-
-    def comparable(a, b) -> bool:
-        return (isinstance(a, num) and isinstance(b, num)) or (
-            isinstance(a, str) and isinstance(b, str)
-        )
-
-    def survives(fe: dict[str, Any]) -> bool:
-        cs = fe.get("col_stats") or {}
-        for col, lo, hi in conditions:
-            st = cs.get(col)
-            if st is None:
-                continue  # no stats: cannot prune
-            if lo is not None and comparable(st["max"], lo) and st["max"] < lo:
-                return False
-            if hi is not None and comparable(st["min"], hi) and st["min"] > hi:
-                return False
-        return True
-
+    conditions = _norm_conditions(conditions)
     out: list[str] = []
     for ref in m.get("file_segments") or []:
         # a ref carries {col_stats: {col: {min, max}}} — exactly the
-        # shape survives() prunes on; a ref without stats survives
-        if not survives(ref):
+        # shape _entry_survives prunes on; a ref without stats survives
+        if not _entry_survives(ref, conditions):
             continue
         out.extend(
-            _abs_path(root, e["path"]) for e in _read_segment(root, ref["loc"]) if survives(e)
+            _abs_path(root, e["path"])
+            for e in _read_segment(root, ref["loc"])
+            if _entry_survives(e, conditions)
         )
-    out.extend(_abs_path(root, f["path"]) for f in m["files"] if survives(f))
+    out.extend(
+        _abs_path(root, f["path"]) for f in m["files"] if _entry_survives(f, conditions)
+    )
     return out
+
+
+def _norm_conditions(conditions) -> list[tuple]:
+    if conditions is None:
+        return []
+    if isinstance(conditions, tuple):
+        return [conditions]
+    return list(conditions)
+
+
+def _stats_comparable(a, b) -> bool:
+    num = (int, float)
+    return (isinstance(a, num) and isinstance(b, num)) or (
+        isinstance(a, str) and isinstance(b, str)
+    )
+
+
+def _entry_survives(fe: dict[str, Any], conditions: list[tuple]) -> bool:
+    """Range-prune one manifest entry (file or segment ref) on its
+    recorded column bounds; absent/incomparable stats always survive
+    (metadata absence can cost a scan, never rows)."""
+    cs = fe.get("col_stats") or {}
+    for col, lo, hi in conditions:
+        st = cs.get(col)
+        if st is None:
+            continue  # no stats: cannot prune
+        if lo is not None and _stats_comparable(st["max"], lo) and st["max"] < lo:
+            return False
+        if hi is not None and _stats_comparable(st["min"], hi) and st["min"] > hi:
+            return False
+    return True
 
 
 def _abs_path(root: str, path: str) -> str:
@@ -1023,6 +1035,7 @@ def _commit_new_files(
     inline = list(new_files)
     segments: list[dict] = []
     spilled_loc: str | None = None
+    carried_filters: list[dict] | None = None
     if mode == "append" and parent is not None:
         # O(added) metadata: parent's segments carry into this manifest BY
         # REFERENCE; its inline tail is concatenated until it would
@@ -1031,6 +1044,11 @@ def _commit_new_files(
         pm_raw = _load_manifest_raw(root, parent)
         segments = list(pm_raw.get("file_segments") or [])
         parent_inline = pm_raw["files"]
+        # pending merge-on-read filters carry VERBATIM: their scopes name
+        # files by path (stable under the spill below) and segments by
+        # immutable loc — the appended files are outside every scope, so
+        # new rows matching an old delete predicate are not deleted
+        carried_filters = list(pm_raw.get("row_filters") or []) or None
         if parent_inline and len(parent_inline) + len(inline) > _SEGMENT_SPILL_ENTRIES:
             ref = _spill_segment(root, sid, parent_inline)
             spilled_loc = ref["loc"]
@@ -1039,6 +1057,11 @@ def _commit_new_files(
             inline = parent_inline + inline
     total_rows = sum(s["rows"] for s in segments) + sum(f["rows"] for f in inline)
     total_bytes = sum(s["bytes"] for s in segments) + sum(f["bytes"] for f in inline)
+    if carried_filters:
+        # entry rows are PHYSICAL; with filters pending the table's
+        # logical count is the parent's (already net of MoR deletes)
+        # plus what this append added
+        total_rows = pm_raw["total_rows"] + sum(f["rows"] for f in new_files)
     manifest = {
         "snapshot_id": sid,
         "parent_id": parent,
@@ -1049,6 +1072,8 @@ def _commit_new_files(
         "total_bytes": total_bytes,
         "files": inline,
     }
+    if carried_filters:
+        manifest["row_filters"] = carried_filters
     if segments:
         manifest["file_segments"] = segments
     if properties:
@@ -1195,6 +1220,7 @@ def snapshot_delete(
     guard=None,
     prune: list[tuple] | tuple | None = None,
     discovery_cap: int | None = None,
+    strategy: str = "copy-on-write",
 ) -> int:
     """Predicate delete as a NEW snapshot (oval's DELETE op re-expressed
     at table granularity, ``internal/runner/worker.go`` delete path; the
@@ -1213,12 +1239,32 @@ def snapshot_delete(
     ``delete`` with ``deleted_rows``, which keeps such commits out of
     the tail's append-only span batching and lets delta validation treat
     the rewritten files as the commit's scope — no false LOST_DOC for
-    rows that legitimately went away (tests/test_snapshots.py)."""
+    rows that legitimately went away (tests/test_snapshots.py).
+
+    ``strategy`` — ``copy-on-write`` (default, the behavior above) or
+    ``merge-on-read``: commit the delete as METADATA ONLY (a row filter
+    carried in the manifest, applied by ``snapshot_read``) — zero data
+    files rewritten, the Iceberg MoR delete-file idea re-expressed at
+    the predicate level. See ``_snapshot_delete_mor`` for the scope
+    discipline and ``materialize_deletes`` for paying the deferred
+    rewrite. MoR requires a SQL-string predicate (a Column has no
+    faithful serialization to re-apply at read time)."""
     import shutil
     import uuid
 
     from pyspark.sql import Column
 
+    if strategy not in ("copy-on-write", "merge-on-read"):
+        raise ValueError(f"strategy must be copy-on-write|merge-on-read, got {strategy!r}")
+    if strategy == "merge-on-read":
+        if isinstance(predicate, Column):
+            raise ValueError(
+                "merge-on-read deletes require a SQL-string predicate (a "
+                "Column expression cannot be serialized into the manifest "
+                "for re-application at read time); pass SQL or use "
+                "strategy='copy-on-write'"
+            )
+        return _snapshot_delete_mor(spark, root, str(predicate), guard=guard, prune=prune)
     if discovery_cap is not None and discovery_cap < 1:
         # cap=-1 would make limit(cap+1)=limit(0) return NO hit rows: the
         # delete would silently report "nothing matched" while matching
@@ -1228,6 +1274,17 @@ def snapshot_delete(
     if parent is None:
         raise FileNotFoundError(f"no committed snapshot at {root}")
     m = load_manifest(root, parent)
+    if m.get("row_filters"):
+        # a CoW rewrite reads affected files RAW and re-emits survivors
+        # as new files outside every pending filter's scope — previously
+        # MoR-deleted rows in those files would silently RESURRECT
+        raise ValueError(
+            f"table at {root} has {len(m['row_filters'])} merge-on-read "
+            f"delete filter(s) pending — a copy-on-write delete would "
+            f"resurrect MoR-deleted rows in the files it rewrites; run "
+            f"materialize_deletes first, or stack another "
+            f"strategy='merge-on-read' delete"
+        )
     if prune is not None:
         # caller-supplied range bounds implied by the predicate: the
         # discovery scan opens only files whose manifest column bounds
@@ -1362,6 +1419,303 @@ def snapshot_delete(
     return sid
 
 
+def _snapshot_delete_mor(
+    spark: SparkSession,
+    root: str,
+    pred_sql: str,
+    guard=None,
+    prune: list[tuple] | tuple | None = None,
+) -> int:
+    """Merge-on-read delete: a METADATA-ONLY commit. The child manifest
+    carries the parent's file inventory untouched plus a ``row_filters``
+    entry — the SQL predicate and its SCOPE (which files existed when
+    the delete committed) — that ``snapshot_read`` applies as a plain
+    JVM filter. Zero data bytes move; the deferred rewrite is paid once
+    by ``materialize_deletes`` (or never, if retention outlives the
+    data). This is the right delete shape at 100 TB: a predicate
+    touching half the table's files costs O(matched keys) IO here vs a
+    full rewrite under copy-on-write.
+
+    SCOPE DISCIPLINE (the correctness core): the filter must apply ONLY
+    to files present at delete time — a row appended LATER that happens
+    to match the predicate is NOT deleted (Iceberg expresses the same
+    rule with sequence numbers). Scope is recorded as {parent's segment
+    locs} + {parent's inline file paths}; membership at read time is
+    (file's segment loc ∈ scope.segments) OR (file path ∈ scope.files).
+    Both survive every later layout change that preserves file paths:
+    an inline→segment spill moves entries whose PATHS stay in
+    scope.files, and shared segments carry their locs. The one
+    reorganizer that breaks loc identity — ``merge_segments`` — refuses
+    while filters are pending. If the parent's inline list is large the
+    commit spills it into a segment FIRST, so a scope is always O(refs
+    + ≤spill-bound paths), never O(table).
+
+    The matched set is computed against the parent's FILTERED view
+    (``snapshot_read`` — stacked MoR deletes must not re-count rows an
+    earlier filter already removed); matched ``doc_id``s persist as the
+    same ``_deleted`` sidecar the CoW path writes, so CDC retractions
+    and ``validate_delete`` read-back work identically under either
+    strategy. ``prune`` bounds the matched-set scan (caller-owned
+    soundness claim, as in CoW) — the filter itself needs no pruning,
+    it is scoped by construction. Zero matches commit nothing."""
+    import shutil
+    import uuid
+
+    from ovalspark.sources.commit_guard import resolve_guard  # noqa: F401  (parity with CoW)
+
+    parent = current_snapshot_id(root)
+    if parent is None:
+        raise FileNotFoundError(f"no committed snapshot at {root}")
+    m_raw = _load_manifest_raw(root, parent)
+    pred = F.expr(pred_sql)
+    sid = parent + 1
+    data_dir = os.path.join(root, "data", f"snap-{sid}-{uuid.uuid4().hex[:8]}")
+    deleted_dir = os.path.join(data_dir, "_deleted")
+
+    # matched rows = live rows (earlier filters applied) where pred IS
+    # TRUE — filter(pred) drops NULL-predicate rows, SQL DELETE semantics
+    live_matched = snapshot_read(spark, root, snapshot_id=parent, prune=prune).filter(pred)
+    schema_cols = {f["name"] for f in json.loads(m_raw["schema_json"])["fields"]}
+    manifest_extra: dict[str, Any] = {}
+    if "doc_id" in schema_cols:
+        (
+            live_matched.select(F.col("doc_id").cast("string").alias("doc_id"))
+            .write.mode("error")
+            .parquet(deleted_dir)
+        )
+        import pyarrow.parquet as pq
+
+        matched = sum(
+            pq.ParquetFile(p).metadata.num_rows
+            for p in glob.glob(os.path.join(deleted_dir, "part-*.parquet"))
+        )
+        manifest_extra["deleted_docs"] = {
+            "loc": os.path.relpath(deleted_dir, root),
+            "n_docs": int(matched),
+        }
+    else:
+        matched = live_matched.count()
+    if matched == 0:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        return parent
+
+    segments = list(m_raw.get("file_segments") or [])
+    inline = list(m_raw["files"])
+    spilled_loc: str | None = None
+    if len(inline) > _SEGMENT_SPILL_ENTRIES:
+        # keep every scope O(refs + bounded paths): a wide inline list
+        # (e.g. a single overwrite that wrote the whole table) would
+        # otherwise be copied into this and every later manifest's scope
+        ref = _spill_segment(root, sid, inline)
+        spilled_loc = ref["loc"]
+        segments.append(ref)
+        inline = []
+    scope = {
+        "segments": [ref["loc"] for ref in segments],
+        "files": [f["path"] for f in inline],
+    }
+    row_filters = list(m_raw.get("row_filters") or [])
+    row_filters.append(
+        {"pred": pred_sql, "scope": scope, "sid": sid, "deleted_rows": int(matched)}
+    )
+    manifest = {
+        "snapshot_id": sid,
+        "parent_id": parent,
+        "operation": "delete",
+        "schema_ddl": m_raw["schema_ddl"],
+        "schema_json": m_raw["schema_json"],
+        "total_rows": m_raw["total_rows"] - int(matched),
+        # physical bytes are unchanged (nothing rewritten); logical bytes
+        # shrink only at materialization — recorded as-is on purpose
+        "total_bytes": m_raw["total_bytes"],
+        "deleted_rows": int(matched),
+        "delete_predicate": pred_sql,
+        "mor": True,
+        "row_filters": row_filters,
+        "files": inline,
+    }
+    if segments:
+        manifest["file_segments"] = segments
+    manifest.update(manifest_extra)
+    try:
+        _commit_manifest(root, parent, sid, manifest, guard)
+    except ConcurrentCommitError:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        if spilled_loc is not None:
+            try:
+                os.unlink(os.path.join(_manifest_dir(root), spilled_loc))
+            except OSError:
+                pass
+        raise
+    return sid
+
+
+def _expand_with_provenance(
+    root: str, m: dict[str, Any]
+) -> list[tuple[dict[str, Any], str | None]]:
+    """(entry, containing segment loc | None-for-inline) for every file
+    of a raw manifest — the shape row-filter scope membership needs."""
+    out: list[tuple[dict[str, Any], str | None]] = []
+    for ref in m.get("file_segments") or []:
+        for e in _read_segment(root, ref["loc"]):
+            out.append((e, ref["loc"]))
+    for f in m["files"]:
+        out.append((f, None))
+    return out
+
+
+def _filter_groups(
+    root: str, m: dict[str, Any], prune: list[tuple] | tuple | None
+) -> dict[tuple[int, ...], list[str]]:
+    """Group a MoR manifest's (optionally range-pruned) files by the
+    tuple of row-filter indices that apply to each — the read plan's
+    strata. Typically 2 groups: pre-delete files (filtered) and
+    post-delete appends (not)."""
+    conditions = _norm_conditions(prune)
+    scopes = [
+        (set(f["scope"].get("segments") or []), set(f["scope"].get("files") or []))
+        for f in m["row_filters"]
+    ]
+    groups: dict[tuple[int, ...], list[str]] = {}
+    for e, loc in _expand_with_provenance(root, m):
+        if conditions and not _entry_survives(e, conditions):
+            continue
+        sig = tuple(
+            i
+            for i, (segs, fls) in enumerate(scopes)
+            if (loc is not None and loc in segs) or e["path"] in fls
+        )
+        groups.setdefault(sig, []).append(_abs_path(root, e["path"]))
+    return groups
+
+
+def _apply_row_filters(df: DataFrame, filters: list[dict], sig: tuple[int, ...]) -> DataFrame:
+    for i in sig:
+        pred = F.expr(filters[i]["pred"])
+        # NOT(pred IS TRUE): NULL-predicate rows were KEPT by the delete
+        df = df.filter(~F.coalesce(pred.cast("boolean"), F.lit(False)))
+    return df
+
+
+def _read_with_filters(
+    spark: SparkSession, root: str, m: dict[str, Any], prune
+) -> DataFrame:
+    """The stratified MoR read: each stratum is one parquet scan with its
+    applying predicates as plain JVM filters (pushdown-eligible), unioned
+    by name. Range pruning is per-entry here (the two-level segment skip
+    is bypassed — provenance is needed anyway); MoR filters are a
+    TRANSIENT state between delete and materialization, so the pruned
+    read's metadata cost is O(inventory) only during that window."""
+    filters = m["row_filters"]
+    schema = _committed_schema(m)
+    parts: list[DataFrame] = []
+    for sig, paths in sorted(_filter_groups(root, m, prune).items()):
+        parts.append(_apply_row_filters(spark.read.schema(schema).parquet(*paths), filters, sig))
+    if not parts:
+        return spark.createDataFrame([], schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def materialize_deletes(
+    spark: SparkSession,
+    root: str,
+    guard=None,
+    target_file_mb: int = 128,
+) -> int:
+    """Pay the merge-on-read debt: rewrite exactly the files some pending
+    row filter applies to (each stratum filtered by ITS filters), carry
+    every untouched file/segment by reference, and commit a ``replace``
+    snapshot with NO ``row_filters`` — after which compaction, segment
+    merging and copy-on-write deletes are available again. Returns the
+    new snapshot id (or the parent when no filters are pending). Time
+    travel to pre-materialization ids still applies their filters."""
+    import shutil
+    import uuid
+
+    parent = current_snapshot_id(root)
+    if parent is None:
+        raise FileNotFoundError(f"no committed snapshot at {root}")
+    m_raw = _load_manifest_raw(root, parent)
+    filters = m_raw.get("row_filters")
+    if not filters:
+        return parent
+    groups = _filter_groups(root, m_raw, None)
+    keep_paths = set(groups.pop((), []))
+    # untouched segments (every entry unfiltered) carry by reference;
+    # everything else (filtered entries + inline keeps) lands inline
+    kept_segs: list[dict[str, Any]] = []
+    keep_inline: list[dict[str, Any]] = []
+    for ref in m_raw.get("file_segments") or []:
+        entries = _read_segment(root, ref["loc"])
+        if all(_abs_path(root, e["path"]) in keep_paths for e in entries):
+            kept_segs.append(ref)
+        else:
+            keep_inline.extend(
+                e for e in entries if _abs_path(root, e["path"]) in keep_paths
+            )
+    keep_inline.extend(f for f in m_raw["files"] if _abs_path(root, f["path"]) in keep_paths)
+
+    sid = parent + 1
+    data_dir = os.path.join(root, "data", f"snap-{sid}-{uuid.uuid4().hex[:8]}")
+    schema = _committed_schema(m_raw)
+    bytes_by_path = {
+        _abs_path(root, e["path"]): e["bytes"]
+        for e, _ in _expand_with_provenance(root, m_raw)
+    }
+    rewritten = None
+    rewrite_bytes = 0
+    for sig, paths in sorted(groups.items()):
+        part = _apply_row_filters(spark.read.schema(schema).parquet(*paths), filters, sig)
+        rewritten = part if rewritten is None else rewritten.unionByName(part)
+        # pre-delete sizes: an upper bound, only used to pick a file count
+        rewrite_bytes += sum(bytes_by_path[p] for p in paths)
+    new_files: list[dict[str, Any]] = []
+    if rewritten is not None:
+        n_files = max(1, -(-rewrite_bytes // (target_file_mb * 1024 * 1024)))
+        rewritten.repartition(n_files).write.mode("error").parquet(data_dir)
+        new_files = [
+            fe
+            for fe in _footer_stats(glob.glob(os.path.join(data_dir, "part-*.parquet")), root)
+            if fe["rows"] > 0
+        ]
+    inline = keep_inline + new_files
+    spilled_loc: str | None = None
+    if keep_inline and len(inline) > _SEGMENT_SPILL_ENTRIES:
+        ref = _spill_segment(root, sid, keep_inline)
+        spilled_loc = ref["loc"]
+        kept_segs = kept_segs + [ref]
+        inline = list(new_files)
+    total_rows = sum(s["rows"] for s in kept_segs) + sum(f["rows"] for f in inline)
+    total_bytes = sum(s["bytes"] for s in kept_segs) + sum(f["bytes"] for f in inline)
+    manifest = {
+        "snapshot_id": sid,
+        "parent_id": parent,
+        "operation": "replace",
+        "schema_ddl": m_raw["schema_ddl"],
+        "schema_json": m_raw["schema_json"],
+        "total_rows": total_rows,
+        "total_bytes": total_bytes,
+        "materialized_filters": len(filters),
+        "files": inline,
+    }
+    if kept_segs:
+        manifest["file_segments"] = kept_segs
+    try:
+        _commit_manifest(root, parent, sid, manifest, guard)
+    except ConcurrentCommitError:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        if spilled_loc is not None:
+            try:
+                os.unlink(os.path.join(_manifest_dir(root), spilled_loc))
+            except OSError:
+                pass
+        raise
+    return sid
+
+
 def snapshot_compact(
     spark: SparkSession,
     root: str,
@@ -1387,6 +1741,14 @@ def snapshot_compact(
     if parent is None:
         raise FileNotFoundError(f"no committed snapshot at {root}")
     m = load_manifest(root, parent)
+    if m.get("row_filters"):
+        # the bin-pack rewrite would re-emit MoR-deleted rows into files
+        # outside every filter's scope (resurrection); materialization IS
+        # the compaction of those files
+        raise ValueError(
+            f"table at {root} has merge-on-read delete filter(s) pending — "
+            f"run materialize_deletes first, then compact"
+        )
     threshold = target_file_mb * 1024 * 1024
     small = [f for f in m["files"] if f["bytes"] < threshold]
     if len(small) < 2:
@@ -1468,6 +1830,14 @@ def merge_segments(root: str, guard=None, target_entries: int | None = None) -> 
     if parent is None:
         raise FileNotFoundError(f"no committed snapshot at {root}")
     raw = _load_manifest_raw(root, parent)
+    if raw.get("row_filters"):
+        # merging rewrites segment LOCS, which row-filter scopes match on
+        # — a merged segment mixing scope and non-scope files is not
+        # representable, so the reorganization waits for materialization
+        raise ValueError(
+            f"table at {root} has merge-on-read delete filter(s) pending — "
+            f"run materialize_deletes first, then merge_segments"
+        )
     refs = raw.get("file_segments") or []
     small_locs = {r["loc"] for r in refs if r["n_files"] < target // 2}
     if len(small_locs) < 2:
@@ -1870,6 +2240,10 @@ def snapshot_read(
     # raw first: schema + id are top-level, and a PRUNED read must not
     # pay the full segment expansion prune_files exists to avoid
     m = _load_manifest_raw(root, snapshot_id)
+    if m.get("row_filters"):
+        # pending merge-on-read deletes: the stratified read applies each
+        # filter to exactly the files in its scope (see _snapshot_delete_mor)
+        return _read_with_filters(spark, root, m, prune)
     if prune is not None:
         # pin to the resolved id: CURRENT may flip between the two
         # manifest reads, and a prune against a newer snapshot would

@@ -202,6 +202,16 @@ class _SnapshotBatchReader(DataSourceReader):
 
     def partitions(self):
         m = sn._load_manifest_raw(self.root, self.snapshot_id)
+        if m.get("row_filters"):
+            # this reader plans raw file scans — it cannot apply the
+            # stratified merge-on-read filters, and serving the physical
+            # rows would resurrect deleted ones
+            raise ValueError(
+                f"snapshot {m['snapshot_id']} of {self.root} has "
+                f"merge-on-read delete filter(s) pending — read it via "
+                f"snapshot_read (stratified MoR read), or run "
+                f"materialize_deletes first"
+            )
         if self.prune:
             paths = sn.prune_files(self.root, m["snapshot_id"], self.prune)
         else:
@@ -269,6 +279,13 @@ class _PruningBatchReader(_SnapshotBatchReader):
         if not conds:
             return super().partitions()
         m = sn._load_manifest_raw(self.root, self.snapshot_id)
+        if m.get("row_filters"):
+            raise ValueError(
+                f"snapshot {m['snapshot_id']} of {self.root} has "
+                f"merge-on-read delete filter(s) pending — read it via "
+                f"snapshot_read (stratified MoR read), or run "
+                f"materialize_deletes first"
+            )
         paths = sn.prune_files(
             self.root, m["snapshot_id"], conds + (self.prune or [])
         )
