@@ -2329,6 +2329,97 @@ _Q71_ORACLE = f"""
 """
 
 
+_Q72_VERSION = "v1"
+
+
+def _q72_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-by-key as a value-checked gate row
+    (``snapshots.snapshot_upsert``): snapshot 1 commits the documents
+    table; snapshot 2 upserts ONE staged frame that (a) re-ingests every
+    'en' doc with modified content (text + ' xx') under its SAME doc_id
+    and (b) inserts brand-new 'fr' docs under shifted doc_ids — the
+    replaced 'en' generation must be hidden by the keys filter while
+    everything else survives; snapshot 3 materializes. The oracle
+    recomputes all three states from the raw table. In-query pins: the
+    upsert rewrote no pre-existing file; validate_upsert (each staged
+    key = exactly one generation) returns zero rows."""
+    from ovalspark.operators.incremental import validate_upsert
+    from ovalspark.sources.snapshots import (
+        current_snapshot_id,
+        load_manifest,
+        materialize_deletes,
+        snapshot_read,
+        snapshot_upsert,
+        snapshot_write,
+    )
+
+    root = _oracle_dir("q72", _Q72_VERSION, sf_dir)
+
+    def staged_frame(docs: DataFrame) -> DataFrame:
+        replaced = docs.filter(F.col("lang") == "en").withColumn(
+            "text", F.concat(F.col("text"), F.lit(" xx"))
+        )
+        inserted = docs.filter(F.col("lang") == "fr").withColumn(
+            "doc_id", F.col("doc_id") + F.lit(20_000_000)
+        )
+        return replaced.unionByName(inserted).withColumn(
+            "n_chars", F.length("text").cast(docs.schema["n_chars"].dataType)
+        )
+
+    def build(stage):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        snapshot_write(docs.repartition(4, "lang"), stage)
+        snapshot_upsert(spark, stage, staged_frame(docs))
+        assert validate_upsert(spark, stage, 2).isEmpty(), "read-back must be clean"
+        materialize_deletes(spark, stage)
+
+    _publish_once(root, build, is_valid=lambda: current_snapshot_id(root) == 3)
+
+    m1, m2 = load_manifest(root, 1), load_manifest(root, 2)
+    assert m2["operation"] == "upsert"
+    p1 = {f["path"] for f in m1["files"]}
+    assert p1 <= {f["path"] for f in m2["files"]}, "upsert must not rewrite old files"
+
+    def agg(df: DataFrame, snap: int) -> DataFrame:
+        return df.groupBy("lang").agg(
+            F.lit(snap).cast("int").alias("snap"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.count_distinct("doc_id").alias("n_ids"),
+        )
+
+    out = (
+        agg(snapshot_read(spark, root, 1), 1)
+        .unionByName(agg(snapshot_read(spark, root, 2), 2))
+        .unionByName(agg(snapshot_read(spark, root, 3), 3))
+    )
+    return out.select("snap", "lang", "n_docs", "sum_chars", "n_ids").orderBy(
+        "snap", "lang"
+    )
+
+
+_Q72_ORACLE = """
+    WITH post AS (
+        SELECT * FROM documents WHERE lang <> 'en'
+        UNION ALL
+        SELECT * REPLACE (text || ' xx' AS text, n_chars + 3 AS n_chars)
+        FROM documents WHERE lang = 'en'
+        UNION ALL
+        SELECT * REPLACE (doc_id + 20000000 AS doc_id)
+        FROM documents WHERE lang = 'fr'
+    ), states AS (
+        SELECT 1 AS snap, * FROM documents
+        UNION ALL SELECT 2 AS snap, * FROM post
+        UNION ALL SELECT 3 AS snap, * FROM post
+    )
+    SELECT CAST(snap AS INTEGER) AS snap, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids
+    FROM states GROUP BY snap, lang ORDER BY snap, lang
+"""
+
+
 _Q53_VERSION = "v1"
 
 
@@ -2629,6 +2720,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q69_branch_wap_publish": _q69_branch_wap_publish,
             "q70_tag_retention_pin": _q70_tag_retention_pin,
             "q71_mor_delete": _q71_mor_delete,
+            "q72_upsert": _q72_upsert,
         }
     )
     return out
@@ -2681,6 +2773,7 @@ def oracle_sql() -> dict[str, str]:
             "q69_branch_wap_publish": _Q69_ORACLE,
             "q70_tag_retention_pin": _Q70_ORACLE,
             "q71_mor_delete": _Q71_ORACLE,
+            "q72_upsert": _Q72_ORACLE,
         }
     )
     return out

@@ -11,6 +11,7 @@ from ovalspark.operators.incremental import (  # noqa: F401
     validate_delete,
     validate_replace,
     validate_snapshot_delta,
+    validate_upsert,
     validate_snapshot_tail,
     validate_snapshot_tail_checkpointed,
 )

@@ -128,16 +128,27 @@ def validate_delete(
         )
     from ovalspark.sources.snapshots import _abs_path  # scoped file list
 
-    if full_scan:
-        from ovalspark.sources.snapshots import _expand_manifest
-
-        files = [_abs_path(root, f["path"]) for f in _expand_manifest(root, m)["files"]]
-    else:
-        files = manifest_diff(root, m["parent_id"], m["snapshot_id"])
     empty = spark.createDataFrame([], VIOLATION_SCHEMA)
-    if not files:
-        return empty  # delete rewrote everything away: nothing can survive
-    df = spark.read.parquet(*files)
+    if m.get("mor"):
+        # a merge-on-read delete rewrote nothing: visibility is a READ
+        # property, so the read-back verifies the stratified read itself
+        # — survivors hunted over snapshot_read at the delete id. Cost is
+        # O(scope) with the predicate pushed into each stratum's scan
+        # (not the CoW path's O(rewritten)); MoR tables pay it until
+        # materialize_deletes folds the filters away.
+        from ovalspark.sources.snapshots import snapshot_read
+
+        df = snapshot_read(spark, root, m["snapshot_id"])
+    else:
+        if full_scan:
+            from ovalspark.sources.snapshots import _expand_manifest
+
+            files = [_abs_path(root, f["path"]) for f in _expand_manifest(root, m)["files"]]
+        else:
+            files = manifest_diff(root, m["parent_id"], m["snapshot_id"])
+        if not files:
+            return empty  # delete rewrote everything away: nothing can survive
+        df = spark.read.parquet(*files)
     doc_id = F.col("doc_id").cast("string") if "doc_id" in df.columns else F.lit(None).cast("string")
     if pred_sql is not None:
         # survivor hunt selects predicate-TRUE rows: plain filter pushes
@@ -165,6 +176,64 @@ def validate_delete(
         F.lit("deleted").alias("expected"),
         actual.alias("actual"),
         F.lit("DELETE_SURVIVOR").alias("violation_class"),
+        F.lit(None).cast("int").alias("writer_id"),
+        F.lit(None).cast("timestamp").alias("written_at"),
+    )
+
+
+def validate_upsert(
+    spark: SparkSession,
+    root: str,
+    snapshot_id: int,
+) -> "DataFrame":
+    """Read-back verification of a MERGE commit
+    (``snapshots.snapshot_upsert``): after the upsert, every staged key
+    must resolve to EXACTLY ONE row — its new generation. Two failure
+    shapes, both in VIOLATION_SCHEMA: ``UPSERT_STALE_GENERATION`` (a
+    staged key resolves to >1 row: the keys-filter failed to hide the
+    replaced generation) and ``UPSERT_LOST`` (a staged key resolves to
+    none: a filter over-matched and swallowed the new row). Staged keys
+    come from the commit's own added files (``manifest_diff`` — O(added)
+    discovery); the multiplicity check reads the table AS OF the upsert
+    id through the same stratified read users get. Empty result = a
+    verified merge."""
+    import pyspark.sql.functions as F
+
+    from ovalspark.sources.snapshots import _load_manifest_raw, manifest_diff, snapshot_read
+
+    m = _load_manifest_raw(root, snapshot_id)
+    if m["operation"] != "upsert":
+        raise ValueError(
+            f"snapshot {m['snapshot_id']} at {root} is {m['operation']!r}, not an upsert commit"
+        )
+    key = m["upsert_key"]
+    added = manifest_diff(root, m["parent_id"], m["snapshot_id"])
+    empty = spark.createDataFrame([], VIOLATION_SCHEMA)
+    if not added:
+        return empty  # zero staged rows never commit; defensive
+    staged = spark.read.parquet(*added).select(key).distinct()
+    cur = snapshot_read(spark, root, m["snapshot_id"]).select(key)
+    counts = cur.join(staged, key, "left_semi").groupBy(key).agg(F.count("*").alias("_n"))
+    stale = counts.filter(F.col("_n") > 1).select(
+        F.col(key).cast("string").alias("doc_id"),
+        F.lit("UPSERT_STALE_GENERATION").alias("violation_class"),
+        F.concat(F.lit("present "), F.col("_n").cast("string"), F.lit(" times")).alias(
+            "actual"
+        ),
+    )
+    lost = staged.join(cur, key, "left_anti").select(
+        F.col(key).cast("string").alias("doc_id"),
+        F.lit("UPSERT_LOST").alias("violation_class"),
+        F.lit("absent").alias("actual"),
+    )
+    return stale.unionByName(lost).select(
+        F.lit(None).cast("int").alias("partition_id"),
+        "doc_id",
+        F.lit(None).cast("int").alias("span_idx"),
+        F.lit("upsert_key").alias("field"),
+        F.lit("exactly one generation").alias("expected"),
+        "actual",
+        "violation_class",
         F.lit(None).cast("int").alias("writer_id"),
         F.lit(None).cast("timestamp").alias("written_at"),
     )
@@ -698,6 +767,10 @@ def _tail_deltas(
                     v = v.unionByName(
                         validate_delete(spark, root, first, m_first.get("delete_predicate"))
                     )
+                # a MERGE carries its own read-back obligation: each
+                # staged key resolves to exactly its new generation
+                if m_first["operation"] == "upsert":
+                    v = v.unionByName(validate_upsert(spark, root, first))
             yield span, files, v
 
 

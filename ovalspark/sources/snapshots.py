@@ -1589,11 +1589,20 @@ def _filter_groups(
     return groups
 
 
-def _apply_row_filters(df: DataFrame, filters: list[dict], sig: tuple[int, ...]) -> DataFrame:
+def _apply_row_filters(
+    df: DataFrame, filters: list[dict], sig: tuple[int, ...], root: str
+) -> DataFrame:
     for i in sig:
-        pred = F.expr(filters[i]["pred"])
-        # NOT(pred IS TRUE): NULL-predicate rows were KEPT by the delete
-        df = df.filter(~F.coalesce(pred.cast("boolean"), F.lit(False)))
+        f = filters[i]
+        if f.get("kind") == "keys":
+            # upsert's replaced generation: anti-join the matched-keys
+            # sidecar (small — Spark broadcasts it off its file stats)
+            keys = df.sparkSession.read.parquet(_abs_path(root, f["loc"])).select(f["key"])
+            df = df.join(keys, f["key"], "left_anti")
+        else:  # "sql" (the default for pre-kind manifests)
+            pred = F.expr(f["pred"])
+            # NOT(pred IS TRUE): NULL-predicate rows were KEPT by the delete
+            df = df.filter(~F.coalesce(pred.cast("boolean"), F.lit(False)))
     return df
 
 
@@ -1610,13 +1619,158 @@ def _read_with_filters(
     schema = _committed_schema(m)
     parts: list[DataFrame] = []
     for sig, paths in sorted(_filter_groups(root, m, prune).items()):
-        parts.append(_apply_row_filters(spark.read.schema(schema).parquet(*paths), filters, sig))
+        parts.append(
+            _apply_row_filters(spark.read.schema(schema).parquet(*paths), filters, sig, root)
+        )
     if not parts:
         return spark.createDataFrame([], schema)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def snapshot_upsert(
+    spark: SparkSession,
+    root: str,
+    df: DataFrame,
+    key: str = "doc_id",
+    guard=None,
+) -> int:
+    """MERGE-by-key in ONE commit, O(staged) cost — the re-ingest shape
+    a training-data pipeline needs (re-crawled/corrected documents
+    replacing their previous generation): every staged row is inserted,
+    and any LIVE row whose ``key`` matches a staged key is logically
+    deleted, via a keys-kind row filter (merge-on-read) scoped to the
+    files that existed before this commit. Zero pre-existing files are
+    rewritten; the matched keys persist as an ``_upsert_keys`` parquet
+    sidecar that the read path anti-joins (broadcast-sized) and CDC
+    retracts from. ``materialize_deletes`` folds the filter away like
+    any MoR delete.
+
+    The staged frame must be UNIQUE on ``key`` — two staged rows with
+    one key would both survive, which is never what merge means; the
+    check raises before anything commits. Staged schema passes the same
+    additive-evolution gate as an append. A first commit (no parent)
+    degrades to a plain overwrite. Zero staged rows commit nothing.
+
+    Read-back obligation (oval's write-then-verify at merge
+    granularity): after the commit, each staged key resolves to EXACTLY
+    the staged generation — ``operators.incremental.validate_upsert``
+    checks multiplicity per key, and the tail runs it on every upsert
+    commit it follows."""
+    import shutil
+    import uuid
+
+    parent = current_snapshot_id(root)
+    if parent is None:
+        return snapshot_write(df, root, mode="overwrite", guard=guard)
+    m_raw = _load_manifest_raw(root, parent)
+    _check_append_schema(root, m_raw, df.schema)
+    if key not in df.columns:
+        raise ValueError(f"upsert key {key!r} not in staged columns {df.columns}")
+
+    sid = parent + 1
+    data_dir = os.path.join(root, "data", f"snap-{sid}-{uuid.uuid4().hex[:8]}")
+    # one upstream execution for the write + the key scans below
+    df = df.localCheckpoint()
+    n_staged = df.count()
+    if n_staged == 0:
+        return parent
+    n_keys = df.select(key).distinct().count()
+    if n_keys != n_staged:
+        raise ValueError(
+            f"upsert to {root}: staged frame has {n_staged} rows but only "
+            f"{n_keys} distinct {key!r} values — merge requires key-unique "
+            f"staging (deduplicate first)"
+        )
+    df.write.mode("error").parquet(data_dir)
+    new_files = _footer_stats(glob.glob(os.path.join(data_dir, "part-*.parquet")), root)
+
+    # matched = LIVE old-generation rows being replaced (earlier MoR
+    # filters already applied via snapshot_read); per-key counts make
+    # the replaced-row total exact even for non-unique old data
+    keys_dir = os.path.join(data_dir, "_upsert_keys")
+    (
+        snapshot_read(spark, root, snapshot_id=parent)
+        .join(df.select(key), key, "left_semi")
+        .groupBy(key)
+        .agg(F.count("*").alias("n_replaced"))
+        .write.mode("error")
+        .parquet(keys_dir)
+    )
+    matched_rows = (
+        spark.read.parquet(keys_dir).agg(F.sum("n_replaced")).collect()[0][0] or 0
+    )
+
+    segments = list(m_raw.get("file_segments") or [])
+    inline = list(m_raw["files"])
+    spilled_loc: str | None = None
+    if len(inline) + len(new_files) > _SEGMENT_SPILL_ENTRIES and inline:
+        ref = _spill_segment(root, sid, inline)
+        spilled_loc = ref["loc"]
+        segments.append(ref)
+        inline = []
+    scope = {
+        "segments": [ref["loc"] for ref in segments],
+        "files": [f["path"] for f in inline],
+    }
+    row_filters = list(m_raw.get("row_filters") or [])
+    if matched_rows:
+        row_filters.append(
+            {
+                "kind": "keys",
+                "key": key,
+                "loc": os.path.relpath(keys_dir, root),
+                "n_keys": int(spark.read.parquet(keys_dir).count()),
+                "scope": scope,
+                "sid": sid,
+                "deleted_rows": int(matched_rows),
+            }
+        )
+    manifest = {
+        "snapshot_id": sid,
+        "parent_id": parent,
+        "operation": "upsert",
+        # the staged schema passed the additive gate: same-or-wider, and
+        # like an append the commit records the WIDER shape
+        "schema_ddl": df.schema.simpleString(),
+        "schema_json": df.schema.json(),
+        "total_rows": m_raw["total_rows"] - int(matched_rows) + n_staged,
+        "total_bytes": m_raw["total_bytes"] + sum(f["bytes"] for f in new_files),
+        "upsert_key": key,
+        "upsert_keys": {
+            "loc": os.path.relpath(keys_dir, root),
+            "n_staged": int(n_staged),
+            "n_replaced": int(matched_rows),
+        },
+        "files": inline + new_files,
+    }
+    if row_filters:
+        manifest["row_filters"] = row_filters
+    if segments:
+        manifest["file_segments"] = segments
+    try:
+        _commit_manifest(root, parent, sid, manifest, guard)
+    except ConcurrentCommitError:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        if spilled_loc is not None:
+            try:
+                os.unlink(os.path.join(_manifest_dir(root), spilled_loc))
+            except OSError:
+                pass
+        raise
+    return sid
+
+
+def read_upsert_keys(spark: SparkSession, root: str, snapshot_id: int) -> DataFrame:
+    """The (key, n_replaced) sidecar an upsert commit recorded — the
+    keys whose previous generation that commit logically deleted."""
+    m = _load_manifest_raw(root, snapshot_id)
+    uk = m.get("upsert_keys")
+    if uk is None:
+        raise ValueError(f"snapshot {snapshot_id} at {root} is not an upsert commit")
+    return spark.read.parquet(_abs_path(root, uk["loc"]))
 
 
 def materialize_deletes(
@@ -1668,7 +1822,9 @@ def materialize_deletes(
     rewritten = None
     rewrite_bytes = 0
     for sig, paths in sorted(groups.items()):
-        part = _apply_row_filters(spark.read.schema(schema).parquet(*paths), filters, sig)
+        part = _apply_row_filters(
+            spark.read.schema(schema).parquet(*paths), filters, sig, root
+        )
         rewritten = part if rewritten is None else rewritten.unionByName(part)
         # pre-delete sizes: an upper bound, only used to pick a file count
         rewrite_bytes += sum(bytes_by_path[p] for p in paths)
@@ -2120,6 +2276,19 @@ def vacuum(root: str, min_age_s: float = 0.0) -> list[str]:
                 live_dirs.add(
                     os.path.dirname(os.path.normpath(_abs_path(r, dd["loc"])))
                 )
+            uk = m.get("upsert_keys")
+            if uk is not None:
+                live_dirs.add(
+                    os.path.dirname(os.path.normpath(_abs_path(r, uk["loc"])))
+                )
+            for rf in m.get("row_filters") or []:
+                # a carried keys-filter's sidecar must outlive the files
+                # of the commit that wrote it (materialization can
+                # rewrite them while older manifests still filter by it)
+                if rf.get("kind") == "keys":
+                    live_dirs.add(
+                        os.path.dirname(os.path.normpath(_abs_path(r, rf["loc"])))
+                    )
 
     _collect_live(root)
     # branch-aware sweep: a table's branches (sources/branches) stage

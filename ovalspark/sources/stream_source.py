@@ -389,17 +389,41 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                     "older_than_s) above the stream's maximum lag"
                 ) from None
 
+        def diff_added(m: dict) -> list[str]:
+            pid = m["parent_id"]
+            if pid is None:
+                from_raw = None
+            elif prev is not None and prev[0] == pid:
+                from_raw = prev[1]
+            else:
+                from_raw = load_raw(pid)
+            return sn._manifest_diff_raw(self.root, from_raw, m)
+
         for sid in range(start["snapshot_id"] + 1, end["snapshot_id"] + 1):
             m = load_raw(sid)
             if m["operation"] == "append":
-                pid = m["parent_id"]
-                if pid is None:
-                    from_raw = None
-                elif prev is not None and prev[0] == pid:
-                    from_raw = prev[1]
-                else:
-                    from_raw = load_raw(pid)
-                files = sn._manifest_diff_raw(self.root, from_raw, m)
+                files = diff_added(m)
+            elif m["operation"] == "upsert":
+                # the staged generation streams as inserts (both modes);
+                # in CDC mode the replaced generation is retracted first
+                # from the commit's matched-keys sidecar
+                if self.cdc:
+                    uk = m.get("upsert_keys")
+                    if uk and int(uk.get("n_replaced") or 0) > 0:
+                        import glob as _glob
+
+                        side = sorted(
+                            _glob.glob(
+                                os.path.join(
+                                    sn._abs_path(self.root, uk["loc"]), "part-*.parquet"
+                                )
+                            )
+                        )
+                        parts.extend(
+                            _FilePartition(p, self.schema_json, "delete", sid)
+                            for p in side
+                        )
+                files = diff_added(m)
             elif m["operation"] == "overwrite":
                 if self.cdc and m.get("parent_id") is not None:
                     # truncate-and-load: retract the parent generation...
