@@ -152,6 +152,31 @@ def build_parser() -> argparse.ArgumentParser:
     m.add_argument("--root", required=True, help="snapshot table root (e.g. <world>/documents)")
     m.add_argument("--delete-where", default=None, metavar="SQL", help="predicate: rows to DELETE")
     m.add_argument(
+        "--delete-strategy",
+        choices=["copy-on-write", "merge-on-read"],
+        default="copy-on-write",
+        help="merge-on-read commits the delete as metadata only (a scoped "
+        "row filter applied at read; zero files rewritten) — pair with a "
+        "later --materialize-deletes to pay the rewrite off the hot path",
+    )
+    m.add_argument(
+        "--materialize-deletes",
+        action="store_true",
+        help="rewrite exactly the files pending merge-on-read filters "
+        "apply to and clear the filters (runs before --compact-target-mb, "
+        "which refuses while filters are pending)",
+    )
+    m.add_argument(
+        "--tag",
+        default=None,
+        metavar="NAME[:SID]",
+        help="tag a snapshot (default CURRENT; NAME:7 tags id 7): an "
+        "immutable named ref that pins its snapshot against retention",
+    )
+    m.add_argument(
+        "--delete-tag", default=None, metavar="NAME", help="drop a tag (releases its retention pin)"
+    )
+    m.add_argument(
         "--delete-discovery-cap",
         type=int,
         default=None,
@@ -205,6 +230,38 @@ def build_parser() -> argparse.ArgumentParser:
         "single-writer maintenance window)",
     )
     m.add_argument("--guard", default=None, help="commit guard: flock|dirlock|sqlite (default env/flock)")
+
+    b = sub.add_parser(
+        "branch",
+        help="write-audit-publish branches: create a staging branch main's "
+        "readers cannot see, publish it with one metadata-only commit "
+        "(optionally gated on a zero-violation validation of the staged "
+        "rows), or drop it",
+    )
+    b.add_argument("--root", required=True, help="snapshot table root")
+    b.add_argument("--create", default=None, metavar="NAME", help="create a branch off CURRENT")
+    b.add_argument("--publish", default=None, metavar="NAME", help="publish a branch to main")
+    b.add_argument(
+        "--mode",
+        choices=["append", "overwrite"],
+        default="append",
+        help="publish shape: append adds the branch's files; overwrite replaces main's state",
+    )
+    b.add_argument(
+        "--allow-divergent-base",
+        action="store_true",
+        help="rebase an APPEND publish onto a main that moved past the branch base",
+    )
+    b.add_argument(
+        "--audit-unique-key",
+        default=None,
+        metavar="COL",
+        help="publish gate: refuse (exit 1) unless COL is unique across the "
+        "post-publish view (base + staged) — the WAP audit as a flag",
+    )
+    b.add_argument("--drop", default=None, metavar="NAME", help="drop a branch")
+    b.add_argument("--force", action="store_true", help="drop even with unpublished commits")
+    b.add_argument("--guard", default=None, help="commit guard for the publish CAS")
     return p
 
 
@@ -323,6 +380,7 @@ def main(argv: list[str] | None = None) -> int:
             sid = snapshot_delete(
                 spark, args.root, args.delete_where, guard=args.guard,
                 discovery_cap=args.delete_discovery_cap,
+                strategy=args.delete_strategy,
             )
             # sid == prev means the predicate matched nothing (no commit)
             n_surv = validate_delete(spark, args.root, sid).count() if sid != prev else None
@@ -331,6 +389,12 @@ def main(argv: list[str] | None = None) -> int:
             if n_surv:
                 print(json.dumps(report))
                 return 1  # read-back verification failed: rows matched post-delete
+        if args.materialize_deletes:
+            from ovalspark.sources.snapshots import materialize_deletes
+
+            sid = materialize_deletes(spark, args.root, guard=args.guard)
+            log.info("maintain.materialize_deletes", snapshot_id=sid)
+            report["materialize_deletes"] = {"snapshot_id": sid}
         # `is not None`, never truthiness: a user passing 0 must reach the
         # library's loud ValueError, not silently skip the step and walk
         # away believing retention/compaction ran
@@ -346,6 +410,21 @@ def main(argv: list[str] | None = None) -> int:
             )
             log.info("maintain.merge_segments", snapshot_id=sid)
             report["merge_segments"] = {"snapshot_id": sid}
+        if args.tag:
+            from ovalspark.sources.snapshots import create_tag
+
+            name, _, sid_s = args.tag.partition(":")
+            tagged = create_tag(
+                args.root, name, snapshot_id=int(sid_s) if sid_s else None, guard=args.guard
+            )
+            log.info("maintain.tag", name=name, snapshot_id=tagged)
+            report["tag"] = {"name": name, "snapshot_id": tagged}
+        if args.delete_tag:
+            from ovalspark.sources.snapshots import delete_tag
+
+            delete_tag(args.root, args.delete_tag, guard=args.guard)
+            log.info("maintain.delete_tag", name=args.delete_tag)
+            report["delete_tag"] = args.delete_tag
         if args.expire_keep_last is not None or args.expire_older_than is not None:
             expired = expire_snapshots(
                 args.root, args.expire_keep_last, guard=args.guard,
@@ -358,6 +437,51 @@ def main(argv: list[str] | None = None) -> int:
             removed = vacuum(args.root, min_age_s=args.min_age_s)
             log.info("maintain.vacuum", removed=len(removed))
             report["vacuumed"] = len(removed)
+        print(json.dumps(report))
+        return 0
+    if args.cmd == "branch":
+        from ovalspark.sources import branches as br
+
+        report = {"root": args.root}
+        if args.create:
+            broot = br.create_branch(args.root, args.create)
+            log.info("branch.create", name=args.create, branch_root=broot)
+            report["create"] = {"name": args.create, "branch_root": broot}
+        if args.publish:
+            if args.audit_unique_key:
+                import pyspark.sql.functions as F
+
+                key = args.audit_unique_key
+                sid, violations = br.validate_then_publish(
+                    spark,
+                    args.root,
+                    args.publish,
+                    lambda df: df.groupBy(key).count().filter(F.col("count") > 1),
+                    mode=args.mode,
+                    guard=args.guard,
+                    allow_divergent_base=args.allow_divergent_base,
+                    audit_merged=True,
+                )
+                if sid is None:
+                    n = violations.count()
+                    log.error("branch.publish_refused", name=args.publish, duplicate_keys=n)
+                    report["publish"] = {"name": args.publish, "refused": True, "duplicate_keys": n}
+                    print(json.dumps(report))
+                    return 1
+            else:
+                sid = br.publish_branch(
+                    args.root,
+                    args.publish,
+                    mode=args.mode,
+                    guard=args.guard,
+                    allow_divergent_base=args.allow_divergent_base,
+                )
+            log.info("branch.publish", name=args.publish, snapshot_id=sid)
+            report["publish"] = {"name": args.publish, "snapshot_id": sid}
+        if args.drop:
+            br.drop_branch(args.root, args.drop, force=args.force)
+            log.info("branch.drop", name=args.drop)
+            report["drop"] = args.drop
         print(json.dumps(report))
         return 0
     return 2

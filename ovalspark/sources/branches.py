@@ -221,6 +221,13 @@ def publish_branch(
     if head is None:
         raise BranchError(f"branch {name!r} has no commits — nothing to publish")
     bm = _expand_manifest(broot, _load_manifest_raw(broot, head))
+    if bm.get("row_filters"):
+        # the publish re-references the branch's RAW files; dropping its
+        # pending merge-on-read filters would resurrect the rows they hide
+        raise BranchError(
+            f"branch {name!r} has merge-on-read delete filter(s) pending — "
+            f"run materialize_deletes on the branch, then publish"
+        )
     base = desc["base_snapshot"]
     parent = current_snapshot_id(root)
     if parent != base:

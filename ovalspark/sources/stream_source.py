@@ -696,6 +696,7 @@ class SnapshotDataSource(DataSource):
 
     - ``path`` (required): table root
     - ``snapshot_id`` (batch): time travel to a specific commit
+    - ``tag`` (batch): time travel to a NAMED snapshot (snapshots.create_tag)
     - ``pushdown`` (batch): "true" routes pushed filters into two-level
       manifest pruning (one load() per query — ``_PruningBatchReader``)
     - ``prune`` (batch): "col:lo:hi[;col:lo:hi...]" — explicit load-scoped
@@ -732,9 +733,19 @@ class SnapshotDataSource(DataSource):
     def _cdc(self) -> bool:
         return str(self.options.get("cdc", "")).lower() == "true"
 
-    def schema(self) -> StructType:
+    def _sid(self) -> int | None:
+        """Resolve the batch time-travel target: explicit ``snapshot_id``,
+        a named ``tag``, or CURRENT."""
         sid = self.options.get("snapshot_id")
-        m = sn._load_manifest_raw(self._root(), int(sid) if sid is not None else None)
+        tag = self.options.get("tag")
+        if sid is not None and tag is not None:
+            raise ValueError('pass option "snapshot_id" or "tag", not both')
+        if tag is not None:
+            return sn.resolve_tag(self._root(), tag)
+        return int(sid) if sid is not None else None
+
+    def schema(self) -> StructType:
+        m = sn._load_manifest_raw(self._root(), self._sid())
         base = sn._committed_schema(m)
         return _cdc_schema(base) if self._cdc() else base
 
@@ -745,7 +756,7 @@ class SnapshotDataSource(DataSource):
                 "table state has no row operations to report (use readStream, "
                 "or drop the option)"
             )
-        sid = self.options.get("snapshot_id")
+        sid = self._sid()
         cls = (
             _PruningBatchReader
             if str(self.options.get("pushdown", "")).lower() == "true"
@@ -753,7 +764,7 @@ class SnapshotDataSource(DataSource):
         )
         return cls(
             self._root(),
-            int(sid) if sid is not None else None,
+            sid,
             schema,
             prune=_parse_prune(self.options.get("prune")),
         )

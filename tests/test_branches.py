@@ -159,6 +159,26 @@ def test_double_publish_refused_and_crash_window_backstop(spark, tmp_path):
         publish_branch(root, "b", mode="append", allow_divergent_base=True)
 
 
+def test_publish_refuses_branch_with_pending_mor_filters(spark, tmp_path):
+    """A branch with pending merge-on-read deletes cannot publish (the
+    metadata-only publish would drop its filters and resurrect the
+    deleted rows); materializing on the branch unblocks it."""
+    from ovalspark.sources.snapshots import materialize_deletes, snapshot_delete
+
+    root = str(tmp_path / "t")
+    snapshot_write(_docs(spark, 0, 10), root)
+    broot = create_branch(root, "b")
+    snapshot_write(_docs(spark, 10, 30), broot)
+    snapshot_delete(spark, broot, "v < 15", strategy="merge-on-read")
+    with pytest.raises(BranchError, match="merge-on-read"):
+        publish_branch(root, "b", mode="append")
+    materialize_deletes(spark, broot)
+    publish_branch(root, "b", mode="append")
+    assert _rows(snapshot_read(spark, root)) == _rows(
+        _docs(spark, 0, 10).unionByName(_docs(spark, 15, 30))
+    )
+
+
 def test_publish_append_schema_gate(spark, tmp_path):
     from ovalspark.sources.snapshots import SchemaMismatchError
 
@@ -364,3 +384,27 @@ def test_tagged_publish_wap_story(spark, tmp_path):
     expire_snapshots(root, keep_last=1, min_age_s=0.0)
     pinned = snapshot_read(spark, root, tag="release-1")
     assert _rows(pinned) == _rows(_docs(spark, 0, 20))
+
+
+def test_data_source_tag_option(spark, tmp_path):
+    """`.option("tag", ...)` time-travels the batch format to a named
+    snapshot; combining it with snapshot_id raises."""
+    from ovalspark.sources.snapshots import create_tag
+    from ovalspark.sources.stream_source import register_snapshot_source
+
+    root = str(tmp_path / "t")
+    snapshot_write(_docs(spark, 0, 10), root)
+    create_tag(root, "v1")
+    snapshot_write(_docs(spark, 0, 3), root, mode="overwrite")
+    register_snapshot_source(spark)
+    got = (
+        spark.read.format("ovalspark_snapshots")
+        .option("path", root)
+        .option("tag", "v1")
+        .load()
+    )
+    assert got.count() == 10
+    with pytest.raises(Exception, match="not both"):
+        spark.read.format("ovalspark_snapshots").option("path", root).option(
+            "tag", "v1"
+        ).option("snapshot_id", "1").load().count()

@@ -8,6 +8,7 @@ import argparse
 import json
 
 import pytest
+from pyspark.sql import functions as F
 
 from ovalspark.cli import main, parse_fault_mix, parse_span_range
 
@@ -307,3 +308,75 @@ def test_cli_maintain_lifecycle(spark, tmp_path, capsys):
     rc = main(["maintain", "--root", docs_root, "--delete-where", "partition_id = 9999"])
     report3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and report3["delete"]["survivors"] is None
+
+
+def test_cli_mor_delete_tag_and_branch(spark, tmp_path, capsys):
+    """Round-8 CLI surface: merge-on-read delete + materialize, tags, and
+    the write-audit-publish branch workflow — all from spark-submit."""
+    from ovalspark.sources.branches import branch_root
+    from ovalspark.sources.snapshots import (
+        load_manifest,
+        resolve_tag,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    root = str(tmp_path / "mw8")
+    main(["generate", "--root", root, "--writers", "2", "--docs-per-writer", "100",
+          "--table-format", "snapshot"])
+    capsys.readouterr()
+    docs_root = f"{root}/documents"
+    n0 = snapshot_read(spark, docs_root).count()
+
+    # MoR delete commits metadata only, then materialize pays the rewrite
+    rc = main(["maintain", "--root", docs_root,
+               "--delete-where", "partition_id = 0",
+               "--delete-strategy", "merge-on-read",
+               "--tag", "pre-materialize"])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    del_sid = report["delete"]["snapshot_id"]
+    assert report["delete"]["survivors"] == 0  # read-back over the MoR read
+    assert load_manifest(docs_root, del_sid)["mor"] is True
+    assert report["tag"]["snapshot_id"] == del_sid
+    assert resolve_tag(docs_root, "pre-materialize") == del_sid
+    n1 = snapshot_read(spark, docs_root).count()
+    assert 0 < n1 < n0
+
+    rc = main(["maintain", "--root", docs_root, "--materialize-deletes",
+               "--delete-tag", "pre-materialize"])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    mat_sid = report["materialize_deletes"]["snapshot_id"]
+    assert "row_filters" not in load_manifest(docs_root, mat_sid)
+    assert snapshot_read(spark, docs_root).count() == n1
+
+    # branch: create -> stage -> gated publish (audit key uniqueness)
+    rc = main(["branch", "--root", docs_root, "--create", "ingest"])
+    capsys.readouterr()
+    assert rc == 0
+    staged = snapshot_read(spark, docs_root).limit(20).withColumn(
+        "doc_id", F.concat(F.lit("new-"), F.col("doc_id"))
+    )
+    snapshot_write(staged.localCheckpoint(), branch_root(docs_root, "ingest"))
+    rc = main(["branch", "--root", docs_root, "--publish", "ingest",
+               "--audit-unique-key", "doc_id"])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert snapshot_read(spark, docs_root).count() == n1 + 20
+
+    # a duplicate-staging branch is REFUSED (exit 1), main untouched
+    main(["branch", "--root", docs_root, "--create", "dupes"])
+    capsys.readouterr()
+    snapshot_write(
+        snapshot_read(spark, docs_root).limit(5).localCheckpoint(),
+        branch_root(docs_root, "dupes"),
+    )
+    rc = main(["branch", "--root", docs_root, "--publish", "dupes",
+               "--audit-unique-key", "doc_id"])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and report["publish"]["refused"] is True
+    assert snapshot_read(spark, docs_root).count() == n1 + 20
+    rc = main(["branch", "--root", docs_root, "--drop", "dupes", "--force"])
+    capsys.readouterr()
+    assert rc == 0
