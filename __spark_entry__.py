@@ -2420,6 +2420,64 @@ _Q72_ORACLE = """
 """
 
 
+_Q73_VERSION = "v1"
+
+
+def _q73_sorted_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustered layout as a value-checked gate row (``snapshot_write
+    sort_by`` — the scalable point/range-lookup story): the documents
+    table commits range-partitioned + sorted on doc_id into 8 files, a
+    range read prunes via manifest bounds, and the gate pins the PLAN —
+    at most 2 of the 8 files survive the prune (a hash layout would keep
+    all 8, since every file spans the key range). The oracle recomputes
+    the range aggregate from the raw table; values prove the pruned
+    stratified read lost no rows, the pin proves it skipped files."""
+    from ovalspark.sources.snapshots import (
+        current_snapshot_id,
+        load_manifest,
+        prune_files,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    root = _oracle_dir("q73", _Q73_VERSION, sf_dir)
+    lo, hi = 100, 160
+
+    def build(stage):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        snapshot_write(docs.repartition(8), stage, sort_by="doc_id")
+
+    _publish_once(root, build, is_valid=lambda: current_snapshot_id(root) == 1)
+
+    m = load_manifest(root, 1)
+    assert m["sort_by"] == ["doc_id"] and len(m["files"]) == 8, m.get("sort_by")
+    surviving = prune_files(root, 1, ("doc_id", lo, hi))
+    assert len(surviving) <= 2, (
+        f"clustered prune must plan O(selected) files, got {len(surviving)} of 8"
+    )
+    return (
+        snapshot_read(spark, root, prune=("doc_id", lo, hi))
+        .filter((F.col("doc_id") >= lo) & (F.col("doc_id") <= hi))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.count_distinct("doc_id").alias("n_ids"),
+        )
+        .orderBy("lang")
+    )
+
+
+_Q73_ORACLE = """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids
+    FROM documents WHERE doc_id BETWEEN 100 AND 160
+    GROUP BY lang ORDER BY lang
+"""
+
+
 _Q53_VERSION = "v1"
 
 
@@ -2721,6 +2779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q70_tag_retention_pin": _q70_tag_retention_pin,
             "q71_mor_delete": _q71_mor_delete,
             "q72_upsert": _q72_upsert,
+            "q73_sorted_prune": _q73_sorted_prune,
         }
     )
     return out
@@ -2774,6 +2833,7 @@ def oracle_sql() -> dict[str, str]:
             "q70_tag_retention_pin": _Q70_ORACLE,
             "q71_mor_delete": _Q71_ORACLE,
             "q72_upsert": _Q72_ORACLE,
+            "q73_sorted_prune": _Q73_ORACLE,
         }
     )
     return out

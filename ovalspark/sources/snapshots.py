@@ -900,8 +900,15 @@ def snapshot_write(
     guard=None,
     expect: DataFrame | None = None,
     properties: dict | None = None,
+    sort_by: list[str] | str | None = None,
 ) -> int:
     """Commit ``df`` as a new snapshot; returns the new snapshot id.
+
+    ``sort_by`` — cluster the commit's files on the given column(s):
+    range-partition + within-partition sort, recorded in the manifest.
+    The point of clustering is PRUNING: per-file bounds become disjoint,
+    so a point/range read over the sort key plans O(selected) files at
+    any table size (``sort_rewrite`` re-clusters a whole table later).
 
     ``overwrite`` — the new snapshot's file list is just the new files
     (previous files stay on disk, readable through older snapshot ids:
@@ -953,9 +960,16 @@ def snapshot_write(
 
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    if sort_by is not None and isinstance(sort_by, str):
+        sort_by = [sort_by]
+    if sort_by:
+        missing = [c for c in sort_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"sort_by column(s) {missing} not in frame {df.columns}")
     parent = current_snapshot_id(root)
     if mode == "append" and parent is not None:
         _check_append_schema(root, _load_manifest_raw(root, parent), df.schema)
+    n_files = None
     if target_file_mb is not None:
         est_bytes = None
         if parent is not None:
@@ -973,6 +987,18 @@ def snapshot_write(
             df = df.localCheckpoint()
             est_bytes = _sampled_size_estimate(df)
         n_files = max(1, -(-est_bytes // (target_file_mb * 1024 * 1024)))
+    if sort_by:
+        # CLUSTERED layout: range-partition on the sort key so per-file
+        # [min, max] footer bounds are (near-)disjoint — a point/range
+        # prune then touches O(selected range) files instead of O(all)
+        # (every file of a hash/random layout spans the whole key range,
+        # making min/max skipping useless on high-cardinality keys). The
+        # within-partition sort additionally tightens parquet row-group
+        # stats for scan-time skipping.
+        if n_files is None:
+            n_files = df.rdd.getNumPartitions() or 1
+        df = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(*sort_by)
+    elif n_files is not None:
         df = df.repartition(n_files)
     sid = 1 if parent is None else parent + 1
     # Private data dir: concurrent writers racing toward the same sid write
@@ -998,6 +1024,9 @@ def snapshot_write(
             "loc": os.path.relpath(expect_dir, root),
             "n_docs": int(n_expected),
         }
+    if sort_by:
+        # informational + audit: which key this COMMIT's files cluster on
+        manifest_extra["sort_by"] = list(sort_by)
     return _commit_new_files(
         root,
         parent,
@@ -1868,6 +1897,70 @@ def materialize_deletes(
                 os.unlink(os.path.join(_manifest_dir(root), spilled_loc))
             except OSError:
                 pass
+        raise
+    return sid
+
+
+def sort_rewrite(
+    spark: SparkSession,
+    root: str,
+    sort_by: list[str] | str,
+    target_file_mb: int = 128,
+    guard=None,
+) -> int:
+    """Re-cluster the WHOLE table on ``sort_by`` as one ``replace``
+    commit — Iceberg's sort-order rewrite: range-partition + sort, files
+    sized to ``target_file_mb``. This is the maintenance op that makes a
+    hash-laid-out table point-lookup-able (disjoint per-file bounds →
+    ``prune_files`` plans O(selected) files), and it reads through
+    ``snapshot_read``, so pending merge-on-read filters are APPLIED and
+    cleared — one pass pays materialization and clustering together.
+    Deliberately O(table) IO: a full rewrite is the only way to global
+    clustering; run it at the cadence the lookup workload justifies."""
+    import shutil
+    import uuid
+
+    if isinstance(sort_by, str):
+        sort_by = [sort_by]
+    if target_file_mb < 1:
+        raise ValueError(f"target_file_mb must be >= 1, got {target_file_mb}")
+    parent = current_snapshot_id(root)
+    if parent is None:
+        raise FileNotFoundError(f"no committed snapshot at {root}")
+    m_raw = _load_manifest_raw(root, parent)
+    missing = [
+        c for c in sort_by
+        if c not in {f["name"] for f in json.loads(m_raw["schema_json"])["fields"]}
+    ]
+    if missing:
+        raise ValueError(f"sort_by column(s) {missing} not in table schema")
+    n_files = max(1, -(-m_raw["total_bytes"] // (target_file_mb * 1024 * 1024)))
+    sid = parent + 1
+    data_dir = os.path.join(root, "data", f"snap-{sid}-{uuid.uuid4().hex[:8]}")
+    df = (
+        snapshot_read(spark, root, snapshot_id=parent)
+        .repartitionByRange(n_files, *sort_by)
+        .sortWithinPartitions(*sort_by)
+    )
+    df.write.mode("error").parquet(data_dir)
+    new_files = _footer_stats(glob.glob(os.path.join(data_dir, "part-*.parquet")), root)
+    manifest = {
+        "snapshot_id": sid,
+        "parent_id": parent,
+        "operation": "replace",
+        "schema_ddl": m_raw["schema_ddl"],
+        "schema_json": m_raw["schema_json"],
+        "total_rows": sum(f["rows"] for f in new_files),
+        "total_bytes": sum(f["bytes"] for f in new_files),
+        "sort_by": list(sort_by),
+        "files": new_files,
+    }
+    if m_raw.get("row_filters"):
+        manifest["materialized_filters"] = len(m_raw["row_filters"])
+    try:
+        _commit_manifest(root, parent, sid, manifest, guard)
+    except ConcurrentCommitError:
+        shutil.rmtree(data_dir, ignore_errors=True)
         raise
     return sid
 
