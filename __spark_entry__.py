@@ -2478,6 +2478,72 @@ _Q73_ORACLE = """
 """
 
 
+_Q74_VERSION = "v1"
+
+
+def _q74_manifest_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest HLL sketches as a value-checked gate row (the north
+    star's 'approx-distinct via HyperLogLog' pushed into COMMIT
+    metadata): the documents table commits with per-file doc_id/lang
+    sketches; a table with every doc duplicated commits beside it.
+    In-query pins — the metadata-only NDV fold lands within sketch
+    tolerance of truth on the clean table, the zero-scan uniqueness
+    screen passes clean and flags the duplicated table, and the fold's
+    plan reads NO data files. The returned frame is EXACT per-lang
+    distinct counts read back from the sketched table, hash-checked
+    against the raw-table oracle — proving the sketch plumbing changed
+    nothing about the data."""
+    from ovalspark.sources.snapshots import (
+        current_snapshot_id,
+        manifest_ndv,
+        snapshot_read,
+        snapshot_write,
+        uniqueness_screen,
+    )
+
+    root = _oracle_dir("q74", _Q74_VERSION, sf_dir)
+
+    def build(stage):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        snapshot_write(docs.repartition(6), stage, sketch_cols=["doc_id", "lang"])
+        import os as _os
+
+        dup = docs.unionByName(docs)
+        snapshot_write(dup.repartition(6), _os.path.join(stage, "_dup"), sketch_cols="doc_id")
+
+    _publish_once(root, build, is_valid=lambda: current_snapshot_id(root) == 1)
+
+    import os as _os
+
+    n_exact = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    ndv = {r["col"]: r for r in manifest_ndv(spark, root).collect()}
+    assert manifest_ndv(spark, root).inputFiles() == [], "fold must open no data files"
+    assert abs(ndv["doc_id"]["ndv_estimate"] - n_exact) <= 0.07 * n_exact, ndv["doc_id"]
+    assert uniqueness_screen(spark, root)["verdict"] == "pass_screen"
+    dup_screen = uniqueness_screen(spark, _os.path.join(root, "_dup"))
+    assert dup_screen["verdict"] == "violation", dup_screen
+
+    return (
+        snapshot_read(spark, root)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("doc_id").alias("n_ids"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+_Q74_ORACLE = """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_ids,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 _Q53_VERSION = "v1"
 
 
@@ -2780,6 +2846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q71_mor_delete": _q71_mor_delete,
             "q72_upsert": _q72_upsert,
             "q73_sorted_prune": _q73_sorted_prune,
+            "q74_manifest_ndv": _q74_manifest_ndv,
         }
     )
     return out
@@ -2834,6 +2901,7 @@ def oracle_sql() -> dict[str, str]:
             "q71_mor_delete": _Q71_ORACLE,
             "q72_upsert": _Q72_ORACLE,
             "q73_sorted_prune": _Q73_ORACLE,
+            "q74_manifest_ndv": _Q74_ORACLE,
         }
     )
     return out

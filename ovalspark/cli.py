@@ -167,6 +167,23 @@ def build_parser() -> argparse.ArgumentParser:
         "which refuses while filters are pending)",
     )
     m.add_argument(
+        "--sort-rewrite",
+        default=None,
+        metavar="COL[,COL...]",
+        help="re-cluster the WHOLE table on these columns as one replace "
+        "commit (O(table) IO; makes point/range prunes plan O(selected) "
+        "files; also applies + clears pending merge-on-read filters)",
+    )
+    m.add_argument(
+        "--upsert-from",
+        default=None,
+        metavar="PARQUET_DIR",
+        help="MERGE the rows of this parquet dir into the table by key "
+        "(--upsert-key): staged rows insert, matched keys' previous "
+        "generation is hidden — one O(staged) commit, read-back verified",
+    )
+    m.add_argument("--upsert-key", default="doc_id", help="merge key column (default doc_id)")
+    m.add_argument(
         "--tag",
         default=None,
         metavar="NAME[:SID]",
@@ -395,6 +412,31 @@ def main(argv: list[str] | None = None) -> int:
             sid = materialize_deletes(spark, args.root, guard=args.guard)
             log.info("maintain.materialize_deletes", snapshot_id=sid)
             report["materialize_deletes"] = {"snapshot_id": sid}
+        if args.upsert_from:
+            from ovalspark.operators.incremental import validate_upsert
+            from ovalspark.sources.snapshots import snapshot_upsert
+
+            prev = current_snapshot_id(args.root)
+            sid = snapshot_upsert(
+                spark, args.root, spark.read.parquet(args.upsert_from),
+                key=args.upsert_key, guard=args.guard,
+            )
+            from ovalspark.sources.snapshots import _load_manifest_raw
+
+            is_upsert = sid != prev and _load_manifest_raw(args.root, sid)["operation"] == "upsert"
+            n_bad = validate_upsert(spark, args.root, sid).count() if is_upsert else None
+            log.info("maintain.upsert", snapshot_id=sid, upsert_violations=n_bad)
+            report["upsert"] = {"snapshot_id": sid, "violations": n_bad}
+            if n_bad:
+                print(json.dumps(report))
+                return 1  # read-back failed: a staged key != exactly one generation
+        if args.sort_rewrite:
+            from ovalspark.sources.snapshots import sort_rewrite
+
+            cols = [c.strip() for c in args.sort_rewrite.split(",") if c.strip()]
+            sid = sort_rewrite(spark, args.root, cols, guard=args.guard)
+            log.info("maintain.sort_rewrite", snapshot_id=sid, sort_by=cols)
+            report["sort_rewrite"] = {"snapshot_id": sid, "sort_by": cols}
         # `is not None`, never truthiness: a user passing 0 must reach the
         # library's loud ValueError, not silently skip the step and walk
         # away believing retention/compaction ran

@@ -380,3 +380,19 @@ def test_cli_mor_delete_tag_and_branch(spark, tmp_path, capsys):
     rc = main(["branch", "--root", docs_root, "--drop", "dupes", "--force"])
     capsys.readouterr()
     assert rc == 0
+
+    # upsert-from: MERGE a staged parquet dir by key (read-back in-line),
+    # then sort-rewrite re-clusters the whole table
+    n2 = snapshot_read(spark, docs_root).count()
+    staged_dir = str(tmp_path / "staged")
+    snapshot_read(spark, docs_root).limit(10).withColumn(
+        "doc_id", F.concat(F.lit("up-"), F.col("doc_id"))
+    ).write.parquet(staged_dir)
+    rc = main(["maintain", "--root", docs_root, "--upsert-from", staged_dir,
+               "--sort-rewrite", "doc_id"])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert report["upsert"]["violations"] == 0
+    assert report["sort_rewrite"]["sort_by"] == ["doc_id"]
+    assert snapshot_read(spark, docs_root).count() == n2 + 10
+    assert "row_filters" not in load_manifest(docs_root)
