@@ -1724,6 +1724,9 @@ def snapshot_upsert(
         )
     df.write.mode("error").parquet(data_dir)
     new_files = _footer_stats(glob.glob(os.path.join(data_dir, "part-*.parquet")), root)
+    inherited = _inherited_sketch_cols(root, m_raw)
+    if inherited:
+        _attach_sketches(spark, root, new_files, inherited)
 
     # matched = LIVE old-generation rows being replaced (earlier MoR
     # filters already applied via snapshot_read); per-key counts make
@@ -1875,6 +1878,9 @@ def materialize_deletes(
             for fe in _footer_stats(glob.glob(os.path.join(data_dir, "part-*.parquet")), root)
             if fe["rows"] > 0
         ]
+        inherited = _inherited_sketch_cols(root, m_raw)
+        if inherited:
+            _attach_sketches(spark, root, new_files, inherited)
     inline = keep_inline + new_files
     spilled_loc: str | None = None
     if keep_inline and len(inline) > _SEGMENT_SPILL_ENTRIES:
@@ -1911,6 +1917,19 @@ def materialize_deletes(
 
 
 _SKETCH_LGK = 11  # HLL lgConfigK: ~1 KB binary per sketch, ±~2.3% NDV error
+
+
+def _inherited_sketch_cols(root: str, m_raw: dict[str, Any]) -> list[str]:
+    """Sketch columns present on ANY of a manifest's file entries —
+    maintenance rewrites (sort_rewrite / compact / materialize / upsert)
+    recompute these for the files they emit, so engine-owned writes never
+    silently degrade the table's sketch coverage (user appends choose
+    explicitly via ``sketch_cols``; partial coverage is reported, not
+    extrapolated)."""
+    cols: set[str] = set()
+    for fe, _ in _expand_with_provenance(root, m_raw):
+        cols.update((fe.get("hll") or {}).keys())
+    return sorted(cols)
 
 
 def _attach_sketches(
@@ -2072,6 +2091,9 @@ def sort_rewrite(
     )
     df.write.mode("error").parquet(data_dir)
     new_files = _footer_stats(glob.glob(os.path.join(data_dir, "part-*.parquet")), root)
+    inherited = _inherited_sketch_cols(root, m_raw)
+    if inherited:
+        _attach_sketches(spark, root, new_files, inherited)
     manifest = {
         "snapshot_id": sid,
         "parent_id": parent,
@@ -2146,6 +2168,9 @@ def snapshot_compact(
     )
     df.repartition(n_files).write.mode("error").parquet(data_dir)
     new_files = _footer_stats(glob.glob(os.path.join(data_dir, "part-*.parquet")), root)
+    inherited = _inherited_sketch_cols(root, _load_manifest_raw(root, parent))
+    if inherited:
+        _attach_sketches(spark, root, new_files, inherited)
     inline = keep + new_files
     spilled_loc: str | None = None
     if keep and len(inline) > _SEGMENT_SPILL_ENTRIES:

@@ -97,3 +97,35 @@ def test_sketches_survive_segment_spill(spark, tmp_path, monkeypatch):
     assert ndv["coverage"] == pytest.approx(1.0)
     assert ndv["ndv_estimate"] == pytest.approx(900, rel=0.07)
     assert snapshot_read(spark, root).count() == 900
+
+
+def test_maintenance_inherits_sketch_coverage(spark, tmp_path):
+    """Engine-owned rewrites never degrade sketch coverage: compact,
+    sort_rewrite, materialize_deletes and upsert all recompute the
+    parent's sketched columns for the files they emit."""
+    from ovalspark.sources.snapshots import (
+        materialize_deletes,
+        snapshot_compact,
+        snapshot_delete,
+        snapshot_upsert,
+        sort_rewrite,
+    )
+
+    root = str(tmp_path / "t")
+    snapshot_write(_docs(spark, 0, 3000).repartition(4), root, sketch_cols="doc_id")
+
+    def coverage():
+        r = manifest_ndv(spark, root, cols="doc_id").collect()
+        return r[0]["coverage"] if r else 0.0
+
+    snapshot_upsert(spark, root, _docs(spark, 2000, 3500))
+    materialize_deletes(spark, root)
+    assert coverage() == pytest.approx(1.0)
+    snapshot_delete(spark, root, "bucket = 3", strategy="merge-on-read")
+    sort_rewrite(spark, root, "doc_id", target_file_mb=1)  # also materializes
+    assert coverage() == pytest.approx(1.0)
+    snapshot_compact(spark, root, target_file_mb=256)
+    assert coverage() == pytest.approx(1.0)
+    ndv = manifest_ndv(spark, root, cols="doc_id").collect()[0]
+    n = snapshot_read(spark, root).count()
+    assert ndv["ndv_estimate"] == pytest.approx(n, rel=0.07)
