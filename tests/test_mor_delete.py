@@ -259,3 +259,26 @@ def test_mor_cdc_feed_emits_retractions(spark, tmp_path, tmp_path_factory):
     ins = feed.filter(F.col("_op") == "insert").select("doc_id", "lang", "v")
     mirror = ins.join(dels.select("doc_id"), "doc_id", "left_anti")
     assert _rows(mirror) == _rows(snapshot_read(spark, root))
+
+
+def test_validate_delete_reads_back_mor_commit(spark, tmp_path):
+    """The tail's delete read-back on a MoR commit verifies the
+    STRATIFIED READ itself: clean by default; with the filter torn out
+    of the manifest the survivors resurface and are all reported."""
+    import json as _json
+
+    from ovalspark.operators.incremental import validate_delete
+
+    root = str(tmp_path / "t")
+    snapshot_write(_docs(spark, 0, 50).repartition(2), root)
+    sid = snapshot_delete(spark, root, "v < 10", strategy="merge-on-read")
+    assert validate_delete(spark, root, sid).count() == 0
+
+    p = sn._resolve_manifest_path(root, sid)
+    m = _json.load(open(p))
+    m["row_filters"] = []
+    open(p, "w").write(_json.dumps(m))
+    sn._SEGMENT_CACHE.clear()
+    v = validate_delete(spark, root, sid)
+    assert v.count() == 10
+    assert {r["violation_class"] for r in v.collect()} == {"DELETE_SURVIVOR"}
