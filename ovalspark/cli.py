@@ -175,6 +175,14 @@ def build_parser() -> argparse.ArgumentParser:
         "files; also applies + clears pending merge-on-read filters)",
     )
     m.add_argument(
+        "--zorder-rewrite",
+        default=None,
+        metavar="COL,COL[,COL...]",
+        help="re-cluster the WHOLE table on a Morton curve over 2-4 "
+        "numeric columns: range prunes on ANY of them skip files "
+        "(lexicographic --sort-rewrite serves only its leading column)",
+    )
+    m.add_argument(
         "--upsert-from",
         default=None,
         metavar="PARQUET_DIR",
@@ -437,6 +445,13 @@ def main(argv: list[str] | None = None) -> int:
             sid = sort_rewrite(spark, args.root, cols, guard=args.guard)
             log.info("maintain.sort_rewrite", snapshot_id=sid, sort_by=cols)
             report["sort_rewrite"] = {"snapshot_id": sid, "sort_by": cols}
+        if args.zorder_rewrite:
+            from ovalspark.sources.snapshots import sort_rewrite
+
+            cols = [c.strip() for c in args.zorder_rewrite.split(",") if c.strip()]
+            sid = sort_rewrite(spark, args.root, zorder=cols, guard=args.guard)
+            log.info("maintain.zorder_rewrite", snapshot_id=sid, zorder=cols)
+            report["zorder_rewrite"] = {"snapshot_id": sid, "zorder": cols}
         # `is not None`, never truthiness: a user passing 0 must reach the
         # library's loud ValueError, not silently skip the step and walk
         # away believing retention/compaction ran

@@ -2048,12 +2048,28 @@ def uniqueness_screen(
     }
 
 
+def _zvalue_expr(scaled: list, bits: int = 16):
+    """Interleave the low ``bits`` of each scaled column into one Morton
+    (Z-order) value — pure JVM bit expressions, whole-stage-codegen
+    friendly. ``scaled`` are long columns already normalized to
+    [0, 2^bits)."""
+    k = len(scaled)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, c in enumerate(scaled):
+            z = z.bitwiseOR(
+                F.shiftleft(F.shiftright(c, b).bitwiseAND(F.lit(1)), b * k + i)
+            )
+    return z
+
+
 def sort_rewrite(
     spark: SparkSession,
     root: str,
-    sort_by: list[str] | str,
+    sort_by: list[str] | str | None = None,
     target_file_mb: int = 128,
     guard=None,
+    zorder: list[str] | None = None,
 ) -> int:
     """Re-cluster the WHOLE table on ``sort_by`` as one ``replace``
     commit — Iceberg's sort-order rewrite: range-partition + sort, files
@@ -2063,32 +2079,88 @@ def sort_rewrite(
     ``snapshot_read``, so pending merge-on-read filters are APPLIED and
     cleared — one pass pays materialization and clustering together.
     Deliberately O(table) IO: a full rewrite is the only way to global
-    clustering; run it at the cadence the lookup workload justifies."""
+    clustering; run it at the cadence the lookup workload justifies.
+
+    ``zorder`` (instead of ``sort_by``) interleaves 2–4 NUMERIC columns
+    into a Morton curve and clusters on that: per-file bounds then
+    tighten on EVERY interleaved dimension, so range prunes on any one
+    of them skip files — the multi-dimensional case lexicographic sort
+    cannot serve (its second column's bounds span everything). Columns
+    are min-max normalized to 16 bits from the table's own manifest
+    stats (one metadata read, no scan)."""
     import shutil
     import uuid
 
     if isinstance(sort_by, str):
         sort_by = [sort_by]
+    if (sort_by is None) == (zorder is None):
+        raise ValueError("pass exactly one of sort_by or zorder")
+    if zorder is not None and not 2 <= len(zorder) <= 4:
+        raise ValueError(f"zorder takes 2-4 columns, got {len(zorder)}")
     if target_file_mb < 1:
         raise ValueError(f"target_file_mb must be >= 1, got {target_file_mb}")
     parent = current_snapshot_id(root)
     if parent is None:
         raise FileNotFoundError(f"no committed snapshot at {root}")
     m_raw = _load_manifest_raw(root, parent)
+    cluster_cols = list(sort_by or zorder)
     missing = [
-        c for c in sort_by
+        c for c in cluster_cols
         if c not in {f["name"] for f in json.loads(m_raw["schema_json"])["fields"]}
     ]
     if missing:
-        raise ValueError(f"sort_by column(s) {missing} not in table schema")
+        raise ValueError(f"cluster column(s) {missing} not in table schema")
     n_files = max(1, -(-m_raw["total_bytes"] // (target_file_mb * 1024 * 1024)))
     sid = parent + 1
     data_dir = os.path.join(root, "data", f"snap-{sid}-{uuid.uuid4().hex[:8]}")
-    df = (
-        snapshot_read(spark, root, snapshot_id=parent)
-        .repartitionByRange(n_files, *sort_by)
-        .sortWithinPartitions(*sort_by)
-    )
+    df = snapshot_read(spark, root, snapshot_id=parent)
+    if zorder is not None:
+        for c in zorder:
+            if not df.schema[c].dataType.simpleString() in (
+                "tinyint", "smallint", "int", "bigint", "float", "double", "date",
+                "timestamp", "decimal",
+            ) and not df.schema[c].dataType.simpleString().startswith("decimal"):
+                raise ValueError(
+                    f"zorder column {c!r} is {df.schema[c].dataType.simpleString()} "
+                    f"— z-ordering needs ORDERED NUMERIC columns (hashing a "
+                    f"string would destroy the locality the curve exists for)"
+                )
+        # min-max from ONE aggregate pass (manifest bounds are strings and
+        # may be prefix bounds; the exact extremes cost one cheap scan of
+        # the cluster columns only — column-pruned, far below the rewrite)
+        aggs = []
+        for c in zorder:
+            aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+        mm = df.agg(*aggs).collect()[0]
+        scaled = []
+        for c in zorder:
+            lo, hi = mm[f"_mn_{c}"], mm[f"_mx_{c}"]
+            col = F.col(c).cast("double")
+            span = float(hi) - float(lo) if hi is not None and lo is not None else 0.0
+            if span <= 0:
+                scaled.append(F.lit(0).cast("long"))  # constant/NULL column
+            else:
+                scaled.append(
+                    F.least(
+                        F.lit(65535),
+                        F.greatest(
+                            F.lit(0),
+                            F.floor((col - F.lit(float(lo))) / F.lit(span) * 65535),
+                        ),
+                    ).cast("long")
+                )
+        # NULLs sort first: coalesce scaled NULL to 0 keeps them clustered
+        scaled = [F.coalesce(s, F.lit(0).cast("long")) for s in scaled]
+        df = (
+            df.withColumn("_zv", _zvalue_expr(scaled))
+            .repartitionByRange(n_files, "_zv")
+            .sortWithinPartitions("_zv")
+            .drop("_zv")
+        )
+    else:
+        df = df.repartitionByRange(n_files, *cluster_cols).sortWithinPartitions(
+            *cluster_cols
+        )
     df.write.mode("error").parquet(data_dir)
     new_files = _footer_stats(glob.glob(os.path.join(data_dir, "part-*.parquet")), root)
     inherited = _inherited_sketch_cols(root, m_raw)
@@ -2102,9 +2174,12 @@ def sort_rewrite(
         "schema_json": m_raw["schema_json"],
         "total_rows": sum(f["rows"] for f in new_files),
         "total_bytes": sum(f["bytes"] for f in new_files),
-        "sort_by": list(sort_by),
         "files": new_files,
     }
+    if sort_by is not None:
+        manifest["sort_by"] = list(sort_by)
+    else:
+        manifest["zorder"] = list(zorder)
     if m_raw.get("row_filters"):
         manifest["materialized_filters"] = len(m_raw["row_filters"])
     try:

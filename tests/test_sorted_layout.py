@@ -80,5 +80,58 @@ def test_sort_rewrite_clusters_and_materializes(spark, tmp_path):
 def test_sort_rewrite_unknown_column_raises(spark, tmp_path):
     root = str(tmp_path / "t")
     snapshot_write(_docs(spark), root)
-    with pytest.raises(ValueError, match="sort_by column"):
+    with pytest.raises(ValueError, match="cluster column"):
         sort_rewrite(spark, root, "nope")
+
+
+def test_zorder_prunes_on_both_dimensions(spark, tmp_path):
+    """Morton clustering: per-file bounds tighten on BOTH interleaved
+    columns, so a range prune on EITHER skips files — lexicographic sort
+    serves only its leading column."""
+    n = 65536
+    grid = spark.range(n).select(
+        (F.col("id") % 256).alias("x"),
+        (F.col("id") / 256).cast("long").alias("y"),
+        F.col("id").alias("doc_id"),
+        # incompressible padding so target_file_mb=1 yields many files
+        F.sha2(F.concat(F.lit("pad"), F.col("id").cast("string")), 512).alias("pad"),
+    ).orderBy(F.xxhash64("id"))  # shuffled input
+
+    lex = str(tmp_path / "lex")
+    snapshot_write(grid.repartition(16), lex)
+    sort_rewrite(spark, lex, sort_by=["x", "y"], target_file_mb=1)
+    zo = str(tmp_path / "zo")
+    snapshot_write(grid.repartition(16), zo)
+    sid = sort_rewrite(spark, zo, zorder=["x", "y"], target_file_mb=1)
+    assert load_manifest(zo, sid)["zorder"] == ["x", "y"]
+
+    n_files = len(load_manifest(zo, sid)["files"])
+    assert n_files >= 8  # enough files for skipping to be visible
+
+    # leading column: both layouts prune well
+    assert len(prune_files(zo, conditions=("x", 10, 12))) < n_files
+    # SECOND column: z-order prunes, lexicographic cannot
+    z_y = len(prune_files(zo, conditions=("y", 10, 12)))
+    lex_y = len(prune_files(lex, conditions=("y", 10, 12)))
+    assert z_y < n_files
+    assert lex_y == len(load_manifest(lex)["files"])  # every file survives
+    # values unharmed
+    got = snapshot_read(spark, zo, prune=("y", 10, 12)).filter("y between 10 and 12")
+    assert got.count() == 3 * 256
+    assert snapshot_read(spark, zo).count() == n
+    assert snapshot_read(spark, zo).exceptAll(grid).count() == 0
+
+
+def test_zorder_rejects_strings_and_bad_arity(spark, tmp_path):
+    root = str(tmp_path / "t")
+    snapshot_write(
+        spark.range(10).select(F.col("id"), F.lit("s").alias("s")), root
+    )
+    with pytest.raises(ValueError, match="NUMERIC"):
+        sort_rewrite(spark, root, zorder=["id", "s"])
+    with pytest.raises(ValueError, match="2-4"):
+        sort_rewrite(spark, root, zorder=["id"])
+    with pytest.raises(ValueError, match="exactly one"):
+        sort_rewrite(spark, root, sort_by="id", zorder=["id", "id"])
+    with pytest.raises(ValueError, match="exactly one"):
+        sort_rewrite(spark, root)
