@@ -286,6 +286,8 @@ def build_parser() -> argparse.ArgumentParser:
     )
     b.add_argument("--drop", default=None, metavar="NAME", help="drop a branch")
     b.add_argument("--force", action="store_true", help="drop even with unpublished commits")
+    b.add_argument("--list", action="store_true", dest="list_refs",
+                   help="print the table's branches (descriptors) and tags")
     b.add_argument("--guard", default=None, help="commit guard for the publish CAS")
     return p
 
@@ -539,6 +541,11 @@ def main(argv: list[str] | None = None) -> int:
             br.drop_branch(args.root, args.drop, force=args.force)
             log.info("branch.drop", name=args.drop)
             report["drop"] = args.drop
+        if args.list_refs:
+            from ovalspark.sources.snapshots import list_tags
+
+            report["branches"] = br.list_branches(args.root)
+            report["tags"] = list_tags(args.root)
         print(json.dumps(report))
         return 0
     return 2

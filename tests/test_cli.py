@@ -396,3 +396,18 @@ def test_cli_mor_delete_tag_and_branch(spark, tmp_path, capsys):
     assert report["sort_rewrite"]["sort_by"] == ["doc_id"]
     assert snapshot_read(spark, docs_root).count() == n2 + 10
     assert "row_filters" not in load_manifest(docs_root)
+
+
+def test_cli_branch_list(spark, tmp_path, capsys):
+    from ovalspark.sources.snapshots import create_tag, snapshot_write
+
+    root = str(tmp_path / "lw")
+    snapshot_write(spark.range(5).select(F.col("id").alias("doc_id")), root)
+    create_tag(root, "v1")
+    main(["branch", "--root", root, "--create", "wip"])
+    capsys.readouterr()
+    rc = main(["branch", "--root", root, "--list"])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert report["tags"] == {"v1": 1}
+    assert report["branches"]["wip"]["base_snapshot"] == 1
