@@ -224,6 +224,19 @@ def _catalog_cas(root: str, parent: int | None, sid: int, loc: str | None, con=N
         except sqlite3.OperationalError:
             con.close()
             raise
+        # TOCTOU guard: the descriptor was read BEFORE this lock. A
+        # catalog migration freezes writers by holding the sqlite write
+        # lock and flips the descriptor to http while we were blocked —
+        # winning the sqlite CAS now would apply the commit to the
+        # shadowed store, invisible to http-routed readers (a lost
+        # commit / forked authority). Re-read under the lock, re-route.
+        d2 = _catalog_descriptor(root)
+        if d2 is not None and d2.get("type") == "http":
+            con.execute("ROLLBACK")
+            con.close()
+            from ovalspark.sources import http_catalog as hc
+
+            return hc.client_cas(d2["endpoint"], d2["key"], parent, sid, loc)
     try:
         con.execute(
             "CREATE TABLE IF NOT EXISTS current "
@@ -1688,9 +1701,10 @@ def snapshot_upsert(
 
     The staged frame must be UNIQUE on ``key`` — two staged rows with
     one key would both survive, which is never what merge means; the
-    check raises before anything commits. Staged schema passes the same
-    additive-evolution gate as an append. A first commit (no parent)
-    degrades to a plain overwrite. Zero staged rows commit nothing.
+    check raises before anything commits — including on the bootstrap
+    commit (no parent), which otherwise degrades to a plain overwrite.
+    Staged schema passes the same additive-evolution gate as an append.
+    Zero staged rows commit nothing.
 
     Read-back obligation (oval's write-then-verify at merge
     granularity): after the commit, each staged key resolves to EXACTLY
@@ -1701,20 +1715,19 @@ def snapshot_upsert(
     import uuid
 
     parent = current_snapshot_id(root)
-    if parent is None:
-        return snapshot_write(df, root, mode="overwrite", guard=guard)
-    m_raw = _load_manifest_raw(root, parent)
-    _check_append_schema(root, m_raw, df.schema)
     if key not in df.columns:
         raise ValueError(f"upsert key {key!r} not in staged columns {df.columns}")
-
-    sid = parent + 1
-    data_dir = os.path.join(root, "data", f"snap-{sid}-{uuid.uuid4().hex[:8]}")
     # one upstream execution for the write + the key scans below
     df = df.localCheckpoint()
     n_staged = df.count()
     if n_staged == 0:
-        return parent
+        return parent if parent is not None else snapshot_write(
+            df, root, mode="overwrite", guard=guard
+        )
+    # key-uniqueness is part of the merge CONTRACT, not a property of
+    # the table state — enforce it on the bootstrap commit too, or a
+    # duplicate-keyed frame commits silently on an empty table and
+    # raises on a non-empty one
     n_keys = df.select(key).distinct().count()
     if n_keys != n_staged:
         raise ValueError(
@@ -1722,6 +1735,13 @@ def snapshot_upsert(
             f"{n_keys} distinct {key!r} values — merge requires key-unique "
             f"staging (deduplicate first)"
         )
+    if parent is None:
+        return snapshot_write(df, root, mode="overwrite", guard=guard)
+    m_raw = _load_manifest_raw(root, parent)
+    _check_append_schema(root, m_raw, df.schema)
+
+    sid = parent + 1
+    data_dir = os.path.join(root, "data", f"snap-{sid}-{uuid.uuid4().hex[:8]}")
     df.write.mode("error").parquet(data_dir)
     new_files = _footer_stats(glob.glob(os.path.join(data_dir, "part-*.parquet")), root)
     inherited = _inherited_sketch_cols(root, m_raw)
@@ -2086,8 +2106,9 @@ def sort_rewrite(
     tighten on EVERY interleaved dimension, so range prunes on any one
     of them skip files — the multi-dimensional case lexicographic sort
     cannot serve (its second column's bounds span everything). Columns
-    are min-max normalized to 16 bits from the table's own manifest
-    stats (one metadata read, no scan)."""
+    are normalized to ``min(16, 63 // k)`` bits between their p0.1/p99.9
+    quantile bounds (outlier-robust; one column-pruned aggregate pass);
+    date/timestamp columns z-order through their epoch form."""
     import shutil
     import uuid
 
@@ -2125,34 +2146,63 @@ def sort_rewrite(
                     f"— z-ordering needs ORDERED NUMERIC columns (hashing a "
                     f"string would destroy the locality the curve exists for)"
                 )
-        # min-max from ONE aggregate pass (manifest bounds are strings and
-        # may be prefix bounds; the exact extremes cost one cheap scan of
-        # the cluster columns only — column-pruned, far below the rewrite)
+        # bits per dimension: bits*k must stay BELOW the long's sign bit
+        # (bit 63) — with 4 columns at 16 bits, dimension 3 would shift
+        # into position 63 and rows past the midpoint would sort negative,
+        # splitting the curve in half. 4 columns therefore get 15 bits.
+        bits = min(16, 63 // len(zorder))
+        max_code = (1 << bits) - 1
+        # temporal columns normalize through an explicit numeric form
+        # (Spark cannot cast date to double, and python float() on the
+        # collected datetime extremes raises)
+        num: dict[str, F.Column] = {}
+        for c in zorder:
+            t = df.schema[c].dataType.simpleString()
+            if t == "date":
+                num[c] = F.datediff(F.col(c), F.to_date(F.lit("1970-01-01"))).cast("double")
+            else:  # numerics and timestamp (casts to fractional epoch seconds)
+                num[c] = F.col(c).cast("double")
+        # Scale bounds from ONE aggregate pass over the cluster columns
+        # only (column-pruned, far below the rewrite's own scan). Bounds
+        # are the p0.1/p99.9 quantiles, not global min/max: one extreme
+        # outlier row must not collapse the curve's useful resolution for
+        # the whole column — values past the bounds clamp to the first /
+        # last code, costing locality only for the outliers themselves.
+        # Degenerate inner span (heavily-concentrated column) falls back
+        # to true min/max.
         aggs = []
         for c in zorder:
-            aggs += [F.min(c).alias(f"_mn_{c}"), F.max(c).alias(f"_mx_{c}")]
+            aggs += [
+                F.min(num[c]).alias(f"_mn_{c}"),
+                F.max(num[c]).alias(f"_mx_{c}"),
+                F.percentile_approx(num[c], [0.001, 0.999], 10000).alias(f"_q_{c}"),
+            ]
         mm = df.agg(*aggs).collect()[0]
         scaled = []
         for c in zorder:
-            lo, hi = mm[f"_mn_{c}"], mm[f"_mx_{c}"]
-            col = F.col(c).cast("double")
+            mn, mx = mm[f"_mn_{c}"], mm[f"_mx_{c}"]
+            q = mm[f"_q_{c}"] or [None, None]
+            lo, hi = q[0], q[1]
+            if lo is None or hi is None or not float(hi) - float(lo) > 0:
+                lo, hi = mn, mx
+            col = num[c]
             span = float(hi) - float(lo) if hi is not None and lo is not None else 0.0
             if span <= 0:
                 scaled.append(F.lit(0).cast("long"))  # constant/NULL column
             else:
                 scaled.append(
                     F.least(
-                        F.lit(65535),
+                        F.lit(max_code),
                         F.greatest(
                             F.lit(0),
-                            F.floor((col - F.lit(float(lo))) / F.lit(span) * 65535),
+                            F.floor((col - F.lit(float(lo))) / F.lit(span) * max_code),
                         ),
                     ).cast("long")
                 )
         # NULLs sort first: coalesce scaled NULL to 0 keeps them clustered
         scaled = [F.coalesce(s, F.lit(0).cast("long")) for s in scaled]
         df = (
-            df.withColumn("_zv", _zvalue_expr(scaled))
+            df.withColumn("_zv", _zvalue_expr(scaled, bits))
             .repartitionByRange(n_files, "_zv")
             .sortWithinPartitions("_zv")
             .drop("_zv")

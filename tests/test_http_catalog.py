@@ -529,3 +529,49 @@ def test_writer_racing_migration_never_forks_authority(spark, tmp_path):
         assert current_snapshot_id(root) == 2 + n_appends
     finally:
         server.stop()
+
+
+def test_cas_rereads_descriptor_under_lock(spark, tmp_path, monkeypatch):
+    """Deterministic TOCTOU reproduction: _catalog_cas reads the
+    descriptor BEFORE taking the sqlite write lock. A writer under a
+    non-sqlite guard that read descriptor=None, then blocked on the
+    migration's freeze, must NOT win a CAS against the now-shadowed
+    sqlite rows (its commit would be invisible to http readers — a
+    lost commit / forked authority). The fix re-reads the descriptor
+    once BEGIN IMMEDIATE succeeds and re-routes to http."""
+    import sqlite3
+
+    from ovalspark.sources import http_catalog as hc
+    from ovalspark.sources import snapshots as sn
+    from ovalspark.sources.http_catalog import CatalogServer, migrate_pointer_to_http
+
+    root = str(tmp_path / "toctou")
+    df = spark.range(4).selectExpr("cast(id as string) doc_id", "id v")
+    sn.snapshot_write(df, root, guard="sqlite")
+    server = CatalogServer()
+    endpoint = server.start()
+    try:
+        migrate_pointer_to_http(root, endpoint)
+        key = _descriptor(root)["key"]
+        assert hc.client_current(endpoint, key) == (True, 1)
+
+        # simulate the pre-flip read: first descriptor call sees None
+        real = sn._catalog_descriptor
+        calls = {"n": 0}
+
+        def stale_first(r):
+            calls["n"] += 1
+            return None if calls["n"] == 1 else real(r)
+
+        monkeypatch.setattr(sn, "_catalog_descriptor", stale_first)
+        won = sn._catalog_cas(root, 1, 2, "fake-loc-v2.json")
+        assert won is True
+        assert calls["n"] >= 2  # the under-lock re-read happened
+        # the commit landed in the SERVICE, not the shadowed sqlite rows
+        assert hc.client_current(endpoint, key) == (True, 2)
+        con = sqlite3.connect(sn._catalog_db_path(root))
+        row = con.execute("SELECT id FROM current WHERE k='CURRENT'").fetchone()
+        con.close()
+        assert row[0] == 1  # shadowed store untouched
+    finally:
+        server.stop()

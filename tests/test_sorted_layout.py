@@ -135,3 +135,93 @@ def test_zorder_rejects_strings_and_bad_arity(spark, tmp_path):
         sort_rewrite(spark, root, sort_by="id", zorder=["id", "id"])
     with pytest.raises(ValueError, match="exactly one"):
         sort_rewrite(spark, root)
+
+
+def test_zorder_timestamp_and_date_columns(spark, tmp_path):
+    """Temporal columns z-order through their epoch form (date cannot
+    cast to double in Spark, and python float() on collected datetime
+    extremes raises — both crashed the original scaling pass)."""
+    n = 4096
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.timestamp_seconds(F.lit(1_600_000_000) + F.col("id") * 3600).alias("ts"),
+        F.date_add(F.lit("2020-01-01").cast("date"), (F.col("id") % 365).cast("int")).alias("d"),
+        (F.col("id") % 512).alias("v"),
+        F.sha2(F.concat(F.lit("pad"), F.col("id").cast("string")), 512).alias("pad"),
+    ).orderBy(F.xxhash64("id"))
+    root = str(tmp_path / "t")
+    snapshot_write(df.repartition(8), root)
+    sid = sort_rewrite(spark, root, zorder=["ts", "v"], target_file_mb=1)
+    assert load_manifest(root, sid)["zorder"] == ["ts", "v"]
+    assert snapshot_read(spark, root).count() == n
+    assert snapshot_read(spark, root).exceptAll(df).count() == 0
+    # date as a zorder dimension also works
+    sid2 = sort_rewrite(spark, root, zorder=["d", "v"], target_file_mb=1)
+    assert load_manifest(root, sid2)["zorder"] == ["d", "v"]
+    assert snapshot_read(spark, root).exceptAll(df).count() == 0
+
+
+def test_zvalue_four_columns_stays_positive(spark):
+    """bits*k must stay below the long sign bit: with 4 columns the
+    interleave uses 15 bits, so even all-max codes yield a positive
+    z-value (16 bits would shift dimension 3 into bit 63 and split the
+    Morton curve at the sign)."""
+    from ovalspark.sources.snapshots import _zvalue_expr
+
+    bits = min(16, 63 // 4)
+    assert bits == 15
+    hi = (1 << bits) - 1
+    df = spark.range(1).select(
+        *[F.lit(hi).cast("long").alias(f"c{i}") for i in range(4)]
+    )
+    z = df.select(_zvalue_expr([F.col(f"c{i}") for i in range(4)], bits).alias("z"))
+    val = z.collect()[0]["z"]
+    assert val > 0
+    assert val == (1 << (bits * 4)) - 1  # all interleaved bits set, none lost
+
+
+def test_zorder_four_columns_end_to_end(spark, tmp_path):
+    n = 4096
+    df = spark.range(n).select(
+        (F.col("id") % 8).alias("a"),
+        ((F.col("id") / 8) % 8).cast("long").alias("b"),
+        ((F.col("id") / 64) % 8).cast("long").alias("c"),
+        ((F.col("id") / 512) % 8).cast("long").alias("d"),
+        F.col("id").alias("doc_id"),
+        F.sha2(F.concat(F.lit("pad"), F.col("id").cast("string")), 512).alias("pad"),
+    ).orderBy(F.xxhash64("id"))
+    root = str(tmp_path / "t")
+    snapshot_write(df.repartition(8), root)
+    sid = sort_rewrite(spark, root, zorder=["a", "b", "c", "d"], target_file_mb=1)
+    m = load_manifest(root, sid)
+    assert m["zorder"] == ["a", "b", "c", "d"]
+    assert snapshot_read(spark, root).count() == n
+    assert snapshot_read(spark, root).exceptAll(df).count() == 0
+
+
+def test_zorder_outlier_does_not_collapse_resolution(spark, tmp_path):
+    """Scale bounds are p0.1/p99.9 quantiles: ONE extreme row must not
+    flatten every normal value into a single code. With min/max scaling
+    a y=10^12 outlier maps the whole 0..255 grid to code 0 and
+    second-dimension pruning dies; quantile bounds keep it alive."""
+    n = 65536
+    grid = spark.range(n).select(
+        (F.col("id") % 256).alias("x"),
+        F.when(F.col("id") == 0, F.lit(10**12))
+        .otherwise((F.col("id") / 256).cast("long"))
+        .alias("y"),
+        F.col("id").alias("doc_id"),
+        F.sha2(F.concat(F.lit("pad"), F.col("id").cast("string")), 512).alias("pad"),
+    ).orderBy(F.xxhash64("id"))
+    zo = str(tmp_path / "zo")
+    snapshot_write(grid.repartition(16), zo)
+    sid = sort_rewrite(spark, zo, zorder=["x", "y"], target_file_mb=1)
+    n_files = len(load_manifest(zo, sid)["files"])
+    assert n_files >= 8
+    # second-dimension range prune still skips most files despite the outlier
+    survivors = len(prune_files(zo, conditions=("y", 10, 12)))
+    assert survivors <= n_files // 2, (survivors, n_files)
+    # values unharmed, outlier included
+    got = snapshot_read(spark, zo, prune=("y", 10, 12)).filter("y between 10 and 12")
+    assert got.count() == 3 * 256
+    assert snapshot_read(spark, zo).exceptAll(grid).count() == 0

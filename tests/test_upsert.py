@@ -220,3 +220,23 @@ def test_tail_validates_upsert_commits(spark, tmp_path, small_world):
     )
     assert [s for s, _ in got] == [sid]
     assert got[0][1].count() == 0  # clean merge: delta + read-back green
+
+
+def test_upsert_bootstrap_enforces_key_uniqueness(spark, tmp_path):
+    """The merge contract is key-unique staging — on an EMPTY table too:
+    a duplicate-keyed frame must raise on the bootstrap commit exactly
+    as it does on a non-empty one (it used to commit silently)."""
+    import pytest
+
+    from ovalspark.sources.snapshots import current_snapshot_id, snapshot_upsert
+
+    root = str(tmp_path / "boot")
+    dup = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3)], "doc_id string, v long"
+    )
+    with pytest.raises(ValueError, match="key-unique"):
+        snapshot_upsert(spark, root, dup)
+    assert current_snapshot_id(root) is None  # nothing committed
+    ok = spark.createDataFrame([("a", 1), ("b", 3)], "doc_id string, v long")
+    sid = snapshot_upsert(spark, root, ok)
+    assert sid == 1
