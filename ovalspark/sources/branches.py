@@ -72,6 +72,10 @@ from ovalspark.sources.snapshots import (
     _copy_entry,
     _load_manifest_raw,
     _expand_manifest,
+    _ref_cas,
+    _ref_get,
+    _refs_authority,
+    _refs_kind,
     current_snapshot_id,
     snapshot_read,
 )
@@ -96,7 +100,26 @@ def _descriptor_path(broot: str) -> str:
     return os.path.join(broot, "BRANCH.json")
 
 
+def _desc_json(desc: dict[str, Any]) -> str:
+    """Canonical serialization — ref CAS compares these as strings, so
+    every writer must produce byte-identical JSON for equal state."""
+    return json.dumps(desc, sort_keys=True, separators=(",", ":"))
+
+
+def _catalog_owned(root: str) -> bool:
+    return _refs_authority(root)[0] != "file"
+
+
 def _load_descriptor(root: str, name: str) -> dict[str, Any]:
+    """The branch descriptor from its AUTHORITY: the catalog ref when
+    the table's pointer is catalog-owned (``branch:<name>`` — so the
+    existence check and the published flag are CAS-protected,
+    cross-host), else the root-local BRANCH.json. A pre-catalog branch
+    of a since-adopted table falls back to its file descriptor."""
+    if _catalog_owned(root):
+        raw = _ref_get(root, f"branch:{name}")
+        if raw is not None:
+            return json.loads(raw)
     p = _descriptor_path(branch_root(root, name))
     if not os.path.exists(p):
         raise BranchError(f"no branch {name!r} at {root}")
@@ -104,41 +127,69 @@ def _load_descriptor(root: str, name: str) -> dict[str, Any]:
         return json.load(f)
 
 
+def _store_descriptor(root: str, name: str, desc: dict[str, Any], old: dict | None) -> None:
+    """Descriptor transition ``old -> desc`` under the authority's CAS
+    (catalog-owned), mirrored to the local BRANCH.json as a read cache.
+    A lost CAS whose current value already equals ``desc`` is an
+    idempotent replay; any other loss raises — exactly the raced
+    double-publish WAP exists to prevent."""
+    if _catalog_owned(root):
+        old_raw = None if old is None else _desc_json(old)
+        # a legacy file-descriptor branch has no ref yet: first CAS
+        # inserts (old=None) even though the caller loaded a dict
+        if old is not None and _ref_get(root, f"branch:{name}") is None:
+            old_raw = None
+        won, cur = _ref_cas(root, f"branch:{name}", old_raw, _desc_json(desc))
+        if not won:
+            raise BranchError(
+                f"branch {name!r} descriptor changed concurrently at {root} "
+                f"(current: {cur}) — reload and retry"
+            )
+    _atomic_write(
+        _descriptor_path(branch_root(root, name)),
+        json.dumps(desc, indent=1, sort_keys=True),
+    )
+
+
 def create_branch(root: str, name: str) -> str:
     """Create branch ``name`` off ``root``'s CURRENT snapshot; returns
     the branch table's root (write to it with ``snapshot_write``). O(1):
     records the base id, copies nothing. The base is resolved through
     the table's pointer authority (file/sqlite/http), so a branch off a
-    catalog-owned table pins the same id every reader would see."""
+    catalog-owned table pins the same id every reader would see, and on
+    a catalog-owned table the descriptor itself is a catalog ref — two
+    hosts creating the same branch name race one insert-if-absent CAS."""
     broot = branch_root(root, name)
     dp = _descriptor_path(broot)
     if os.path.exists(dp) or os.path.isdir(os.path.join(broot, "manifest")):
         raise BranchError(f"branch {name!r} already exists at {root}")
     base = current_snapshot_id(root)
+    desc = {"name": name, "base_snapshot": base, "created_at": round(time.time(), 3)}
+    if _catalog_owned(root):
+        won, cur = _ref_cas(root, f"branch:{name}", None, _desc_json(desc))
+        if not won:
+            raise BranchError(f"branch {name!r} already exists at {root}")
     os.makedirs(broot, exist_ok=True)
-    _atomic_write(
-        dp,
-        json.dumps(
-            {"name": name, "base_snapshot": base, "created_at": round(time.time(), 3)},
-            indent=1,
-            sort_keys=True,
-        ),
-    )
+    _atomic_write(dp, json.dumps(desc, indent=1, sort_keys=True))
     return broot
 
 
 def list_branches(root: str) -> dict[str, dict[str, Any]]:
     """name -> descriptor for every branch of ``root`` (published ones
-    included until dropped)."""
+    included until dropped). Catalog-owned tables list from the catalog
+    (authoritative, cross-host), overlaid on any legacy file-descriptor
+    branches."""
     out: dict[str, dict[str, Any]] = {}
     bdir = os.path.join(root, _BRANCHES_DIRNAME)
-    if not os.path.isdir(bdir):
-        return out
-    for name in sorted(os.listdir(bdir)):
-        p = _descriptor_path(os.path.join(bdir, name))
-        if os.path.exists(p):
-            with open(p) as f:
-                out[name] = json.load(f)
+    if os.path.isdir(bdir):
+        for name in sorted(os.listdir(bdir)):
+            p = _descriptor_path(os.path.join(bdir, name))
+            if os.path.exists(p):
+                with open(p) as f:
+                    out[name] = json.load(f)
+    if _catalog_owned(root):
+        for name, raw in sorted(_refs_kind(root, "branch").items()):
+            out[name] = json.loads(raw)
     return out
 
 
@@ -210,6 +261,7 @@ def publish_branch(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     desc = _load_descriptor(root, name)
+    pre_desc = json.loads(json.dumps(desc))  # CAS `old`: state as loaded
     if desc.get("published"):
         raise BranchError(
             f"branch {name!r} was already published as main snapshot "
@@ -284,7 +336,7 @@ def publish_branch(
         guard=guard,
     )
     desc["published"] = {"main_sid": sid, "branch_head": head}
-    _atomic_write(_descriptor_path(broot), json.dumps(desc, indent=1, sort_keys=True))
+    _store_descriptor(root, name, desc, old=pre_desc)
     return sid
 
 
@@ -296,15 +348,27 @@ def drop_branch(root: str, name: str, force: bool = False) -> None:
     goes."""
     desc = _load_descriptor(root, name)
     broot = branch_root(root, name)
+
+    def _drop_ref() -> None:
+        if _catalog_owned(root):
+            raw = _ref_get(root, f"branch:{name}")
+            if raw is not None:
+                _ref_cas(root, f"branch:{name}", raw, None)
+
     if desc.get("published"):
         shutil.rmtree(os.path.join(broot, "manifest"), ignore_errors=True)
-        os.unlink(_descriptor_path(broot))
+        try:
+            os.unlink(_descriptor_path(broot))
+        except FileNotFoundError:
+            pass  # catalog-authority branch created on another host
+        _drop_ref()
         return
     if current_snapshot_id(broot) is not None and not force:
         raise BranchError(
             f"branch {name!r} has unpublished commits — pass force=True to discard"
         )
     shutil.rmtree(broot, ignore_errors=True)
+    _drop_ref()
 
 
 def validate_then_publish(

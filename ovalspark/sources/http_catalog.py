@@ -85,6 +85,7 @@ class _MemStore:
     def __init__(self):
         self._pointers: dict[str, int] = {}
         self._locs: dict[str, dict[int, str]] = {}
+        self._refs: dict[str, dict[str, str]] = {}
 
     def begin(self):
         pass
@@ -119,6 +120,20 @@ class _MemStore:
             for sid in sids:
                 m.pop(sid, None)
 
+    def get_ref(self, key: str, name: str) -> str | None:
+        return self._refs.get(key, {}).get(name)
+
+    def set_ref(self, key: str, name: str, val: str) -> None:
+        self._refs.setdefault(key, {})[name] = val
+
+    def delete_ref(self, key: str, name: str) -> None:
+        self._refs.get(key, {}).pop(name, None)
+
+    def all_refs(self, key: str, prefix: str = "") -> dict[str, str]:
+        return {
+            n: v for n, v in self._refs.get(key, {}).items() if n.startswith(prefix)
+        }
+
 
 class _SqliteStore:
     """Durable store: pointer flips and manifest-loc rows journal to one
@@ -143,6 +158,10 @@ class _SqliteStore:
         self._con.execute(
             "CREATE TABLE IF NOT EXISTS manifest_locs "
             "(k TEXT, id INTEGER, loc TEXT NOT NULL, PRIMARY KEY (k, id))"
+        )
+        self._con.execute(
+            "CREATE TABLE IF NOT EXISTS refs "
+            "(k TEXT, name TEXT, val TEXT NOT NULL, PRIMARY KEY (k, name))"
         )
 
     def begin(self):
@@ -189,6 +208,32 @@ class _SqliteStore:
         self._con.executemany(
             "DELETE FROM manifest_locs WHERE k=? AND id=?", [(key, int(s)) for s in sids]
         )
+
+    def get_ref(self, key: str, name: str) -> str | None:
+        row = self._con.execute(
+            "SELECT val FROM refs WHERE k=? AND name=?", (key, name)
+        ).fetchone()
+        return None if row is None else row[0]
+
+    def set_ref(self, key: str, name: str, val: str) -> None:
+        self._con.execute(
+            "INSERT INTO refs (k, name, val) VALUES (?, ?, ?) "
+            "ON CONFLICT(k, name) DO UPDATE SET val=excluded.val",
+            (key, name, val),
+        )
+
+    def delete_ref(self, key: str, name: str) -> None:
+        self._con.execute("DELETE FROM refs WHERE k=? AND name=?", (key, name))
+
+    def all_refs(self, key: str, prefix: str = "") -> dict[str, str]:
+        pat = (
+            prefix.replace("\\", r"\\").replace("%", r"\%").replace("_", r"\_") + "%"
+        )
+        rows = self._con.execute(
+            r"SELECT name, val FROM refs WHERE k=? AND name LIKE ? ESCAPE '\'",
+            (key, pat),
+        ).fetchall()
+        return {n: v for n, v in rows}
 
 
 class _Lease:
@@ -270,27 +315,131 @@ class CatalogServer:
                 st.rollback()
                 raise
 
-    def _seed(self, key: str, pointer: int, locs: dict[int, str]) -> bool:
-        """Bulk-load a table's pointer + manifest-loc rows — the
-        migration primitive. Succeeds only on a key with NO pointer yet,
-        or idempotently when the existing state EQUALS the request (a
-        migration retried after a crash between seed and descriptor
-        flip). Any other state is a conflict: seeding must never
-        overwrite a live table."""
+    def _seed(
+        self,
+        key: str,
+        pointer: int,
+        locs: dict[int, str],
+        refs: dict[str, str] | None = None,
+    ) -> bool:
+        """Bulk-load a table's pointer + manifest-loc rows (and any
+        tag/branch refs) — the migration primitive. Succeeds only on a
+        key with NO pointer yet, or idempotently when the existing state
+        EQUALS the request (a migration retried after a crash between
+        seed and descriptor flip). Any other state is a conflict:
+        seeding must never overwrite a live table."""
+        refs = refs or {}
         with self._lock:
             st = self._store
             st.begin()
             try:
                 existing = st.get_pointer(key)
                 if existing is not None:
-                    ok = existing == pointer and st.all_locs(key) == locs
+                    ok = (
+                        existing == pointer
+                        and st.all_locs(key) == locs
+                        and st.all_refs(key) == refs
+                    )
                     st.rollback()
                     return ok
                 st.set_pointer(key, pointer)
                 for sid, loc in locs.items():
                     st.set_loc(key, int(sid), loc)
+                for name, val in refs.items():
+                    st.set_ref(key, name, val)
                 st.commit()
                 return True
+            except BaseException:
+                st.rollback()
+                raise
+
+    def _ref_cas(
+        self, key: str, name: str, old: str | None, new: str | None
+    ) -> tuple[bool, str | None]:
+        """Conditional put on the REFS keyspace (tags, branch heads):
+        apply ``old -> new`` iff the current value equals ``old``
+        (``old=None`` = insert-if-absent, ``new=None`` = delete-if-
+        match). Returns ``(won, current_value_after)``. A lost-reply
+        replay that finds the state already AT ``new`` reports a win —
+        the same idempotent fence the pointer CAS uses (callers ship
+        semantically-unique values: a tag's sid, a branch descriptor's
+        full JSON)."""
+        with self._lock:
+            st = self._store
+            st.begin()
+            try:
+                cur = st.get_ref(key, name)
+                if cur == new and old != new:
+                    st.rollback()
+                    return True, cur  # lost-reply replay of OUR transition
+                if cur != old:
+                    st.rollback()
+                    return False, cur
+                if new is None:
+                    st.delete_ref(key, name)
+                else:
+                    st.set_ref(key, name, new)
+                st.commit()
+                return True, new
+            except BaseException:
+                st.rollback()
+                raise
+
+    def _refs(self, key: str, prefix: str) -> dict[str, str]:
+        with self._lock:
+            return self._store.all_refs(key, prefix)
+
+    def _tag_create(self, key: str, name: str, sid: int) -> tuple[bool, str, str | None]:
+        """Tag = insert-if-absent on ``tag:<name>``, REFUSED if the
+        snapshot carries an ``expired:<sid>`` tombstone — the other half
+        of the expire-vs-tag serialization (see ``_expire``). Returns
+        ``(won, reason, current_value)``; a replay that finds the tag
+        already at this sid wins idempotently."""
+        ref, val = f"tag:{name}", json.dumps(int(sid))
+        with self._lock:
+            st = self._store
+            st.begin()
+            try:
+                cur = st.get_ref(key, ref)
+                if cur is not None:
+                    st.rollback()
+                    return cur == val, "exists", cur
+                if st.get_ref(key, f"expired:{int(sid)}") is not None:
+                    st.rollback()
+                    return False, "expired", None
+                st.set_ref(key, ref, val)
+                st.commit()
+                return True, "ok", val
+            except BaseException:
+                st.rollback()
+                raise
+
+    def _expire(self, key: str, ids: list[int]) -> list[int]:
+        """Atomic retention step: inside ONE transaction, re-read the
+        tag pin set, drop the manifest-loc rows of every requested id
+        that is NOT pinned, and leave an ``expired:<sid>`` tombstone
+        behind. The caller unlinks manifest FILES only for the ids this
+        returns — so a tag created after the caller computed its
+        candidate list still protects its snapshot, and a tag racing the
+        file unlink lands on the tombstone (snapshot ids are monotonic:
+        an expired id never comes back, so tombstones are safe to keep
+        forever and cost one tiny row each)."""
+        with self._lock:
+            st = self._store
+            st.begin()
+            try:
+                pinned = set()
+                for v in st.all_refs(key, "tag:").values():
+                    try:
+                        pinned.add(int(json.loads(v)))
+                    except (ValueError, TypeError):
+                        pass
+                ok_ids = [int(i) for i in ids if int(i) not in pinned]
+                for sid in ok_ids:
+                    st.set_ref(key, f"expired:{sid}", "1")
+                st.delete_locs(key, ok_ids)
+                st.commit()
+                return ok_ids
             except BaseException:
                 st.rollback()
                 raise
@@ -365,6 +514,11 @@ class CatalogServer:
                             if loc is None:
                                 return self._reply(404)
                             return self._reply(200, {"loc": loc})
+                        if parts[2] == "refs" and len(parts) == 4:
+                            prefix = parts[3] + ":"
+                            return self._reply(
+                                200, {"refs": server._store.all_refs(key, prefix)}
+                            )
                 return self._reply(404)
 
             def _do_post(self):
@@ -386,8 +540,24 @@ class CatalogServer:
                             key,
                             int(body["pointer"]),
                             {int(k): v for k, v in body["locs"].items()},
+                            body.get("refs") or {},
                         )
                         return self._reply(200 if ok else 409, {"ok": ok})
+                    if parts[2] == "ref":
+                        won, cur = server._ref_cas(
+                            key, body["name"], body.get("old"), body.get("new")
+                        )
+                        return self._reply(200, {"won": won, "cur": cur})
+                    if parts[2] == "expire":
+                        expired = server._expire(key, body.get("ids", []))
+                        return self._reply(200, {"expired": expired})
+                    if parts[2] == "tag":
+                        won, reason, cur = server._tag_create(
+                            key, body["name"], int(body["sid"])
+                        )
+                        return self._reply(
+                            200, {"won": won, "reason": reason, "cur": cur}
+                        )
                     if parts[2] == "lease":
                         ok, wait = server._lease(key, body["owner"], float(body["ttl_s"]))
                         return self._reply(200 if ok else 409, {"granted": ok, "retry_after_s": wait})
@@ -499,13 +669,67 @@ def client_delete_manifests(endpoint: str, key: str, sids: list[int]) -> None:
     _request("POST", f"{endpoint}/t/{key}/manifests/delete", {"ids": list(sids)})
 
 
-def client_seed(endpoint: str, key: str, pointer: int, locs: dict[int, str]) -> bool:
+def client_seed(
+    endpoint: str,
+    key: str,
+    pointer: int,
+    locs: dict[int, str],
+    refs: dict[str, str] | None = None,
+) -> bool:
     code, body = _request(
         "POST",
         f"{endpoint}/t/{key}/seed",
-        {"pointer": int(pointer), "locs": {str(k): v for k, v in locs.items()}},
+        {
+            "pointer": int(pointer),
+            "locs": {str(k): v for k, v in locs.items()},
+            "refs": refs or {},
+        },
     )
     return code == 200 and bool(body.get("ok"))
+
+
+def client_ref_cas(
+    endpoint: str, key: str, name: str, old: str | None, new: str | None
+) -> tuple[bool, str | None]:
+    """Conditional put on the refs keyspace; (won, current_value)."""
+    code, body = _request(
+        "POST", f"{endpoint}/t/{key}/ref", {"name": name, "old": old, "new": new}
+    )
+    if code != 200:
+        raise RuntimeError(f"ref CAS on {key}/{name} answered {code}: {body}")
+    return bool(body.get("won")), body.get("cur")
+
+
+def client_refs(endpoint: str, key: str, kind: str) -> dict[str, str]:
+    """All refs of one kind ('tag' | 'branch'), names WITH their
+    ``kind:`` prefix — callers strip it."""
+    code, body = _request("GET", f"{endpoint}/t/{key}/refs/{kind}")
+    if code != 200:
+        raise RuntimeError(f"refs listing on {key}/{kind} answered {code}: {body}")
+    return dict(body.get("refs") or {})
+
+
+def client_expire(endpoint: str, key: str, ids: list[int]) -> list[int]:
+    """Atomic catalog-side retention: drops loc rows for the requested
+    ids that are NOT tag-pinned (re-checked inside the server's
+    transaction) and returns exactly those — the caller unlinks only
+    the returned ids' manifest files."""
+    code, body = _request("POST", f"{endpoint}/t/{key}/expire", {"ids": list(ids)})
+    if code != 200:
+        raise RuntimeError(f"expire on {key} answered {code}: {body}")
+    return [int(i) for i in body.get("expired", [])]
+
+
+def client_tag_create(endpoint: str, key: str, name: str, sid: int) -> tuple[bool, str]:
+    """Tombstone-checked tag create (serializes against ``client_expire``
+    inside the server's transaction). Returns ``(won, reason)`` —
+    ``reason`` is ``exists`` or ``expired`` on refusal."""
+    code, body = _request(
+        "POST", f"{endpoint}/t/{key}/tag", {"name": name, "sid": int(sid)}
+    )
+    if code != 200:
+        raise RuntimeError(f"tag create on {key}/{name} answered {code}: {body}")
+    return bool(body.get("won")), str(body.get("reason", ""))
 
 
 # ---------------------------------------------------------------------------
@@ -671,8 +895,14 @@ def migrate_pointer_to_http(root: str, endpoint: str) -> int:
             int(i): loc
             for i, loc in con.execute("SELECT id, loc FROM manifests").fetchall()
         }
+        try:
+            refs = dict(con.execute("SELECT name, val FROM refs").fetchall())
+        except sqlite3.OperationalError as e:
+            if "no such table" not in str(e):
+                raise
+            refs = {}  # pre-refs catalog.db: no tags/branches to carry
         key = uuid.uuid4().hex
-        if not client_seed(endpoint, key, pointer, locs):
+        if not client_seed(endpoint, key, pointer, locs, refs):
             raise RuntimeError(
                 f"catalog service at {endpoint} refused to seed key {key} — "
                 f"key collision (retry) or a live table under that key"

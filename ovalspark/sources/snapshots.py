@@ -2453,7 +2453,7 @@ def expire_snapshots(
         locs = _catalog_manifest_locs(root)
         now = _time.time()
         tagged = set(list_tags(root).values())
-        expired = []
+        candidates = []  # (sid, manifest_path) passing age + advisory pin
         for sid in range(1, cur - keep_last + 1):
             if sid in tagged:
                 continue  # a TAG pins its snapshot against retention
@@ -2472,36 +2472,56 @@ def expire_snapshots(
                     committed_at = os.stat(p).st_mtime
                 if now - committed_at <= older_than_s:
                     continue  # inside the retention window: keep
-            os.unlink(p)
-            expired.append(sid)
-        if locs and expired:
-            # drop the expired ids' catalog rows so resolution and vacuum
-            # agree with the file state (the pointer row is untouched).
-            # Dispatch on the DESCRIPTOR, not the guard: the table's
-            # catalog decides where the rows live, whatever guard this
-            # maintenance call happened to run under
-            d = _catalog_descriptor(root)
-            if d is not None and d.get("type") == "http":
+            candidates.append((sid, p))
+        expired = []
+        auth = _refs_authority(root)
+        if candidates and auth[0] != "file":
+            # Catalog-owned: the tag pin set above was ADVISORY (a tagger
+            # on another host may have pinned a candidate since we read
+            # it). One catalog transaction re-reads the pins, drops the
+            # loc rows of the still-unpinned ids, and leaves an
+            # ``expired:<sid>`` tombstone each — so a tag racing the file
+            # unlink below lands on the tombstone and is refused instead
+            # of pinning a ghost (see ``create_tag``). Only the ids the
+            # catalog approved get their manifest FILES unlinked.
+            ids = [sid for sid, _ in candidates]
+            if auth[0] == "http":
                 from ovalspark.sources import http_catalog as hc
 
-                hc.client_delete_manifests(d["endpoint"], d["key"], expired)
+                approved = set(hc.client_expire(auth[1], auth[2], ids))
             else:
-                rows = [(s,) for s in expired]
-                if g.owns_pointer and g.name == "sqlite":
-                    # the sqlite guard's token IS an open transaction on
-                    # this db — reuse it (a second BEGIN IMMEDIATE would
-                    # self-deadlock)
-                    token.executemany("DELETE FROM manifests WHERE id=?", rows)
-                else:
-                    import sqlite3
 
-                    con = sqlite3.connect(_catalog_db_path(root), timeout=30.0)
-                    try:
-                        con.execute("BEGIN IMMEDIATE")
-                        con.executemany("DELETE FROM manifests WHERE id=?", rows)
-                        con.execute("COMMIT")
-                    finally:
-                        con.close()
+                def _expire_txn(con):
+                    pinned = set()
+                    for v in con.execute(
+                        r"SELECT val FROM refs WHERE name LIKE 'tag:%'"
+                    ).fetchall():
+                        pinned.add(int(json.loads(v[0])))
+                    ok = [s for s in ids if s not in pinned]
+                    con.executemany(
+                        "INSERT OR IGNORE INTO refs (name, val) VALUES (?, '1')",
+                        [(f"expired:{s}",) for s in ok],
+                    )
+                    con.executemany(
+                        "DELETE FROM manifests WHERE id=?", [(s,) for s in ok]
+                    )
+                    return set(ok)
+
+                # the sqlite guard's token IS an open transaction on this
+                # db — reuse it (a second BEGIN IMMEDIATE would self-
+                # deadlock)
+                held = token if (g.owns_pointer and g.name == "sqlite") else None
+                approved = _sqlite_refs_txn(root, _expire_txn, con=held)
+            for sid, p in candidates:
+                if sid in approved:
+                    os.unlink(p)
+                    expired.append(sid)
+        elif candidates:
+            # file authority: single-host scope, the commit guard already
+            # serializes taggers and this sweep
+            for sid, p in candidates:
+                os.unlink(p)
+                expired.append(sid)
     finally:
         g.release(token)
     if do_vacuum:
@@ -2513,8 +2533,197 @@ def _tags_path(root: str) -> str:
     return os.path.join(_manifest_dir(root), "TAGS.json")
 
 
+def _refs_authority(root: str) -> tuple:
+    """Where the table's NAMED REFS (tags, branch descriptors) live: the
+    SAME store that owns the CURRENT pointer, so ref mutations get the
+    pointer's CAS + durability and the retention sweep reads its pin set
+    from one consistent source. ``("http", endpoint, key)`` for a
+    network-catalog table, ``("sqlite",)`` when the sqlite catalog owns
+    the pointer, ``("file",)`` otherwise (root-local ``TAGS.json`` /
+    ``BRANCH.json`` — the single-host scope the file pointer itself
+    claims). A table adopted into a catalog AFTER refs were created
+    file-side keeps serving the old file refs until they are recreated;
+    ``migrate_pointer_to_http`` carries sqlite refs across in its freeze
+    transaction."""
+    d = _catalog_descriptor(root)
+    if d is not None and d.get("type") == "http":
+        return ("http", d["endpoint"], d["key"])
+    p = _catalog_db_path(root)
+    if os.path.exists(p):
+        import sqlite3
+
+        try:
+            con = sqlite3.connect(p, timeout=30.0)
+            try:
+                row = con.execute(
+                    "SELECT id FROM current WHERE k='CURRENT'"
+                ).fetchone()
+            finally:
+                con.close()
+        except sqlite3.OperationalError as e:
+            if "no such table" not in str(e):
+                raise
+            row = None  # guard-only catalog.db: pointer never adopted
+        if row is not None:
+            return ("sqlite",)
+    return ("file",)
+
+
+def _sqlite_refs_txn(root: str, fn, con=None):
+    """Run ``fn(con)`` inside a write transaction on the table's
+    catalog.db with the ``refs`` table ensured — the local mirror of the
+    network catalog's ref semantics (same schema minus the key column:
+    catalog.db is per-table). ``con``: a HELD guard transaction to reuse
+    (a second BEGIN IMMEDIATE on the same db would self-deadlock);
+    reused transactions are left open for the guard's release to
+    commit."""
+    import sqlite3
+
+    own = con is None
+    if own:
+        con = sqlite3.connect(_catalog_db_path(root), timeout=30.0)
+        try:
+            con.execute("BEGIN IMMEDIATE")
+        except sqlite3.OperationalError:
+            con.close()
+            raise
+    try:
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS refs "
+            "(name TEXT PRIMARY KEY, val TEXT NOT NULL)"
+        )
+        out = fn(con)
+        if own:
+            con.execute("COMMIT")
+        return out
+    except BaseException:
+        if own:
+            con.execute("ROLLBACK")
+        raise
+    finally:
+        if own:
+            con.close()
+
+
+def _sqlite_refs_all(root: str, prefix: str, con=None) -> dict[str, str]:
+    """Read-only ref listing. Deliberately NOT a write transaction: a
+    caller may hold the sqlite guard's open BEGIN IMMEDIATE (a second
+    write transaction would deadlock), and SQLite's RESERVED lock still
+    admits plain readers."""
+    import sqlite3
+
+    pat = prefix.replace("\\", r"\\").replace("%", r"\%").replace("_", r"\_") + "%"
+    q = r"SELECT name, val FROM refs WHERE name LIKE ? ESCAPE '\'"
+    try:
+        if con is not None:
+            return dict(con.execute(q, (pat,)).fetchall())
+        c = sqlite3.connect(_catalog_db_path(root), timeout=30.0)
+        try:
+            return dict(c.execute(q, (pat,)).fetchall())
+        finally:
+            c.close()
+    except sqlite3.OperationalError as e:
+        if "no such table" in str(e):
+            return {}
+        raise
+
+
+def _ref_get(root: str, name: str) -> str | None:
+    """Current value of one catalog ref (``tag:…`` / ``branch:…``), or
+    None. Callers must have checked ``_refs_authority(root)[0] !=
+    'file'`` — file-authority tables keep their refs in root-local JSON
+    and never reach this."""
+    auth = _refs_authority(root)
+    if auth[0] == "http":
+        from ovalspark.sources import http_catalog as hc
+
+        kind = name.split(":", 1)[0]
+        return hc.client_refs(auth[1], auth[2], kind).get(name)
+    if auth[0] == "sqlite":
+        import sqlite3
+
+        try:
+            con = sqlite3.connect(_catalog_db_path(root), timeout=30.0)
+            try:
+                row = con.execute(
+                    "SELECT val FROM refs WHERE name=?", (name,)
+                ).fetchone()
+            finally:
+                con.close()
+        except sqlite3.OperationalError as e:
+            if "no such table" in str(e):
+                return None
+            raise
+        return None if row is None else row[0]
+    raise ValueError(f"table at {root} has no catalog ref store (file authority)")
+
+
+def _ref_cas(root: str, name: str, old: str | None, new: str | None) -> tuple[bool, str | None]:
+    """Conditional put on the table's catalog ref store: ``old -> new``
+    iff the stored value equals ``old`` (None = absent / delete).
+    Returns ``(won, current_value_after)``; a replay that finds the
+    state already AT ``new`` wins idempotently (values are semantically
+    unique — a branch descriptor's full JSON, a tag's sid)."""
+    auth = _refs_authority(root)
+    if auth[0] == "http":
+        from ovalspark.sources import http_catalog as hc
+
+        return hc.client_ref_cas(auth[1], auth[2], name, old, new)
+    if auth[0] == "sqlite":
+
+        def _cas(con):
+            row = con.execute(
+                "SELECT val FROM refs WHERE name=?", (name,)
+            ).fetchone()
+            cur = None if row is None else row[0]
+            if cur == new and old != new:
+                return True, cur  # lost-reply replay of OUR transition
+            if cur != old:
+                return False, cur
+            if new is None:
+                con.execute("DELETE FROM refs WHERE name=?", (name,))
+            else:
+                con.execute(
+                    "INSERT INTO refs (name, val) VALUES (?, ?) "
+                    "ON CONFLICT(name) DO UPDATE SET val=excluded.val",
+                    (name, new),
+                )
+            return True, new
+
+        return _sqlite_refs_txn(root, _cas)
+    raise ValueError(f"table at {root} has no catalog ref store (file authority)")
+
+
+def _refs_kind(root: str, kind: str) -> dict[str, str]:
+    """All refs of one kind, names WITHOUT the ``kind:`` prefix."""
+    auth = _refs_authority(root)
+    pre = f"{kind}:"
+    if auth[0] == "http":
+        from ovalspark.sources import http_catalog as hc
+
+        raw = hc.client_refs(auth[1], auth[2], kind)
+    elif auth[0] == "sqlite":
+        raw = _sqlite_refs_all(root, pre)
+    else:
+        raise ValueError(
+            f"table at {root} has no catalog ref store (file authority)"
+        )
+    return {n[len(pre):]: v for n, v in raw.items()}
+
+
 def list_tags(root: str) -> dict[str, int]:
-    """name -> snapshot id for every tag on the table (empty if none)."""
+    """name -> snapshot id for every tag on the table (empty if none).
+    Resolution follows the table's pointer authority (file / sqlite
+    catalog / network catalog) — see ``_refs_authority``."""
+    auth = _refs_authority(root)
+    if auth[0] == "http":
+        from ovalspark.sources import http_catalog as hc
+
+        raw = hc.client_refs(auth[1], auth[2], "tag")
+        return {n[len("tag:"):]: int(json.loads(v)) for n, v in raw.items()}
+    if auth[0] == "sqlite":
+        raw = _sqlite_refs_all(root, "tag:")
+        return {n[len("tag:"):]: int(json.loads(v)) for n, v in raw.items()}
     p = _tags_path(root)
     if not os.path.exists(p):
         return {}
@@ -2543,15 +2752,63 @@ def create_tag(root: str, name: str, snapshot_id: int | None = None, guard=None)
 
     if not _re.match(r"^[A-Za-z0-9][A-Za-z0-9._-]*$", name):
         raise ValueError(f"invalid tag name {name!r}")
+    sid = snapshot_id if snapshot_id is not None else current_snapshot_id(root)
+    if sid is None:
+        raise ValueError(f"cannot tag {root}: table has no snapshots")
+    _load_manifest_raw(root, sid)  # expired/never-committed ids raise here
+    auth = _refs_authority(root)
+    if auth[0] != "file":
+        # catalog-owned refs: the store TRANSACTION is the serialization
+        # (insert-if-absent + expired-tombstone check commit atomically),
+        # so the table commit guard is not taken — acquiring the sqlite
+        # guard here and then opening a second write transaction on the
+        # same catalog.db would self-deadlock, and the http path needs no
+        # lease for a single conditional put. The tombstone check closes
+        # the expire-vs-tag race airtight: expiry leaves ``expired:<sid>``
+        # rows behind in the SAME transaction that drops the loc rows, so
+        # a tagger that validated the manifest just before the sweep
+        # unlinked it lands on the tombstone and is refused instead of
+        # pinning a ghost.
+        if auth[0] == "http":
+            from ovalspark.sources import http_catalog as hc
+
+            won, reason = hc.client_tag_create(auth[1], auth[2], name, int(sid))
+        else:
+
+            def _create(con):
+                cur = con.execute(
+                    "SELECT val FROM refs WHERE name=?", (f"tag:{name}",)
+                ).fetchone()
+                if cur is not None:
+                    return json.loads(cur[0]) == int(sid), "exists"
+                if con.execute(
+                    "SELECT 1 FROM refs WHERE name=?", (f"expired:{int(sid)}",)
+                ).fetchone():
+                    return False, "expired"
+                con.execute(
+                    "INSERT INTO refs (name, val) VALUES (?, ?)",
+                    (f"tag:{name}", json.dumps(int(sid))),
+                )
+                return True, "ok"
+
+            won, reason = _sqlite_refs_txn(root, _create)
+        if not won:
+            if reason == "expired":
+                raise ValueError(
+                    f"cannot tag snapshot {sid} at {root}: it was expired "
+                    f"by retention (tombstoned in the catalog)"
+                )
+            raise ValueError(
+                f"tag {name!r} already points at snapshot "
+                f"{list_tags(root).get(name)} — tags are immutable; "
+                f"delete_tag first"
+            )
+        return int(sid)
     from ovalspark.sources.commit_guard import resolve_guard
 
     g = resolve_guard(guard)
     token = g.acquire(root)
     try:
-        sid = snapshot_id if snapshot_id is not None else current_snapshot_id(root)
-        if sid is None:
-            raise ValueError(f"cannot tag {root}: table has no snapshots")
-        _load_manifest_raw(root, sid)  # expired/never-committed ids raise here
         tags = list_tags(root)
         if name in tags:
             raise ValueError(
@@ -2567,6 +2824,26 @@ def create_tag(root: str, name: str, snapshot_id: int | None = None, guard=None)
 
 def delete_tag(root: str, name: str, guard=None) -> None:
     """Drop a tag; its snapshot becomes expirable again."""
+    auth = _refs_authority(root)
+    if auth[0] == "http":
+        from ovalspark.sources import http_catalog as hc
+
+        cur = hc.client_refs(auth[1], auth[2], "tag").get(f"tag:{name}")
+        if cur is None:
+            raise KeyError(f"no tag {name!r} at {root}")
+        hc.client_ref_cas(auth[1], auth[2], f"tag:{name}", cur, None)
+        return
+    if auth[0] == "sqlite":
+
+        def _delete(con):
+            gone = con.execute(
+                "DELETE FROM refs WHERE name=?", (f"tag:{name}",)
+            ).rowcount
+            return gone == 1
+
+        if not _sqlite_refs_txn(root, _delete):
+            raise KeyError(f"no tag {name!r} at {root}")
+        return
     from ovalspark.sources.commit_guard import resolve_guard
 
     g = resolve_guard(guard)
