@@ -546,6 +546,20 @@ def _expand_manifest(root: str, m: dict[str, Any]) -> dict[str, Any]:
 # small tables.
 _SEGMENT_SPILL_ENTRIES = 512
 
+# Auto-materialize backstop for STACKED merge-on-read filters: each
+# un-materialized delete/upsert appends a row_filters entry, and every
+# read of the pre-scope strata then pays every applying filter (for
+# keys-kind filters, one anti-join sidecar read each). At a real
+# re-ingest cadence (hourly re-crawls) the "transient" window between
+# delete and materialization never closes on its own — so when a MoR
+# commit would leave at least this many pending filters, the committing
+# writer folds them with ``materialize_deletes`` in the same call,
+# bounding every read plan at < threshold stacked filters while keeping
+# the amortized rewrite cost at 1/threshold per op. Pass
+# ``fold_threshold=None`` to the delete/upsert APIs to opt out (e.g. a
+# bulk backfill that materializes once at the end).
+_ROW_FILTER_FOLD_ENTRIES = 8
+
 # Immutable + uniquely named ⇒ cache never invalidates. Entries are
 # copied OUT — including the nested col_stats dicts — so a caller
 # mutating m["files"][i] or its stats (tests simulate torn footers that
@@ -1272,6 +1286,7 @@ def snapshot_delete(
     prune: list[tuple] | tuple | None = None,
     discovery_cap: int | None = None,
     strategy: str = "copy-on-write",
+    fold_threshold: int | None = _ROW_FILTER_FOLD_ENTRIES,
 ) -> int:
     """Predicate delete as a NEW snapshot (oval's DELETE op re-expressed
     at table granularity, ``internal/runner/worker.go`` delete path; the
@@ -1315,7 +1330,14 @@ def snapshot_delete(
                 "for re-application at read time); pass SQL or use "
                 "strategy='copy-on-write'"
             )
-        return _snapshot_delete_mor(spark, root, str(predicate), guard=guard, prune=prune)
+        return _snapshot_delete_mor(
+            spark,
+            root,
+            str(predicate),
+            guard=guard,
+            prune=prune,
+            fold_threshold=fold_threshold,
+        )
     if discovery_cap is not None and discovery_cap < 1:
         # cap=-1 would make limit(cap+1)=limit(0) return NO hit rows: the
         # delete would silently report "nothing matched" while matching
@@ -1470,12 +1492,29 @@ def snapshot_delete(
     return sid
 
 
+def _maybe_fold_filters(
+    spark: SparkSession, root: str, sid: int, n_filters: int, guard, threshold
+) -> int:
+    """The ``_ROW_FILTER_FOLD_ENTRIES`` backstop: when a MoR commit left
+    ``n_filters`` >= threshold pending row filters, pay the deferred
+    rewrite now (one extra commit) so read plans stay bounded. A raced
+    fold loses its CAS harmlessly — the MoR commit itself stands and the
+    next committing writer retries the fold."""
+    if threshold is None or n_filters < threshold:
+        return sid
+    try:
+        return materialize_deletes(spark, root, guard=guard)
+    except ConcurrentCommitError:
+        return sid
+
+
 def _snapshot_delete_mor(
     spark: SparkSession,
     root: str,
     pred_sql: str,
     guard=None,
     prune: list[tuple] | tuple | None = None,
+    fold_threshold: int | None = _ROW_FILTER_FOLD_ENTRIES,
 ) -> int:
     """Merge-on-read delete: a METADATA-ONLY commit. The child manifest
     carries the parent's file inventory untouched plus a ``row_filters``
@@ -1598,7 +1637,7 @@ def _snapshot_delete_mor(
             except OSError:
                 pass
         raise
-    return sid
+    return _maybe_fold_filters(spark, root, sid, len(row_filters), guard, fold_threshold)
 
 
 def _expand_with_provenance(
@@ -1621,22 +1660,39 @@ def _filter_groups(
     """Group a MoR manifest's (optionally range-pruned) files by the
     tuple of row-filter indices that apply to each — the read plan's
     strata. Typically 2 groups: pre-delete files (filtered) and
-    post-delete appends (not)."""
+    post-delete appends (not).
+
+    Two-level pruning holds INSIDE the merge-on-read window: a segment
+    ref whose folded bounds are provably disjoint from the prune range
+    is skipped without being read — sound regardless of filter scope,
+    since scope membership only decides which filters apply to files
+    that ARE read, and a fully-pruned segment contributes none. So a
+    pruned read during the filter window costs O(refs + surviving
+    segments) metadata, the same as the normal read path."""
     conditions = _norm_conditions(prune)
     scopes = [
         (set(f["scope"].get("segments") or []), set(f["scope"].get("files") or []))
         for f in m["row_filters"]
     ]
     groups: dict[tuple[int, ...], list[str]] = {}
-    for e, loc in _expand_with_provenance(root, m):
+
+    def _add(e: dict[str, Any], loc: str | None) -> None:
         if conditions and not _entry_survives(e, conditions):
-            continue
+            return
         sig = tuple(
             i
             for i, (segs, fls) in enumerate(scopes)
             if (loc is not None and loc in segs) or e["path"] in fls
         )
         groups.setdefault(sig, []).append(_abs_path(root, e["path"]))
+
+    for ref in m.get("file_segments") or []:
+        if conditions and not _entry_survives(ref, conditions):
+            continue  # aggregate bounds disjoint: skip the whole segment
+        for e in _read_segment(root, ref["loc"]):
+            _add(e, ref["loc"])
+    for f in m["files"]:
+        _add(f, None)
     return groups
 
 
@@ -1662,10 +1718,11 @@ def _read_with_filters(
 ) -> DataFrame:
     """The stratified MoR read: each stratum is one parquet scan with its
     applying predicates as plain JVM filters (pushdown-eligible), unioned
-    by name. Range pruning is per-entry here (the two-level segment skip
-    is bypassed — provenance is needed anyway); MoR filters are a
-    TRANSIENT state between delete and materialization, so the pruned
-    read's metadata cost is O(inventory) only during that window."""
+    by name. Range pruning is two-level here too (``_filter_groups``
+    skips provably-disjoint segments by their folded bounds before
+    expanding), so the filter window no longer degrades a selective read
+    to O(inventory) metadata; filters remain a transient state that
+    ``materialize_deletes`` — or the auto-fold threshold — retires."""
     filters = m["row_filters"]
     schema = _committed_schema(m)
     parts: list[DataFrame] = []
@@ -1687,6 +1744,7 @@ def snapshot_upsert(
     df: DataFrame,
     key: str = "doc_id",
     guard=None,
+    fold_threshold: int | None = _ROW_FILTER_FOLD_ENTRIES,
 ) -> int:
     """MERGE-by-key in ONE commit, O(staged) cost — the re-ingest shape
     a training-data pipeline needs (re-crawled/corrected documents
@@ -1821,7 +1879,7 @@ def snapshot_upsert(
             except OSError:
                 pass
         raise
-    return sid
+    return _maybe_fold_filters(spark, root, sid, len(row_filters), guard, fold_threshold)
 
 
 def read_upsert_keys(spark: SparkSession, root: str, snapshot_id: int) -> DataFrame:
