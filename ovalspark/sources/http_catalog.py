@@ -54,9 +54,18 @@ Wire protocol (JSON bodies; ``<key>`` is the descriptor's table key):
     GET  /t/<key>/manifest/<sid>     -> {"loc": str}         | 404
     GET  /t/<key>/manifests          -> {"locs": {sid: loc}}
     POST /t/<key>/manifests/delete   {"ids": [..]}           -> {}
-    POST /t/<key>/seed               {"pointer", "locs"}     -> {"ok"} | 409
+    POST /t/<key>/seed               {"pointer", "locs", "refs"} -> {"ok"} | 409
     POST /t/<key>/lease              {"owner", "ttl_s"}      -> 200 | 409
     POST /t/<key>/release            {"owner"}               -> 200
+    GET  /t/<key>/refs/<kind>        -> {"refs": {name: val}}
+    POST /t/<key>/ref                {"name", "old", "new"}  -> {"won", "cur"}
+    POST /t/<key>/tag                {"name", "sid"}         -> {"won", "reason"}
+    POST /t/<key>/expire             {"ids": [..]}           -> {"expired": [..]}
+    POST /t/<key>/detach             {} -> {"pointer", "locs", "refs"} | 404
+
+A detached key (authority moved back local) answers **410** on every
+endpoint except ``/detach`` itself; clients surface that as
+``CatalogDetachedError`` and reroute through the table descriptor.
 """
 
 from __future__ import annotations
@@ -71,6 +80,16 @@ import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from ovalspark.sources.commit_guard import CommitGuard, register_guard
+
+
+class CatalogDetachedError(RuntimeError):
+    """The service answered 410: this key's authority was DETACHED back
+    into the table-local sqlite catalog (``detach_http_catalog``). The
+    shadowed server state must not be read or written — callers re-read
+    the table's descriptor (the flip removes it) and route local;
+    ``snapshots._catalog_cas`` self-heals a crashed flip by re-running
+    the idempotent detach."""
+
 
 # ---------------------------------------------------------------------------
 # server
@@ -444,6 +463,42 @@ class CatalogServer:
                 st.rollback()
                 raise
 
+    def _detach(self, key: str) -> tuple[int | None, dict[int, str], dict[str, str]]:
+        """Atomically hand a key's authority BACK: inside one
+        transaction, read the full state (pointer, locs, refs) and mark
+        the key detached (a ``__detached__`` ref tombstone). From the
+        commit of this transaction every other endpoint answers 410 for
+        the key — a writer that resolved its parent a microsecond
+        earlier loses cleanly and reroutes through the descriptor. The
+        state STAYS in the store so a detach crashed between tombstone
+        and descriptor flip can re-run idempotently (same reply), and
+        as forensics afterwards. Returns ``(None, {}, {})`` for a key
+        with no pointer."""
+        with self._lock:
+            st = self._store
+            st.begin()
+            try:
+                pointer = st.get_pointer(key)
+                if pointer is None:
+                    st.rollback()
+                    return None, {}, {}
+                locs = st.all_locs(key)
+                refs = {
+                    n: v
+                    for n, v in st.all_refs(key).items()
+                    if n != "__detached__"
+                }
+                st.set_ref(key, "__detached__", "1")
+                st.commit()
+                return pointer, locs, refs
+            except BaseException:
+                st.rollback()
+                raise
+
+    def _is_detached(self, key: str) -> bool:
+        with self._lock:
+            return self._store.get_ref(key, "__detached__") is not None
+
     def _lease(self, key: str, owner: str, ttl_s: float) -> tuple[bool, float]:
         now = time.monotonic()
         with self._lock:
@@ -499,6 +554,10 @@ class CatalogServer:
                 parts = self.path.strip("/").split("/")
                 if len(parts) >= 3 and parts[0] == "t":
                     key = parts[1]
+                    if server._is_detached(key):
+                        # stale reads are the fork hazard's read half:
+                        # the shadowed state answers nothing after detach
+                        return self._reply(410, {"detached": True})
                     with server._lock:
                         if parts[2] == "pointer":
                             ptr = server._store.get_pointer(key)
@@ -527,6 +586,20 @@ class CatalogServer:
                 parts = self.path.strip("/").split("/")
                 if len(parts) >= 3 and parts[0] == "t":
                     key = parts[1]
+                    if parts[2] == "detach":
+                        ptr, locs, refs = server._detach(key)
+                        if ptr is None:
+                            return self._reply(404)
+                        return self._reply(
+                            200,
+                            {
+                                "pointer": ptr,
+                                "locs": {str(k): v for k, v in locs.items()},
+                                "refs": refs,
+                            },
+                        )
+                    if server._is_detached(key):
+                        return self._reply(410, {"detached": True})
                     if parts[2] == "commit":
                         won = server._cas(key, body.get("parent"), body["id"], body.get("loc"))
                         if server._hold_commit_reply_s > 0:
@@ -615,6 +688,10 @@ def _request(method: str, url: str, body: dict | None = None) -> tuple[int, dict
             with urllib.request.urlopen(req, timeout=_TIMEOUT_S) as resp:
                 return resp.status, json.loads(resp.read() or b"{}")
         except urllib.error.HTTPError as e:
+            if e.code == 410:
+                raise CatalogDetachedError(
+                    f"catalog key detached (authority moved local): {method} {url}"
+                ) from None
             return e.code, json.loads(e.read() or b"{}")
         except (urllib.error.URLError, TimeoutError, ConnectionError) as e:
             last = e
@@ -730,6 +807,162 @@ def client_tag_create(endpoint: str, key: str, name: str, sid: int) -> tuple[boo
     if code != 200:
         raise RuntimeError(f"tag create on {key}/{name} answered {code}: {body}")
     return bool(body.get("won")), str(body.get("reason", ""))
+
+
+def client_detach(
+    endpoint: str, key: str
+) -> tuple[int, dict[int, str], dict[str, str]]:
+    """Atomic server-side detach: returns the full (pointer, locs, refs)
+    state and tombstones the key — idempotent (a re-run after a crashed
+    flip gets the same state back)."""
+    code, body = _request("POST", f"{endpoint}/t/{key}/detach", {})
+    if code != 200:
+        raise RuntimeError(f"detach of {key} answered {code}: {body}")
+    return (
+        int(body["pointer"]),
+        {int(k): v for k, v in body["locs"].items()},
+        dict(body.get("refs") or {}),
+    )
+
+
+def _write_local_catalog_state(
+    root: str, pointer: int, locs: dict[int, str], refs: dict[str, str]
+) -> None:
+    """Install a table's full catalog state into its local catalog.db in
+    ONE transaction — the landing step of detach and of journal
+    recovery. Overwrites whatever rows exist: the local db is by
+    definition SHADOWED while an http descriptor rules (stale forensics
+    from the outbound migration), and the incoming state is the
+    authority."""
+    import sqlite3
+
+    from ovalspark.sources.snapshots import _catalog_db_path
+
+    con = sqlite3.connect(_catalog_db_path(root), timeout=30.0)
+    try:
+        con.execute("BEGIN IMMEDIATE")
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS current "
+            "(k TEXT PRIMARY KEY CHECK (k='CURRENT'), id INTEGER NOT NULL)"
+        )
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS manifests (id INTEGER PRIMARY KEY, loc TEXT NOT NULL)"
+        )
+        con.execute(
+            "CREATE TABLE IF NOT EXISTS refs (name TEXT PRIMARY KEY, val TEXT NOT NULL)"
+        )
+        con.execute("DELETE FROM current")
+        con.execute("INSERT INTO current (k, id) VALUES ('CURRENT', ?)", (int(pointer),))
+        con.execute("DELETE FROM manifests")
+        con.executemany(
+            "INSERT INTO manifests (id, loc) VALUES (?, ?)",
+            [(int(i), loc) for i, loc in locs.items()],
+        )
+        con.execute("DELETE FROM refs")
+        con.executemany(
+            "INSERT INTO refs (name, val) VALUES (?, ?)", list(refs.items())
+        )
+        con.execute("COMMIT")
+    except BaseException:
+        con.execute("ROLLBACK")
+        raise
+    finally:
+        con.close()
+
+
+def detach_http_catalog(root: str) -> int:
+    """Move an HTTP-owned table's commit authority BACK into its local
+    sqlite catalog — the inverse of ``migrate_pointer_to_http``, for
+    decommissioning a catalog service or consolidating to one host.
+    Quiesced two-phase, mirrored:
+
+    1. **Freeze+copy in one step.** ``/detach`` reads pointer +
+       manifest-locs + refs and tombstones the key INSIDE one server
+       transaction — no freeze window to hold open: any CAS that
+       serialized before it is included in the copy; any after answers
+       410 and reroutes through the descriptor.
+    2. **Land.** The state is installed into ``<root>/manifest/
+       catalog.db`` in one local transaction, overwriting the rows the
+       outbound migration left shadowed.
+    3. **Flip.** The http descriptor is removed; every resolution path
+       dispatches descriptor-first, so readers and writers route sqlite
+       from here on.
+
+    Crash between tombstone and flip: writers see 410 and
+    ``snapshots._catalog_cas`` self-heals by re-running this function —
+    the server's detach is idempotent (same state back), the local
+    install is a deterministic overwrite, and the unlink completes the
+    flip. Re-running after full success is also idempotent (returns the
+    live local pointer). The server keeps the tombstoned rows as
+    forensics; a later RE-attach of the table generates a fresh key, so
+    the tombstone can never shadow a live table."""
+    from ovalspark.sources.snapshots import (
+        _catalog_current,
+        _catalog_descriptor,
+        _manifest_dir,
+    )
+
+    d = _catalog_descriptor(root)
+    if d is None or d.get("type") != "http":
+        owned, cid = _catalog_current(root)
+        if owned:
+            return cid  # idempotent re-run after a completed detach
+        raise ValueError(
+            f"table at {root} is not http catalog-owned — nothing to detach"
+        )
+    pointer, locs, refs = client_detach(d["endpoint"], d["key"])
+    _write_local_catalog_state(root, pointer, locs, refs)
+    os.unlink(os.path.join(_manifest_dir(root), "catalog.json"))
+    return pointer
+
+
+def recover_table_from_journal(journal_path: str, root: str, key: str | None = None) -> int:
+    """DISASTER RECOVERY: the catalog service is permanently gone but
+    its sqlite journal file survives — rebuild the table's local catalog
+    state directly from the journal and detach the descriptor, without
+    any server round-trip. ``key`` defaults to the table's descriptor
+    key. Refuses a journal with no pointer for the key (an empty journal
+    cannot vouch for any state). This is a maintenance-window operation:
+    nothing fences concurrent writers (the service being dead is the
+    precondition — if it is alive, use ``detach_http_catalog``)."""
+    import sqlite3
+
+    from ovalspark.sources.snapshots import _catalog_descriptor, _manifest_dir
+
+    if key is None:
+        d = _catalog_descriptor(root)
+        if d is None or d.get("type") != "http":
+            raise ValueError(f"table at {root} has no http descriptor to recover")
+        key = d["key"]
+    con = sqlite3.connect(f"file:{journal_path}?mode=ro", uri=True, timeout=30.0)
+    try:
+        row = con.execute("SELECT id FROM pointers WHERE k=?", (key,)).fetchone()
+        if row is None:
+            raise ValueError(
+                f"journal {journal_path} holds no pointer for key {key} — "
+                f"cannot recover"
+            )
+        pointer = int(row[0])
+        locs = {
+            int(i): loc
+            for i, loc in con.execute(
+                "SELECT id, loc FROM manifest_locs WHERE k=?", (key,)
+            ).fetchall()
+        }
+        refs = {
+            n: v
+            for n, v in con.execute(
+                "SELECT name, val FROM refs WHERE k=?", (key,)
+            ).fetchall()
+            if n != "__detached__"
+        }
+    finally:
+        con.close()
+    _write_local_catalog_state(root, pointer, locs, refs)
+    desc_path = os.path.join(_manifest_dir(root), "catalog.json")
+    if os.path.exists(desc_path):
+        os.unlink(desc_path)
+    return pointer
 
 
 # ---------------------------------------------------------------------------

@@ -157,7 +157,12 @@ def _catalog_current(root: str) -> tuple[bool, int | None]:
     if d is not None and d.get("type") == "http":
         from ovalspark.sources import http_catalog as hc
 
-        return hc.client_current(d["endpoint"], d["key"])
+        try:
+            return hc.client_current(d["endpoint"], d["key"])
+        except hc.CatalogDetachedError:
+            # a detach crashed between the server tombstone and the
+            # descriptor flip — finish it (idempotent) and route local
+            hc.detach_http_catalog(root)
     p = _catalog_db_path(root)
     if not os.path.exists(p):
         return False, None
@@ -213,7 +218,15 @@ def _catalog_cas(root: str, parent: int | None, sid: int, loc: str | None, con=N
     if d is not None and d.get("type") == "http":
         from ovalspark.sources import http_catalog as hc
 
-        return hc.client_cas(d["endpoint"], d["key"], parent, sid, loc)
+        try:
+            return hc.client_cas(d["endpoint"], d["key"], parent, sid, loc)
+        except hc.CatalogDetachedError:
+            # detach crashed between server tombstone and descriptor
+            # flip: finish the flip (idempotent), then commit locally —
+            # the writer's parent resolution is still valid (the detach
+            # copied the exact pointer it resolved against)
+            hc.detach_http_catalog(root)
+            return _catalog_cas(root, parent, sid, loc, con)
     import sqlite3
 
     own = con is None
