@@ -247,6 +247,30 @@ def build_parser() -> argparse.ArgumentParser:
         "CURRENT file becomes a read cache; idempotent",
     )
     m.add_argument(
+        "--migrate-catalog",
+        default=None,
+        metavar="ENDPOINT",
+        help="move a sqlite-owned pointer (plus tags/branches/tombstones) "
+        "into the network catalog at ENDPOINT — quiesced two-phase, "
+        "idempotent re-run; file-pointered tables attach instead "
+        "(attach_http_catalog semantics, chosen automatically)",
+    )
+    m.add_argument(
+        "--detach-catalog",
+        action="store_true",
+        help="move an http-owned pointer (plus refs) BACK into the local "
+        "sqlite catalog: server state tombstoned atomically, stale "
+        "writers get 410 and reroute; idempotent re-run",
+    )
+    m.add_argument(
+        "--recover-from-journal",
+        default=None,
+        metavar="PATH",
+        help="disaster recovery: the catalog service is gone — rebuild "
+        "pointer/locs/refs locally from its sqlite journal file "
+        "(maintenance window only; nothing fences live writers)",
+    )
+    m.add_argument(
         "--min-age-s",
         type=float,
         default=3600.0,
@@ -402,6 +426,32 @@ def main(argv: list[str] | None = None) -> int:
             adopted = adopt_catalog_pointer(args.root, guard=args.guard)
             log.info("maintain.adopt_catalog", snapshot_id=adopted)
             report["adopt_catalog"] = {"snapshot_id": adopted}
+        if args.migrate_catalog:
+            from ovalspark.sources.http_catalog import (
+                attach_http_catalog,
+                migrate_pointer_to_http,
+            )
+            from ovalspark.sources.snapshots import _catalog_current
+
+            owned, _ = _catalog_current(args.root)
+            if owned:
+                mid = migrate_pointer_to_http(args.root, args.migrate_catalog)
+            else:
+                mid = attach_http_catalog(args.root, args.migrate_catalog)
+            log.info("maintain.migrate_catalog", snapshot_id=mid)
+            report["migrate_catalog"] = {"snapshot_id": mid}
+        if args.detach_catalog:
+            from ovalspark.sources.http_catalog import detach_http_catalog
+
+            did = detach_http_catalog(args.root)
+            log.info("maintain.detach_catalog", snapshot_id=did)
+            report["detach_catalog"] = {"snapshot_id": did}
+        if args.recover_from_journal:
+            from ovalspark.sources.http_catalog import recover_table_from_journal
+
+            rid = recover_table_from_journal(args.recover_from_journal, args.root)
+            log.info("maintain.recover_from_journal", snapshot_id=rid)
+            report["recover_from_journal"] = {"snapshot_id": rid}
         if args.delete_where:
             prev = current_snapshot_id(args.root)
             sid = snapshot_delete(

@@ -398,6 +398,39 @@ def test_cli_mor_delete_tag_and_branch(spark, tmp_path, capsys):
     assert "row_filters" not in load_manifest(docs_root)
 
 
+def test_cli_catalog_migrate_and_detach(spark, tmp_path, capsys):
+    """The catalog-mobility surface from spark-submit: migrate a
+    sqlite-owned table into the network catalog, commit there, detach
+    back, commit locally — one flag each, machine-readable reports."""
+    from ovalspark.sources.http_catalog import CatalogServer
+    from ovalspark.sources.snapshots import (
+        _refs_authority,
+        current_snapshot_id,
+        snapshot_write,
+    )
+
+    root = str(tmp_path / "cw")
+    df = spark.range(10).select(F.col("id").cast("string").alias("doc_id"))
+    snapshot_write(df, root, guard="sqlite")
+    server = CatalogServer()
+    endpoint = server.start()
+    try:
+        rc = main(["maintain", "--root", root, "--migrate-catalog", endpoint])
+        report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and report["migrate_catalog"]["snapshot_id"] == 1
+        assert _refs_authority(root)[0] == "http"
+        snapshot_write(df.limit(3), root, mode="append", guard="http")
+
+        rc = main(["maintain", "--root", root, "--detach-catalog"])
+        report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and report["detach_catalog"]["snapshot_id"] == 2
+        assert _refs_authority(root) == ("sqlite",)
+        snapshot_write(df.limit(2), root, mode="append", guard="sqlite")
+        assert current_snapshot_id(root) == 3
+    finally:
+        server.stop()
+
+
 def test_cli_branch_list(spark, tmp_path, capsys):
     from ovalspark.sources.snapshots import create_tag, snapshot_write
 
