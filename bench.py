@@ -64,7 +64,10 @@ def main() -> int:
         shuffle_partitions=cpus,
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
-    qs = entrymod.queries()
+    # the driver's 50-row correctness window forced some headline queries
+    # into retired_queries() (value-checked in pytest instead) — the BENCH
+    # suite stays stable across rounds so per-query drift is comparable
+    qs = {**entrymod.retired_queries(), **entrymod.queries()}
 
     # warm the JVM/codegen once on a trivial action so q01 isn't charged
     # for session startup
