@@ -175,6 +175,17 @@ def build_parser() -> argparse.ArgumentParser:
         "files; also applies + clears pending merge-on-read filters)",
     )
     m.add_argument(
+        "--cluster-incremental",
+        nargs="?",
+        const="",
+        default=None,
+        metavar="COL[,COL...]",
+        help="merge ONLY the files breaking the sorted layout into one "
+        "fresh sorted run (O(delta) IO; settled files carry by reference; "
+        "converges to base+delta, two files per point lookup). Columns "
+        "default to the layout recorded by the last --sort-rewrite",
+    )
+    m.add_argument(
         "--zorder-rewrite",
         default=None,
         metavar="COL,COL[,COL...]",
@@ -504,6 +515,17 @@ def main(argv: list[str] | None = None) -> int:
             sid = sort_rewrite(spark, args.root, zorder=cols, guard=args.guard)
             log.info("maintain.zorder_rewrite", snapshot_id=sid, zorder=cols)
             report["zorder_rewrite"] = {"snapshot_id": sid, "zorder": cols}
+        # `is not None`, never truthiness: the bare flag form means "use
+        # the table's recorded sort layout", which must still run
+        if args.cluster_incremental is not None:
+            from ovalspark.sources.snapshots import cluster_incremental
+
+            cols = [c.strip() for c in args.cluster_incremental.split(",") if c.strip()]
+            sid = cluster_incremental(
+                spark, args.root, cols or None, guard=args.guard
+            )
+            log.info("maintain.cluster_incremental", snapshot_id=sid, sort_by=cols or None)
+            report["cluster_incremental"] = {"snapshot_id": sid, "sort_by": cols or None}
         # `is not None`, never truthiness: a user passing 0 must reach the
         # library's loud ValueError, not silently skip the step and walk
         # away believing retention/compaction ran

@@ -1133,6 +1133,14 @@ def _commit_new_files(
             segments.append(ref)
         else:
             inline = parent_inline + inline
+        # the table's DECLARED sort layout persists across appends (like
+        # Iceberg's table sort order): an unsorted append breaks file
+        # conformance, not the declaration — cluster_incremental reads it
+        # to know which layout to restore. An append passing its own
+        # sort_by (manifest_extra) overrides.
+        if pm_raw.get("sort_by") and "sort_by" not in (manifest_extra or {}):
+            manifest_extra = dict(manifest_extra or {})
+            manifest_extra["sort_by"] = pm_raw["sort_by"]
     total_rows = sum(s["rows"] for s in segments) + sum(f["rows"] for f in inline)
     total_bytes = sum(s["bytes"] for s in segments) + sum(f["bytes"] for f in inline)
     if carried_filters:
@@ -2307,6 +2315,152 @@ def sort_rewrite(
         _commit_manifest(root, parent, sid, manifest, guard)
     except ConcurrentCommitError:
         shutil.rmtree(data_dir, ignore_errors=True)
+        raise
+    return sid
+
+
+def cluster_incremental(
+    spark: SparkSession,
+    root: str,
+    sort_by: list[str] | str | None = None,
+    target_file_mb: int = 128,
+    guard=None,
+) -> int:
+    """Restore point-lookup pruning after unsorted appends by rewriting
+    ONLY the files that break the clustered layout — the O(delta)
+    counterpart of ``sort_rewrite``'s O(table) pass. At 100 TB a full
+    re-sort per ingest cadence is infeasible; this is Iceberg's
+    rewrite_data_files(strategy=sort, where=<dirty>) shape: keep the
+    largest set of files whose sort-key bounds are already pairwise
+    disjoint (the settled run — carried into the child manifest BY
+    REFERENCE, zero data movement), and merge everything else (recent
+    appends, plus any earlier delta run they overlap) into one freshly
+    range-partitioned sorted run.
+
+    The resulting layout converges to an LSM-like fixed point of at most
+    TWO runs — the base and one merged delta — so a point lookup plans at
+    most one file per run from manifest stats instead of one per unsorted
+    append. Repeated calls with no new appends are no-ops (the delta run
+    is internally disjoint, so there is nothing left to merge); each pass
+    costs O(accumulated delta bytes), and a full ``sort_rewrite`` is only
+    worth scheduling when delta/base grows past the read-amplification
+    budget. ``sort_by`` defaults to the layout recorded by the last full
+    rewrite. Returns the new snapshot id, or CURRENT when the layout is
+    already settled."""
+    import shutil
+    import uuid
+
+    if isinstance(sort_by, str):
+        sort_by = [sort_by]
+    if target_file_mb < 1:
+        raise ValueError(f"target_file_mb must be >= 1, got {target_file_mb}")
+    parent = current_snapshot_id(root)
+    if parent is None:
+        raise FileNotFoundError(f"no committed snapshot at {root}")
+    m_raw = _load_manifest_raw(root, parent)
+    if m_raw.get("row_filters"):
+        # rewriting a filter-scoped file would re-emit its MoR-hidden
+        # rows into files outside the filter's scope (resurrection)
+        raise ValueError(
+            f"table at {root} has merge-on-read delete filter(s) pending — "
+            f"run materialize_deletes first, then cluster"
+        )
+    if sort_by is None:
+        sort_by = m_raw.get("sort_by")
+    if not sort_by:
+        if m_raw.get("zorder"):
+            raise ValueError(
+                "z-ordered layout has no single-key run structure to merge "
+                "incrementally — run a full sort_rewrite(zorder=...) instead"
+            )
+        raise ValueError(
+            f"table at {root} records no sort_by layout — pass sort_by "
+            f"explicitly or run a full sort_rewrite first"
+        )
+    sort_by = list(sort_by)
+    key = sort_by[0]
+    expanded = _expand_manifest(root, m_raw)["files"]
+    # greedy max-count disjoint selection on the first sort key (classic
+    # interval scheduling: sweep by right endpoint) — kept files ARE the
+    # settled run; files without usable stats can never prove disjointness
+    # and always join the merge set
+    statted: list[tuple[Any, Any, dict[str, Any]]] = []
+    dirty: list[dict[str, Any]] = []
+    for fe in expanded:
+        st = (fe.get("col_stats") or {}).get(key)
+        if st is not None and _stats_comparable(st["min"], st["max"]):
+            statted.append((st["max"], st["min"], fe))
+        else:
+            dirty.append(fe)
+    statted.sort(key=lambda t: (t[0], t[1]))
+    running_max = None
+    for hi, lo, fe in statted:
+        # equal boundary values touch, they don't overlap: a sorted
+        # rewrite legitimately splits one key value across adjacent files
+        if running_max is None or not lo < running_max:
+            running_max = hi
+        else:
+            dirty.append(fe)
+    if len(dirty) < 2:
+        return parent
+    # fixed-point guard: a dirty set that is ITSELF pairwise disjoint is
+    # the previous pass's merged delta run — re-sorting one sorted run
+    # buys nothing, and without this check maintenance never settles
+    stats = [(fe.get("col_stats") or {}).get(key) for fe in dirty]
+    if all(s is not None for s in stats):
+        span = sorted(stats, key=lambda st: (st["min"], st["max"]))
+        if all(
+            not span[i + 1]["min"] < span[i]["max"] for i in range(len(span) - 1)
+        ):
+            return parent
+    affected = {os.path.basename(fe["path"]) for fe in dirty}
+    kept_segs, keep = _partition_metadata(root, m_raw, affected)
+    sid = parent + 1
+    data_dir = os.path.join(root, "data", f"snap-{sid}-{uuid.uuid4().hex[:8]}")
+    dirty_bytes = sum(fe["bytes"] for fe in dirty)
+    n_files = max(1, -(-dirty_bytes // (target_file_mb * 1024 * 1024)))
+    df = spark.read.schema(_committed_schema(m_raw)).parquet(
+        *[_abs_path(root, fe["path"]) for fe in dirty]
+    )
+    (
+        df.repartitionByRange(n_files, *sort_by)
+        .sortWithinPartitions(*sort_by)
+        .write.mode("error")
+        .parquet(data_dir)
+    )
+    new_files = _footer_stats(glob.glob(os.path.join(data_dir, "part-*.parquet")), root)
+    inherited = _inherited_sketch_cols(root, m_raw)
+    if inherited:
+        _attach_sketches(spark, root, new_files, inherited)
+    inline = keep + new_files
+    spilled_loc: str | None = None
+    if keep and len(inline) > _SEGMENT_SPILL_ENTRIES:
+        ref = _spill_segment(root, sid, keep)
+        spilled_loc = ref["loc"]
+        kept_segs = kept_segs + [ref]
+        inline = list(new_files)
+    manifest = {
+        "snapshot_id": sid,
+        "parent_id": parent,
+        "operation": "replace",
+        "schema_ddl": m_raw["schema_ddl"],
+        "schema_json": m_raw["schema_json"],
+        "total_rows": sum(s["rows"] for s in kept_segs) + sum(f["rows"] for f in inline),
+        "total_bytes": sum(s["bytes"] for s in kept_segs) + sum(f["bytes"] for f in inline),
+        "files": inline,
+        "sort_by": sort_by,
+    }
+    if kept_segs:
+        manifest["file_segments"] = kept_segs
+    try:
+        _commit_manifest(root, parent, sid, manifest, guard)
+    except ConcurrentCommitError:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        if spilled_loc is not None:
+            try:
+                os.unlink(os.path.join(_manifest_dir(root), spilled_loc))
+            except OSError:
+                pass
         raise
     return sid
 

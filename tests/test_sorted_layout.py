@@ -225,3 +225,89 @@ def test_zorder_outlier_does_not_collapse_resolution(spark, tmp_path):
     got = snapshot_read(spark, zo, prune=("y", 10, 12)).filter("y between 10 and 12")
     assert got.count() == 3 * 256
     assert snapshot_read(spark, zo).exceptAll(grid).count() == 0
+
+
+def test_cluster_incremental_merges_only_the_dirty_files(spark, tmp_path):
+    """Incremental clustering: settled files carry BY REFERENCE (zero
+    data movement), only layout-breaking appends merge into one fresh
+    sorted run, and the pass converges — a second call with no new
+    appends is a no-op, not an endless re-sort."""
+    from ovalspark.sources.snapshots import cluster_incremental
+
+    root = str(tmp_path / "t")
+    base = spark.range(400).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("v")
+    )
+    snapshot_write(base.repartition(8), root, sort_by="doc_id")
+    base_paths = {f["path"] for f in load_manifest(root)["files"]}
+    assert len(base_paths) == 8
+    # three unsorted single-file appends, each spanning the whole key range
+    for s in range(3):
+        app = spark.range(30).select(
+            ((F.col("id") * 13 + s) % 397).alias("doc_id"),
+            F.lit(100 + s).cast("bigint").alias("v"),
+        )
+        snapshot_write(app.coalesce(1), root, mode="append")
+    # the DECLARED layout survives unsorted appends (cluster_incremental
+    # reads it to know what to restore)
+    assert load_manifest(root)["sort_by"] == ["doc_id"]
+    expect = _rows(snapshot_read(spark, root))
+    before = len(prune_files(root, conditions=("doc_id", 100, 110)))
+    assert before >= 4  # 1-2 base files + all 3 spanning appends
+
+    parent = load_manifest(root)["snapshot_id"]
+    sid = cluster_incremental(spark, root)  # sort_by from the manifest
+    assert sid == parent + 1
+    m = load_manifest(root, sid)
+    assert m["operation"] == "replace" and m["sort_by"] == ["doc_id"]
+    paths = {f["path"] for f in m["files"]}
+    # every settled base file carried by reference; all 3 dirty appends gone
+    assert base_paths <= paths
+    assert len(paths - base_paths) <= 2  # the merged delta run
+    assert _rows(snapshot_read(spark, root)) == expect
+    after = len(prune_files(root, conditions=("doc_id", 100, 110)))
+    assert after <= 3 and after < before
+    # fixed point: base + one internally-disjoint delta run has nothing
+    # left to merge
+    assert cluster_incremental(spark, root) == sid
+
+    # a NEW append re-dirties the layout: the next pass merges it with
+    # the previous delta run, still never touching the base
+    snapshot_write(
+        spark.range(50).select(
+            ((F.col("id") * 7 + 5) % 389).alias("doc_id"),
+            F.lit(200).cast("bigint").alias("v"),
+        ).coalesce(1),
+        root,
+        mode="append",
+    )
+    expect2 = _rows(snapshot_read(spark, root))
+    sid2 = cluster_incremental(spark, root)
+    assert sid2 > sid
+    m2 = load_manifest(root, sid2)
+    paths2 = {f["path"] for f in m2["files"]}
+    assert base_paths <= paths2
+    assert _rows(snapshot_read(spark, root)) == expect2
+    assert len(prune_files(root, conditions=("doc_id", 100, 110))) <= 3
+
+
+def test_cluster_incremental_requires_a_layout(spark, tmp_path):
+    from ovalspark.sources.snapshots import cluster_incremental
+
+    root = str(tmp_path / "t")
+    snapshot_write(_docs(spark).repartition(4), root)  # hash layout
+    with pytest.raises(ValueError, match="no sort_by layout"):
+        cluster_incremental(spark, root)
+    # explicit columns work on an undeclared table
+    sid = cluster_incremental(spark, root, sort_by="doc_id")
+    assert load_manifest(root, sid)["sort_by"] == ["doc_id"]
+
+
+def test_cluster_incremental_refuses_pending_mor_filters(spark, tmp_path):
+    from ovalspark.sources.snapshots import cluster_incremental
+
+    root = str(tmp_path / "t")
+    snapshot_write(_docs(spark).repartition(4), root, sort_by="doc_id")
+    snapshot_delete(spark, root, "v % 10 = 0", strategy="merge-on-read")
+    with pytest.raises(ValueError, match="merge-on-read"):
+        cluster_incremental(spark, root)
