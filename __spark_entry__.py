@@ -2544,6 +2544,70 @@ _Q74_ORACLE = """
 """
 
 
+_Q75_VERSION = "v1"
+
+
+def _q75_bloom_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership sidecars as a value-checked gate row (the
+    needle-in-100-TB equality probe): the documents table commits
+    hash-SHUFFLED into 12 files — every file spans the doc_id range, so
+    min/max bounds are near-useless for equality — with per-file Bloom
+    bitmaps on doc_id. In-query pins: for each of three probes the
+    bloom layer plans at most 3 files (1 true + fpp stragglers) and
+    never more than the bounds layer; summed over the probes the blooms
+    strictly out-prune bounds. The returned frame is the probed rows
+    themselves, hash-checked against DuckDB recomputing the same three
+    smallest doc_ids from the raw table — no false negatives, ever."""
+    from ovalspark.sources.snapshots import (
+        current_snapshot_id,
+        point_lookup,
+        point_lookup_files,
+        prune_files,
+        snapshot_write,
+    )
+
+    root = _oracle_dir("q75", _Q75_VERSION, sf_dir)
+
+    def build(stage):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        shuffled = docs.orderBy(F.xxhash64("doc_id", F.lit(9))).repartition(12)
+        snapshot_write(shuffled, stage, bloom_cols=["doc_id"], bloom_fpp=0.01)
+
+    _publish_once(root, build, is_valid=lambda: current_snapshot_id(root) == 1)
+
+    probes = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").orderBy("doc_id").limit(3).collect()
+    ]
+    bounds_total = bloom_total = 0
+    frames = []
+    for v in probes:
+        bounds = prune_files(root, 1, ("doc_id", v, v))
+        hits = point_lookup_files(spark, root, "doc_id", v)
+        assert 1 <= len(hits) <= 3, f"probe {v}: bloom planned {len(hits)} files"
+        assert len(hits) <= len(bounds), f"probe {v}: bloom layer widened the plan"
+        bounds_total += len(bounds)
+        bloom_total += len(hits)
+        frames.append(point_lookup(spark, root, "doc_id", v))
+    assert bloom_total < bounds_total, (
+        f"blooms must out-prune bounds on a hash layout "
+        f"({bloom_total} vs {bounds_total})"
+    )
+    out = frames[0]
+    for f2 in frames[1:]:
+        out = out.unionByName(f2)
+    return out.select("doc_id", "lang", "n_chars", "source").orderBy("doc_id")
+
+
+_Q75_ORACLE = """
+    SELECT doc_id, lang, n_chars, source
+    FROM documents
+    WHERE doc_id IN (SELECT doc_id FROM documents ORDER BY doc_id LIMIT 3)
+    ORDER BY doc_id
+"""
+
+
 _Q53_VERSION = "v1"
 
 
@@ -2825,6 +2889,7 @@ def _shared(name: str) -> Callable[[SparkSession, str], DataFrame]:
 
 RETIRED_GATES: tuple[str, ...] = (
     "q04_order_count_histogram",
+    "q10_dangling_part_refs",
     "q06_events_daily",
     "q22_lang_id_confusion",
     "q25_minhash_signatures",
@@ -2842,6 +2907,8 @@ RETIRED_GATES: tuple[str, ...] = (
 def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Full registry, newest gates first (see module comment above)."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        # round 9 gates
+        "q75_bloom_lookup": _q75_bloom_lookup,
         # round 7/8 snapshot-store / stream / table-format gates
         "q74_manifest_ndv": _q74_manifest_ndv,
         "q73_sorted_prune": _q73_sorted_prune,
@@ -2900,6 +2967,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _all_oracles() -> dict[str, str]:
     out = {
+        "q75_bloom_lookup": _Q75_ORACLE,
         "q74_manifest_ndv": _Q74_ORACLE,
         "q73_sorted_prune": _Q73_ORACLE,
         "q72_upsert": _Q72_ORACLE,
@@ -2960,7 +3028,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The 12 retired gates, still runnable for pytest value checks."""
+    """The 13 retired gates, still runnable for pytest value checks."""
     return {k: v for k, v in _all_queries().items() if k in RETIRED_GATES}
 
 

@@ -175,6 +175,20 @@ def build_parser() -> argparse.ArgumentParser:
         "files; also applies + clears pending merge-on-read filters)",
     )
     m.add_argument(
+        "--doctor",
+        action="store_true",
+        help="print the table's ordered maintenance plan (pure metadata, "
+        "no commits): pending MoR filters, layout-breaking files, "
+        "small-file debt, fragmented segments",
+    )
+    m.add_argument(
+        "--heal",
+        action="store_true",
+        help="execute the --doctor plan until the table is healthy "
+        "(materialize -> cluster -> compact -> merge_segments, each op's "
+        "own no-op guard respected); idempotent",
+    )
+    m.add_argument(
         "--cluster-incremental",
         nargs="?",
         const="",
@@ -515,6 +529,18 @@ def main(argv: list[str] | None = None) -> int:
             sid = sort_rewrite(spark, args.root, zorder=cols, guard=args.guard)
             log.info("maintain.zorder_rewrite", snapshot_id=sid, zorder=cols)
             report["zorder_rewrite"] = {"snapshot_id": sid, "zorder": cols}
+        if args.doctor:
+            from ovalspark.sources.doctor import diagnose
+
+            plan = diagnose(args.root)
+            log.info("maintain.doctor", findings=len(plan))
+            report["doctor"] = plan
+        if args.heal:
+            from ovalspark.sources.doctor import heal
+
+            executed = heal(spark, args.root, guard=args.guard)
+            log.info("maintain.heal", executed=len(executed))
+            report["heal"] = executed
         # `is not None`, never truthiness: the bare flag form means "use
         # the table's recorded sort layout", which must still run
         if args.cluster_incremental is not None:

@@ -942,8 +942,18 @@ def snapshot_write(
     properties: dict | None = None,
     sort_by: list[str] | str | None = None,
     sketch_cols: list[str] | str | None = None,
+    bloom_cols: list[str] | str | None = None,
+    bloom_fpp: float = 0.01,
 ) -> int:
     """Commit ``df`` as a new snapshot; returns the new snapshot id.
+
+    ``bloom_cols`` — attach a per-file Bloom membership filter for each
+    named column (one extra scan of the new files; bitmap sidecars
+    written executor-side into the commit's data dir): ``point_lookup``
+    then skips files from metadata on EQUALITY probes over columns the
+    table is not clustered on — the case where min/max bounds prune
+    nothing. ``bloom_fpp`` sizes the bitmaps (~1.2 MB per million rows
+    at the default 1%). Maintenance rewrites inherit coverage.
 
     ``sort_by`` — cluster the commit's files on the given column(s):
     range-partition + within-partition sort, recorded in the manifest.
@@ -1013,6 +1023,14 @@ def snapshot_write(
         missing = [c for c in sort_by if c not in df.columns]
         if missing:
             raise ValueError(f"sort_by column(s) {missing} not in frame {df.columns}")
+    if bloom_cols is not None and isinstance(bloom_cols, str):
+        bloom_cols = [bloom_cols]
+    if bloom_cols:
+        missing = [c for c in bloom_cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"bloom_cols column(s) {missing} not in frame {df.columns}")
+        if not 0 < bloom_fpp < 1:
+            raise ValueError(f"bloom_fpp must be in (0, 1), got {bloom_fpp}")
     parent = current_snapshot_id(root)
     if mode == "append" and parent is not None:
         _check_append_schema(root, _load_manifest_raw(root, parent), df.schema)
@@ -1057,6 +1075,8 @@ def snapshot_write(
     new_files = _footer_stats(glob.glob(os.path.join(data_dir, "part-*.parquet")), root)
     if sketch_cols:
         _attach_sketches(df.sparkSession, root, new_files, sketch_cols)
+    if bloom_cols:
+        _attach_blooms(df.sparkSession, root, new_files, bloom_cols, bloom_fpp)
     manifest_extra: dict[str, Any] = {}
     if expect is not None:
         import pyarrow.parquet as pq
@@ -1089,6 +1109,18 @@ def snapshot_write(
         manifest_extra=manifest_extra,
         cleanup_dirs=(data_dir,),
     )
+
+
+def _carry_layout(manifest: dict[str, Any], parent_m: dict[str, Any]) -> None:
+    """Engine commits that do not re-cluster carry the table's DECLARED
+    layout markers forward: deletes filter files in place (order-
+    preserving), upserts append, materialization filters, segment merges
+    touch only metadata — the declaration outlives all of them, exactly
+    like Iceberg's table sort order. Only an explicit overwrite or a
+    layout-destroying bin-pack compact resets it."""
+    for k in ("sort_by", "zorder"):
+        if parent_m.get(k) and k not in manifest:
+            manifest[k] = parent_m[k]
 
 
 def _commit_new_files(
@@ -1500,6 +1532,7 @@ def snapshot_delete(
             "loc": os.path.relpath(deleted_dir, root),
             "n_docs": int(n_deleted),
         }
+    _carry_layout(manifest, m)
     try:
         _commit_manifest(root, parent, sid, manifest, guard)
     except ConcurrentCommitError:
@@ -1648,6 +1681,7 @@ def _snapshot_delete_mor(
     if segments:
         manifest["file_segments"] = segments
     manifest.update(manifest_extra)
+    _carry_layout(manifest, m_raw)
     try:
         _commit_manifest(root, parent, sid, manifest, guard)
     except ConcurrentCommitError:
@@ -1826,6 +1860,9 @@ def snapshot_upsert(
     inherited = _inherited_sketch_cols(root, m_raw)
     if inherited:
         _attach_sketches(spark, root, new_files, inherited)
+    inherited_b = _inherited_bloom_cols(root, m_raw)
+    if inherited_b:
+        _attach_blooms(spark, root, new_files, inherited_b)
 
     # matched = LIVE old-generation rows being replaced (earlier MoR
     # filters already applied via snapshot_read); per-key counts make
@@ -1890,6 +1927,7 @@ def snapshot_upsert(
         manifest["row_filters"] = row_filters
     if segments:
         manifest["file_segments"] = segments
+    _carry_layout(manifest, m_raw)
     try:
         _commit_manifest(root, parent, sid, manifest, guard)
     except ConcurrentCommitError:
@@ -1980,6 +2018,9 @@ def materialize_deletes(
         inherited = _inherited_sketch_cols(root, m_raw)
         if inherited:
             _attach_sketches(spark, root, new_files, inherited)
+        inherited_b = _inherited_bloom_cols(root, m_raw)
+        if inherited_b:
+            _attach_blooms(spark, root, new_files, inherited_b)
     inline = keep_inline + new_files
     spilled_loc: str | None = None
     if keep_inline and len(inline) > _SEGMENT_SPILL_ENTRIES:
@@ -2002,6 +2043,7 @@ def materialize_deletes(
     }
     if kept_segs:
         manifest["file_segments"] = kept_segs
+    _carry_layout(manifest, m_raw)
     try:
         _commit_manifest(root, parent, sid, manifest, guard)
     except ConcurrentCommitError:
@@ -2053,6 +2095,281 @@ def _attach_sketches(
         r = by_base.get(os.path.basename(fe["path"]))
         if r is not None:
             fe["hll"] = {c: r[c] for c in cols if r[c] is not None}
+
+
+_BLOOM_H2_SALT = "ovalspark:bloom:h2"
+
+
+def _bloom_params(n: int, fpp: float) -> tuple[int, int]:
+    """Standard Bloom sizing: bits m = -n·ln(p)/ln(2)², hashes
+    k = (m/n)·ln(2); m rounded up to a whole number of 64-bit words."""
+    import math
+
+    if n <= 0:
+        return 0, 1
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = (m + 63) // 64 * 64
+    k = max(1, round(m / n * math.log(2)))
+    return m, k
+
+
+def _attach_blooms(
+    spark: SparkSession,
+    root: str,
+    new_files: list[dict[str, Any]],
+    cols: list[str] | str,
+    fpp: float = 0.01,
+) -> None:
+    """Attach per-file Bloom membership filters for ``cols`` to manifest
+    entries — the equality-probe complement of min/max bounds: a point
+    lookup on a column the table is NOT clustered on can still skip
+    files from metadata. One grouped Arrow pass over the just-written
+    files ships two JVM xxhash64 values per row (Kirsch–Mitzenmacher
+    double hashing derives all k probe positions from them); each
+    bitmap is built AND written to its ``_blooms/`` sidecar by the
+    executor holding the group, so the driver never materializes a
+    bitmap — at a 1000-file commit that is 1000 sidecar writes spread
+    across the cluster, not a 1 GB driver collect. Sidecars live inside
+    the commit's data dir (vacuum/retention lifecycle of the data files
+    they describe); the manifest entry records {loc, m, k, dtype} per
+    column, ~100 bytes. NULLs are excluded (equality never matches
+    NULL); an all-NULL file records m=0, which the probe reads as
+    "provably absent"."""
+    if isinstance(cols, str):
+        cols = [cols]
+    if not new_files or not cols:
+        return
+    import pandas as pd  # noqa: F401 (applyInPandas contract)
+
+    paths = [_abs_path(root, fe["path"]) for fe in new_files]
+    df = spark.read.parquet(*paths)
+    dtypes = {c: df.schema[c].dataType.simpleString() for c in cols}
+    sel = [F.url_decode(F.input_file_name()).alias("_f")]
+    for i, c in enumerate(cols):
+        sel += [
+            F.coalesce(F.xxhash64(F.col(c)), F.lit(0)).alias(f"_h1_{i}"),
+            F.coalesce(F.xxhash64(F.col(c), F.lit(_BLOOM_H2_SALT)), F.lit(0)).alias(
+                f"_h2_{i}"
+            ),
+            F.col(c).isNull().alias(f"_n_{i}"),
+        ]
+    hashed = df.select(*sel)
+    col_list = list(cols)
+    the_fpp = float(fpp)
+
+    def _build(pdf):
+        # self-contained closure (cloudpickles by value; executors don't
+        # need ovalspark on PYTHONPATH)
+        import math
+        import os as _os
+
+        import numpy as np
+        import pandas as _pd
+
+        path = pdf["_f"].iloc[0]
+        if path.startswith("file:"):
+            path = _os.path.normpath(path[len("file:"):])
+        bloom_dir = _os.path.join(_os.path.dirname(path), "_blooms")
+        _os.makedirs(bloom_dir, exist_ok=True)
+        base = _os.path.basename(path)
+        out = []
+        for i, c in enumerate(col_list):
+            mask = ~pdf[f"_n_{i}"].to_numpy(dtype=bool)
+            h1 = pdf[f"_h1_{i}"].to_numpy(dtype=np.int64)[mask].astype(np.uint64)
+            n = int(h1.shape[0])
+            if n == 0:
+                m, k = 0, 1
+                loc = ""
+            else:
+                m = int(math.ceil(-n * math.log(the_fpp) / (math.log(2) ** 2)))
+                m = (m + 63) // 64 * 64
+                k = max(1, round(m / n * math.log(2)))
+                h2 = pdf[f"_h2_{i}"].to_numpy(dtype=np.int64)[mask].astype(np.uint64)
+                bits = np.zeros(m // 8, dtype=np.uint8)
+                for j in range(k):
+                    pos = (h1 + np.uint64(j) * h2) % np.uint64(m)
+                    np.bitwise_or.at(
+                        bits,
+                        (pos >> np.uint64(3)).astype(np.int64),
+                        np.left_shift(
+                            np.uint8(1), (pos & np.uint64(7)).astype(np.uint8)
+                        ),
+                    )
+                loc = _os.path.join(bloom_dir, f"{base}.{c}.bloom")
+                tmp = loc + ".tmp"
+                with open(tmp, "wb") as f:
+                    f.write(bits.tobytes())
+                _os.replace(tmp, loc)
+            out.append((base, c, loc, m, k, n))
+        return _pd.DataFrame(
+            out, columns=["file", "col", "loc", "m", "k", "n"]
+        )
+
+    rows = (
+        hashed.groupBy("_f")
+        .applyInPandas(_build, "file string, col string, loc string, m long, k int, n long")
+        .collect()
+    )
+    by_file: dict[str, dict[str, dict[str, Any]]] = {}
+    for r in rows:
+        by_file.setdefault(r["file"], {})[r["col"]] = {
+            "loc": os.path.relpath(r["loc"], root) if r["loc"] else "",
+            "m": int(r["m"]),
+            "k": int(r["k"]),
+            "dtype": dtypes[r["col"]],
+        }
+    for fe in new_files:
+        meta = by_file.get(os.path.basename(fe["path"]))
+        if meta:
+            fe["bloom"] = meta
+
+
+def _inherited_bloom_cols(root: str, m_raw: dict[str, Any]) -> list[str]:
+    """Bloom columns present on ANY of a manifest's file entries — same
+    inheritance contract as sketches: engine-owned rewrites never
+    silently degrade the table's probe coverage."""
+    cols: set[str] = set()
+    for fe, _ in _expand_with_provenance(root, m_raw):
+        cols.update((fe.get("bloom") or {}).keys())
+    return sorted(cols)
+
+
+def _probe_hashes(spark: SparkSession, value, dtype: str) -> tuple[int, int]:
+    """The probe value's (h1, h2) computed by the SAME JVM xxhash64
+    expressions the write side used, cast to the column's committed
+    type — a Python reimplementation of Spark's hash would be a silent
+    correctness cliff."""
+    row = (
+        spark.range(1)
+        .select(
+            F.xxhash64(F.lit(value).cast(dtype)).alias("h1"),
+            F.xxhash64(F.lit(value).cast(dtype), F.lit(_BLOOM_H2_SALT)).alias("h2"),
+        )
+        .collect()[0]
+    )
+    return int(row["h1"]), int(row["h2"])
+
+
+def _bloom_might_contain(blob: bytes, m: int, k: int, h1: int, h2: int) -> bool:
+    u64 = (1 << 64) - 1
+    h1 &= u64
+    h2 &= u64
+    for j in range(k):
+        pos = (h1 + j * h2 & u64) % m
+        if not blob[pos >> 3] & (1 << (pos & 7)):
+            return False
+    return True
+
+
+def point_lookup_files(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    value,
+    snapshot_id: int | None = None,
+) -> list[str]:
+    """Absolute paths of the snapshot's data files that MAY contain
+    ``col = value``, decided from metadata: min/max bounds first (free),
+    then per-file Bloom sidecars for the survivors. On a column the
+    table is NOT clustered on, bounds prune nothing and the Bloom layer
+    is what turns a needle-in-100-TB probe into O(true matches + fpp ·
+    files) file reads. Files without a Bloom for ``col`` always survive
+    (absence can cost a scan, never rows — the same contract as absent
+    column stats). Probing is distributed when the candidate set is
+    large: a Spark job reads sidecars executor-side instead of the
+    driver looping over a million small files."""
+    if value is None:
+        raise ValueError("point lookup on NULL is not an equality probe")
+    m_raw = _load_manifest_raw(root, snapshot_id)
+    entries = _expand_manifest(root, m_raw)["files"]
+    candidates = [fe for fe in entries if _entry_survives(fe, [(col, value, value)])]
+    # hashes are computed PER RECORDED DTYPE: xxhash64 hashes the
+    # physical type, so a bloom built before an int→bigint promotion
+    # only matches a probe hashed at the OLD width — one cached pair per
+    # dtype, never a single pair assumed table-wide
+    hashes: dict[str, tuple[int, int]] = {}
+    probes: list[tuple[str, str, int, int, int, int]] = []  # path, loc, m, k, h1, h2
+    out: list[str] = []
+    for fe in candidates:
+        meta = (fe.get("bloom") or {}).get(col)
+        if meta is None:
+            out.append(_abs_path(root, fe["path"]))  # no bloom: cannot prune
+        elif meta["m"] == 0:
+            continue  # all-NULL file: provably absent
+        else:
+            dt = meta["dtype"]
+            if dt not in hashes:
+                hashes[dt] = _probe_hashes(spark, value, dt)
+            h1, h2 = hashes[dt]
+            probes.append(
+                (_abs_path(root, fe["path"]), _abs_path(root, meta["loc"]),
+                 meta["m"], meta["k"], h1, h2)
+            )
+    if not probes:
+        return out
+    if len(probes) <= 64:
+        for path, loc, m, k, h1, h2 in probes:
+            with open(loc, "rb") as f:
+                blob = f.read()
+            if _bloom_might_contain(blob, m, k, h1, h2):
+                out.append(path)
+        return out
+
+    def _probe(it):
+        # self-contained closure, executor-side sidecar reads
+        import pandas as _pd
+
+        u64 = (1 << 64) - 1
+        for pdf in it:
+            keep = []
+            for path, loc, m, k, h1, h2 in zip(
+                pdf["path"], pdf["loc"], pdf["m"], pdf["k"], pdf["h1"], pdf["h2"]
+            ):
+                with open(loc, "rb") as f:
+                    blob = f.read()
+                hit = True
+                for j in range(int(k)):
+                    pos = (int(h1) + j * int(h2) & u64) % int(m)
+                    if not blob[pos >> 3] & (1 << (pos & 7)):
+                        hit = False
+                        break
+                if hit:
+                    keep.append(path)
+            yield _pd.DataFrame({"path": keep})
+
+    pdf = spark.createDataFrame(
+        probes, "path string, loc string, m long, k int, h1 long, h2 long"
+    )
+    out.extend(
+        r["path"] for r in pdf.mapInPandas(_probe, "path string").collect()
+    )
+    return out
+
+
+def point_lookup(
+    spark: SparkSession,
+    root: str,
+    col: str,
+    value,
+    snapshot_id: int | None = None,
+) -> DataFrame:
+    """Read exactly the rows with ``col = value``, scanning only the
+    files ``point_lookup_files`` could not rule out from metadata."""
+    m_raw = _load_manifest_raw(root, snapshot_id)
+    if m_raw.get("row_filters"):
+        # the stratified MoR read applies scoped filters per file — a
+        # path-subset read here would silently resurrect hidden rows
+        df = _read_with_filters(spark, root, m_raw, (col, value, value))
+        return df.filter(F.col(col) == F.lit(value))
+    paths = point_lookup_files(spark, root, col, value, m_raw["snapshot_id"])
+    schema = _committed_schema(m_raw)
+    if not paths:
+        return spark.createDataFrame([], schema)
+    return (
+        spark.read.schema(schema)
+        .parquet(*paths)
+        .filter(F.col(col) == F.lit(value))
+    )
 
 
 def manifest_ndv(
@@ -2295,6 +2612,9 @@ def sort_rewrite(
     inherited = _inherited_sketch_cols(root, m_raw)
     if inherited:
         _attach_sketches(spark, root, new_files, inherited)
+    inherited_b = _inherited_bloom_cols(root, m_raw)
+    if inherited_b:
+        _attach_blooms(spark, root, new_files, inherited_b)
     manifest = {
         "snapshot_id": sid,
         "parent_id": parent,
@@ -2317,6 +2637,48 @@ def sort_rewrite(
         shutil.rmtree(data_dir, ignore_errors=True)
         raise
     return sid
+
+
+def _layout_dirty_entries(
+    root: str, m_raw: dict[str, Any], key: str
+) -> list[dict[str, Any]] | None:
+    """The manifest entries breaking a sorted layout on ``key`` — greedy
+    max-count disjoint selection (classic interval scheduling, sweep by
+    right endpoint) keeps the settled run; everything else, plus files
+    without usable stats (they can never prove disjointness), is the
+    merge set. Returns ``None`` when the layout is settled: fewer than
+    two breakers, or the breakers are THEMSELVES pairwise disjoint (the
+    previous pass's merged delta run — the LSM fixed point; re-sorting
+    one sorted run buys nothing, and without this check maintenance
+    never settles)."""
+    expanded = _expand_manifest(root, m_raw)["files"]
+    statted: list[tuple[Any, Any, dict[str, Any]]] = []
+    dirty: list[dict[str, Any]] = []
+    for fe in expanded:
+        st = (fe.get("col_stats") or {}).get(key)
+        if st is not None and _stats_comparable(st["min"], st["max"]):
+            statted.append((st["max"], st["min"], fe))
+        else:
+            dirty.append(fe)
+    statted.sort(key=lambda t: (t[0], t[1]))
+    running_max = None
+    for hi, lo, fe in statted:
+        # equal boundary values touch, they don't overlap: a sorted
+        # rewrite legitimately splits one key value across adjacent files
+        if running_max is None or not lo < running_max:
+            running_max = hi
+        else:
+            dirty.append(fe)
+    if len(dirty) < 2:
+        return None
+    stats = [(fe.get("col_stats") or {}).get(key) for fe in dirty]
+    if all(s is not None for s in stats):
+        span = sorted(stats, key=lambda st: (st["min"], st["max"]))
+        if all(
+            not span[i + 1]["min"] < span[i]["max"] for i in range(len(span) - 1)
+        ):
+            return None
+    return dirty
 
 
 def cluster_incremental(
@@ -2378,41 +2740,9 @@ def cluster_incremental(
             f"explicitly or run a full sort_rewrite first"
         )
     sort_by = list(sort_by)
-    key = sort_by[0]
-    expanded = _expand_manifest(root, m_raw)["files"]
-    # greedy max-count disjoint selection on the first sort key (classic
-    # interval scheduling: sweep by right endpoint) — kept files ARE the
-    # settled run; files without usable stats can never prove disjointness
-    # and always join the merge set
-    statted: list[tuple[Any, Any, dict[str, Any]]] = []
-    dirty: list[dict[str, Any]] = []
-    for fe in expanded:
-        st = (fe.get("col_stats") or {}).get(key)
-        if st is not None and _stats_comparable(st["min"], st["max"]):
-            statted.append((st["max"], st["min"], fe))
-        else:
-            dirty.append(fe)
-    statted.sort(key=lambda t: (t[0], t[1]))
-    running_max = None
-    for hi, lo, fe in statted:
-        # equal boundary values touch, they don't overlap: a sorted
-        # rewrite legitimately splits one key value across adjacent files
-        if running_max is None or not lo < running_max:
-            running_max = hi
-        else:
-            dirty.append(fe)
-    if len(dirty) < 2:
+    dirty = _layout_dirty_entries(root, m_raw, sort_by[0])
+    if dirty is None:
         return parent
-    # fixed-point guard: a dirty set that is ITSELF pairwise disjoint is
-    # the previous pass's merged delta run — re-sorting one sorted run
-    # buys nothing, and without this check maintenance never settles
-    stats = [(fe.get("col_stats") or {}).get(key) for fe in dirty]
-    if all(s is not None for s in stats):
-        span = sorted(stats, key=lambda st: (st["min"], st["max"]))
-        if all(
-            not span[i + 1]["min"] < span[i]["max"] for i in range(len(span) - 1)
-        ):
-            return parent
     affected = {os.path.basename(fe["path"]) for fe in dirty}
     kept_segs, keep = _partition_metadata(root, m_raw, affected)
     sid = parent + 1
@@ -2432,6 +2762,9 @@ def cluster_incremental(
     inherited = _inherited_sketch_cols(root, m_raw)
     if inherited:
         _attach_sketches(spark, root, new_files, inherited)
+    inherited_b = _inherited_bloom_cols(root, m_raw)
+    if inherited_b:
+        _attach_blooms(spark, root, new_files, inherited_b)
     inline = keep + new_files
     spilled_loc: str | None = None
     if keep and len(inline) > _SEGMENT_SPILL_ENTRIES:
@@ -2518,9 +2851,13 @@ def snapshot_compact(
     )
     df.repartition(n_files).write.mode("error").parquet(data_dir)
     new_files = _footer_stats(glob.glob(os.path.join(data_dir, "part-*.parquet")), root)
-    inherited = _inherited_sketch_cols(root, _load_manifest_raw(root, parent))
+    parent_raw = _load_manifest_raw(root, parent)
+    inherited = _inherited_sketch_cols(root, parent_raw)
     if inherited:
         _attach_sketches(spark, root, new_files, inherited)
+    inherited_b = _inherited_bloom_cols(root, parent_raw)
+    if inherited_b:
+        _attach_blooms(spark, root, new_files, inherited_b)
     inline = keep + new_files
     spilled_loc: str | None = None
     if keep and len(inline) > _SEGMENT_SPILL_ENTRIES:
@@ -2613,6 +2950,7 @@ def merge_segments(root: str, guard=None, target_entries: int | None = None) -> 
         "files": raw["files"],
         "file_segments": [r for r in refs if r["loc"] not in small_locs] + new_refs,
     }
+    _carry_layout(manifest, raw)
     try:
         _commit_manifest(root, parent, sid, manifest, guard)
     except ConcurrentCommitError:
