@@ -243,6 +243,28 @@ def main() -> int:
             "control_efficiency_2_to_8": 0.883,
             "best_docs_per_sec_32": 529470,
         },
+        # round-9 re-run (2026-08-18): same storm-then-quiet shape as
+        # r8 (pass-1 series swung 8.6-43 s at 8 cores, 3.9-30 s at 32),
+        # so the big world ran a second pass in the quiet tail: raw
+        # 2->8 = 0.873 on the same-conditions pair — the N->4N >=0.8
+        # criterion met RAW for the THIRD consecutive session (r7
+        # 0.916, r8 0.884), against a control ceiling of 0.901
+        # (engine/control ~0.97). Big-world 32-core best 701k docs/s
+        # (second-best ever after r3's 755k). Details in BASELINE.md.
+        "round9_rerun": {
+            "std_world_seconds": {"2": 23.11, "8": 8.64, "32": 3.95},
+            "std_efficiency_2_to_8": 0.669,
+            "big_world_seconds_pass1": {"2": 107.52, "8": 40.3, "32": 11.93},
+            "big_world_seconds_pass2": {"2": 103.49, "8": 29.63},
+            "big_efficiency_2_to_8_pass1": 0.667,
+            "big_efficiency_2_to_8_pass2": 0.873,
+            "big_docs_per_sec_32": 701217,
+            "control_seconds_pass1": {"2": 18.99, "8": 5.14},
+            "control_seconds_pass2": {"2": 19.72, "8": 5.47},
+            "control_efficiency_2_to_8_pass2": 0.901,
+            "engine_over_control_2_to_8_pass2": 0.969,
+            "best_docs_per_sec_32": 529470,
+        },
     }
     summary = {
         "metric": "headline query suite wall time (sf parquet, noop sink)",
