@@ -2608,6 +2608,102 @@ _Q75_ORACLE = """
 """
 
 
+_Q76_VERSION = "v1"
+
+
+def _q76_dir(sf_dir: str) -> str:
+    return _oracle_dir("q76", _Q76_VERSION, sf_dir)
+
+
+def _q76_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-attached constraint contracts as a value-checked gate row
+    (sources/constraints.py): the documents table commits with four
+    kinds of deterministically injected violations (hash-bucketed: NULL
+    n_chars, out-of-range n_chars, lang='zz', duplicated doc_ids), the
+    contract — not_null + range + check + unique — is attached with
+    validate=False (known-dirty adoption), and the AUDIT's per-
+    constraint violation counts are hash-checked against DuckDB
+    recomputing each count from the materialized table. In-query pins:
+    the not_null count decides from MANIFEST null counts alone
+    (decided='metadata'), the audit report round-trips through the
+    manifest-stored contract (no constraints argument passed), and the
+    unique triage ran on the commit's HLL sketches."""
+    from ovalspark.sources.constraints import audit_constraints, set_constraints
+    from ovalspark.sources.snapshots import current_snapshot_id, snapshot_write
+
+    root = _q76_dir(sf_dir)
+
+    def _bucket():
+        return F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(100))
+
+    def build(stage):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "lang", "n_chars", "source"
+        )
+        h = _bucket()
+        bad = docs.select(
+            "doc_id",
+            F.when(h == 2, F.lit("zz")).otherwise(F.col("lang")).alias("lang"),
+            F.when(h == 0, F.lit(None))
+            .when(h == 1, F.col("n_chars") + F.lit(10_000_000))
+            .otherwise(F.col("n_chars"))
+            .cast("long")
+            .alias("n_chars"),
+            "source",
+        )
+        bad = bad.unionByName(bad.where(_bucket() == 3))
+        snapshot_write(bad.repartition(4), stage, sketch_cols=["doc_id"])
+        set_constraints(
+            stage,
+            [
+                {"name": "chars_bounded", "kind": "range", "column": "n_chars",
+                 "lo": 0, "hi": 5_000_000},
+                {"name": "chars_present", "kind": "not_null", "column": "n_chars"},
+                {"name": "lang_known", "kind": "check", "expr": "lang <> 'zz'"},
+                {"name": "pk", "kind": "unique", "column": "doc_id"},
+            ],
+            spark=spark,
+            validate=False,  # adopting a known-dirty table: audit reports the debt
+        )
+
+    _publish_once(root, build, is_valid=lambda: current_snapshot_id(root) == 2)
+
+    report, detail = audit_constraints(spark, root)  # contract FROM the manifest
+    rows = {r["constraint"]: r for r in detail["rows"]}
+    assert set(rows) == {"chars_bounded", "chars_present", "lang_known", "pk"}
+    assert rows["chars_present"]["decided"] == "metadata", (
+        "not_null must decide from manifest null counts, got "
+        f"{rows['chars_present']['decided']}"
+    )
+    scr = detail["screen"]["pk"]
+    assert scr["verdict"] in ("violation", "pass_screen"), scr  # sketches present
+    assert all(r["violated_rows"] > 0 for r in detail["rows"]), detail["rows"]
+    return report.select("constraint", "violated_rows").orderBy("constraint")
+
+
+def _q76_oracle() -> str:
+    d = _q76_dir(GATE_SF_DIR)
+    return f"""
+    WITH bad AS (SELECT * FROM read_parquet('{d}/data/snap-1-*/part-*.parquet'))
+    SELECT * FROM (
+      SELECT 'chars_bounded' AS "constraint", CAST(count(*) AS BIGINT) AS violated_rows
+      FROM bad WHERE n_chars IS NOT NULL AND (n_chars < 0 OR n_chars > 5000000)
+      UNION ALL
+      SELECT 'chars_present', CAST(count(*) AS BIGINT) FROM bad WHERE n_chars IS NULL
+      UNION ALL
+      SELECT 'lang_known', CAST(count(*) AS BIGINT) FROM bad
+      WHERE NOT coalesce(lang <> 'zz', true)
+      UNION ALL
+      SELECT 'pk', CAST(coalesce((
+        SELECT sum(c) FROM (
+          SELECT count(*) AS c FROM bad WHERE doc_id IS NOT NULL
+          GROUP BY doc_id HAVING count(*) > 1
+        ) dup), 0) AS BIGINT)
+    ) r
+    ORDER BY "constraint"
+"""
+
+
 _Q53_VERSION = "v1"
 
 
@@ -2890,6 +2986,7 @@ def _shared(name: str) -> Callable[[SparkSession, str], DataFrame]:
 RETIRED_GATES: tuple[str, ...] = (
     "q04_order_count_histogram",
     "q10_dangling_part_refs",
+    "q29_hll_profile",
     "q06_events_daily",
     "q22_lang_id_confusion",
     "q25_minhash_signatures",
@@ -2908,6 +3005,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Full registry, newest gates first (see module comment above)."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # round 9 gates
+        "q76_constraint_audit": _q76_constraint_audit,
         "q75_bloom_lookup": _q75_bloom_lookup,
         # round 7/8 snapshot-store / stream / table-format gates
         "q74_manifest_ndv": _q74_manifest_ndv,
@@ -2967,6 +3065,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _all_oracles() -> dict[str, str]:
     out = {
+        "q76_constraint_audit": _q76_oracle(),
         "q75_bloom_lookup": _Q75_ORACLE,
         "q74_manifest_ndv": _Q74_ORACLE,
         "q73_sorted_prune": _Q73_ORACLE,
@@ -3028,7 +3127,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The 13 retired gates, still runnable for pytest value checks."""
+    """The 14 retired gates, still runnable for pytest value checks."""
     return {k: v for k, v in _all_queries().items() if k in RETIRED_GATES}
 
 

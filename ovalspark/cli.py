@@ -189,6 +189,49 @@ def build_parser() -> argparse.ArgumentParser:
         "own no-op guard respected); idempotent",
     )
     m.add_argument(
+        "--rollback",
+        type=int,
+        default=None,
+        metavar="SNAPSHOT_ID",
+        help="undo bad commits: re-point the table at this older snapshot "
+        "as a NEW metadata-only commit (history stays dense; the undone "
+        "snapshots remain time-travel readable)",
+    )
+    m.add_argument(
+        "--set-constraint",
+        action="append",
+        default=None,
+        metavar="JSON",
+        help='attach a constraint to the table\'s contract, e.g. '
+        '\'{"name":"pk","kind":"unique","column":"doc_id"}\' — kinds: '
+        "not_null, range (lo/hi), check (expr), unique. Repeatable; "
+        "commits ONE metadata-only snapshot (mode=add). Existing data is "
+        "audited first and the commit refuses on violations unless "
+        "--allow-dirty",
+    )
+    m.add_argument(
+        "--drop-constraint",
+        action="append",
+        default=None,
+        metavar="NAME",
+        help="remove named constraint(s) from the contract (repeatable; "
+        "one metadata-only commit)",
+    )
+    m.add_argument(
+        "--allow-dirty",
+        action="store_true",
+        help="with --set-constraint: attach without auditing existing "
+        "data (the audit then reports the debt instead of the commit "
+        "refusing it)",
+    )
+    m.add_argument(
+        "--audit-constraints",
+        action="store_true",
+        help="audit the table against its contract: per-constraint "
+        "violation counts, decided from manifest stats where possible "
+        "(zero data reads on a clean clustered table)",
+    )
+    m.add_argument(
         "--cluster-incremental",
         nargs="?",
         const="",
@@ -529,6 +572,52 @@ def main(argv: list[str] | None = None) -> int:
             sid = sort_rewrite(spark, args.root, zorder=cols, guard=args.guard)
             log.info("maintain.zorder_rewrite", snapshot_id=sid, zorder=cols)
             report["zorder_rewrite"] = {"snapshot_id": sid, "zorder": cols}
+        if args.rollback is not None:
+            from ovalspark.sources.snapshots import rollback_table
+
+            sid = rollback_table(args.root, args.rollback, guard=args.guard)
+            log.info("maintain.rollback", snapshot_id=sid, rolled_back_to=args.rollback)
+            report["rollback"] = {"snapshot_id": sid, "rolled_back_to": args.rollback}
+        if args.set_constraint:
+            from ovalspark.sources.constraints import set_constraints
+
+            cons = [json.loads(s) for s in args.set_constraint]
+            sid = set_constraints(
+                args.root,
+                cons,
+                mode="add",
+                guard=args.guard,
+                spark=spark,
+                validate=not args.allow_dirty,
+            )
+            log.info("maintain.set_constraints", snapshot_id=sid, n=len(cons))
+            report["set_constraints"] = {
+                "snapshot_id": sid,
+                "added": [c["name"] for c in cons],
+            }
+        if args.drop_constraint:
+            from ovalspark.sources.constraints import drop_constraints
+
+            sid = drop_constraints(args.root, args.drop_constraint, guard=args.guard)
+            log.info("maintain.drop_constraints", snapshot_id=sid)
+            report["drop_constraints"] = {
+                "snapshot_id": sid,
+                "dropped": args.drop_constraint,
+            }
+        if args.audit_constraints:
+            from ovalspark.sources.constraints import audit_constraints
+
+            rep_df, detail = audit_constraints(spark, args.root)
+            log.info(
+                "maintain.audit_constraints",
+                constraints=len(detail["rows"]),
+                files_scanned=detail["files_scanned"],
+            )
+            report["audit_constraints"] = {
+                "rows": detail["rows"],
+                "files_scanned": detail["files_scanned"],
+                "pending_row_filters": detail["pending_row_filters"],
+            }
         if args.doctor:
             from ovalspark.sources.doctor import diagnose
 

@@ -1,0 +1,637 @@
+"""Table-attached constraint contracts for the snapshot store.
+
+The engine's validators (operators/) answer "is this data correct?" as
+an EXPLICIT job a caller runs after the fact — oval's shape, where the
+validate pass follows the write pass (reference: cmd/oval/main.go drives
+write-then-validate phases; internal/validator checks each object after
+the workload ran). A constraint CONTRACT inverts the ownership: the rule
+itself becomes table state, versioned with the manifest like the sort
+layout, so every writer is checked against it at commit time and every
+auditor reads the same rule the writers enforced. Iceberg/Delta analog:
+``ALTER TABLE ADD CONSTRAINT CHECK`` — re-derived here against this
+store's manifest + CAS machinery.
+
+Four kinds, declared as plain dicts:
+
+* ``{"name", "kind": "not_null", "column"}`` — violation: column IS NULL.
+* ``{"name", "kind": "range", "column", "lo"?, "hi"?}`` — violation:
+  column IS NOT NULL AND outside [lo, hi] (either bound may be open).
+  NULLs pass (SQL CHECK semantics — use not_null to forbid them).
+* ``{"name", "kind": "check", "expr"}`` — any Spark-SQL boolean
+  expression; violation: expr IS FALSE (NULL passes, like SQL CHECK).
+* ``{"name", "kind": "unique", "column"}`` — violation rows: rows whose
+  non-NULL value occurs more than once.
+
+Each may carry ``"enforce": false`` to record the rule for audits
+without blocking commits (default: enforced).
+
+Scale shape (the whole point):
+
+* ``audit_constraints`` decides not_null and range from MANIFEST stats
+  first — per-file {min, max, nulls} recorded at commit time — and
+  scans ONLY the files metadata cannot decide, with the violation
+  predicate pushed down. A clean clustered table audits with ZERO data
+  reads. ``check`` exprs scan once for ALL check constraints in one
+  column-pruned aggregation; ``unique`` runs the HLL screen
+  (``uniqueness_screen``) as triage detail, then the exact
+  single-column groupBy.
+* Commit enforcement (``snapshot_write`` / ``snapshot_upsert``) checks
+  the STAGED files only — O(new data), from their just-collected footer
+  stats where possible — never a re-scan of the table. The one
+  documented exception: a ``unique`` constraint on an append must also
+  prove the staged keys collide with nothing live, which costs one
+  column-pruned scan of the table's key column per commit (the same
+  honest cost ``snapshot_upsert`` pays for its matched-keys sidecar).
+* Branch writes (``commit_staged_files``) stay UNENFORCED by design:
+  WAP stages dirty data on purpose and audits at publish
+  (``sources/branches.validate_then_publish`` — pass
+  ``audit_constraints`` output as the validator's evidence).
+
+Pending merge-on-read filters demote every metadata decision to the
+logical read (physical footer stats overcount rows a pending filter
+hides); the audit says so in its report rather than silently using
+physical counts.
+"""
+
+from __future__ import annotations
+
+import shutil
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ovalspark.sources.snapshots import (
+    _abs_path,
+    _carry_layout,
+    _commit_manifest,
+    _committed_schema,
+    _expand_manifest,
+    _load_manifest_raw,
+    _stats_comparable,
+    current_snapshot_id,
+    snapshot_read,
+    uniqueness_screen,
+)
+
+_KINDS = ("not_null", "range", "check", "unique")
+
+_REPORT_SCHEMA = (
+    "constraint string, kind string, column string, "
+    "violated_rows long, decided string"
+)
+
+
+class ConstraintError(ValueError):
+    """A constraint DEFINITION is malformed (unknown kind, missing
+    field, duplicate name) or conflicts with the table (constrained
+    column absent from the committed schema)."""
+
+
+class ConstraintViolationError(RuntimeError):
+    """Data violated an enforced constraint. Raised by
+    ``set_constraints(validate=True)`` when existing rows break a new
+    rule, and by commit enforcement when staged rows do — in the commit
+    case the staged data files were already removed, nothing was
+    committed, and the table is exactly as before. ``.report`` holds
+    the per-constraint violation counts that triggered the refusal."""
+
+    def __init__(self, msg: str, report: list[dict[str, Any]]):
+        super().__init__(msg)
+        self.report = report
+
+
+def _normalize(constraints: list[dict[str, Any]]) -> list[dict[str, Any]]:
+    out: list[dict[str, Any]] = []
+    seen: set[str] = set()
+    for c in constraints:
+        if not isinstance(c, dict):
+            raise ConstraintError(f"constraint must be a dict, got {type(c).__name__}")
+        name, kind = c.get("name"), c.get("kind")
+        if not name or not isinstance(name, str):
+            raise ConstraintError(f"constraint needs a string 'name': {c!r}")
+        if name in seen:
+            raise ConstraintError(f"duplicate constraint name {name!r}")
+        seen.add(name)
+        if kind not in _KINDS:
+            raise ConstraintError(f"{name}: kind must be one of {_KINDS}, got {kind!r}")
+        norm: dict[str, Any] = {"name": name, "kind": kind}
+        if kind in ("not_null", "unique", "range"):
+            col = c.get("column")
+            if not col or not isinstance(col, str):
+                raise ConstraintError(f"{name}: kind {kind!r} needs a 'column'")
+            norm["column"] = col
+        if kind == "range":
+            lo, hi = c.get("lo"), c.get("hi")
+            if lo is None and hi is None:
+                raise ConstraintError(f"{name}: range needs 'lo' and/or 'hi'")
+            for bound, v in (("lo", lo), ("hi", hi)):
+                if v is not None:
+                    if not isinstance(v, (int, float, str)) or isinstance(v, bool):
+                        raise ConstraintError(
+                            f"{name}: range bound {bound!r} must be a number or "
+                            f"string, got {type(v).__name__}"
+                        )
+                    norm[bound] = v
+            if lo is not None and hi is not None:
+                if not _stats_comparable(lo, hi):
+                    raise ConstraintError(f"{name}: lo/hi types differ")
+                if lo > hi:
+                    raise ConstraintError(f"{name}: lo {lo!r} > hi {hi!r}")
+        if kind == "check":
+            expr = c.get("expr")
+            if not expr or not isinstance(expr, str):
+                raise ConstraintError(f"{name}: kind 'check' needs an 'expr' string")
+            norm["expr"] = expr
+        if c.get("enforce") is False:
+            norm["enforce"] = False
+        extra = set(c) - set(norm) - {"enforce"}
+        if extra:
+            raise ConstraintError(f"{name}: unknown field(s) {sorted(extra)}")
+        out.append(norm)
+    return out
+
+
+def table_constraints(root: str, snapshot_id: int | None = None) -> list[dict[str, Any]]:
+    """The constraint contract recorded AS OF a snapshot (default:
+    current) — versioned table state, so time travel shows the rules a
+    historical commit was held to."""
+    return list(_load_manifest_raw(root, snapshot_id).get("constraints") or [])
+
+
+def _columns_of(m: dict[str, Any]) -> set[str]:
+    return {f.name for f in _committed_schema(m).fields}
+
+
+def set_constraints(
+    root: str,
+    constraints: list[dict[str, Any]],
+    mode: str = "replace",
+    guard=None,
+    spark: SparkSession | None = None,
+    validate: bool = True,
+) -> int:
+    """Commit a new constraint contract in a METADATA-ONLY snapshot
+    (operation ``set_constraints``: the parent's file inventory carries
+    verbatim — segments by reference, pending row filters intact).
+
+    ``mode``: ``replace`` (the list IS the new contract), ``add``
+    (merge onto the existing contract; re-using a name raises). Dropping
+    is its own verb (``drop_constraints``) so a typo'd add can never
+    silently erase rules.
+
+    ``validate=True`` (needs ``spark``) audits EXISTING data against
+    the newly added rules before committing — the Delta-style guarantee
+    that a contract is never born broken. Violations raise
+    ``ConstraintViolationError`` and nothing commits; pass
+    ``validate=False`` to attach rules to known-dirty data (the audit
+    then reports the debt instead of the commit refusing it).
+
+    Concurrency: same optimistic CAS as every other commit — the guard
+    covers the read-merge-commit window, so two racing set_constraints
+    serialize and the loser raises ``ConcurrentCommitError``.
+    """
+    if mode not in ("replace", "add"):
+        raise ValueError(f"mode must be replace|add, got {mode!r}")
+    new = _normalize(constraints)
+    parent = current_snapshot_id(root)
+    if parent is None:
+        raise FileNotFoundError(
+            f"no committed snapshot at {root} — constraints are manifest "
+            f"state; commit the table's first snapshot, then attach them"
+        )
+    raw = _load_manifest_raw(root, parent)
+    cols = _columns_of(raw)
+    for c in new:
+        if "column" in c and c["column"] not in cols:
+            raise ConstraintError(
+                f"{c['name']}: column {c['column']!r} not in committed "
+                f"schema {sorted(cols)}"
+            )
+    if mode == "add":
+        existing = list(raw.get("constraints") or [])
+        clash = {c["name"] for c in existing} & {c["name"] for c in new}
+        if clash:
+            raise ConstraintError(
+                f"constraint name(s) {sorted(clash)} already exist — "
+                f"drop_constraints first, or mode='replace'"
+            )
+        merged = existing + new
+        added = new
+    else:
+        merged = new
+        old = {c["name"]: c for c in raw.get("constraints") or []}
+        added = [c for c in new if old.get(c["name"]) != c]
+    if validate and added:
+        if spark is None:
+            raise ValueError(
+                "validate=True needs spark= to audit existing data "
+                "(pass validate=False to attach without auditing)"
+            )
+        _, detail = audit_constraints(spark, root, snapshot_id=parent, constraints=added)
+        bad = [r for r in detail["rows"] if r["violated_rows"]]
+        if bad:
+            raise ConstraintViolationError(
+                f"existing data violates new constraint(s): "
+                + ", ".join(f"{r['constraint']}={r['violated_rows']}" for r in bad),
+                bad,
+            )
+    sid = parent + 1
+    manifest = {
+        "snapshot_id": sid,
+        "parent_id": parent,
+        "operation": "set_constraints",
+        "schema_ddl": raw["schema_ddl"],
+        "schema_json": raw["schema_json"],
+        "total_rows": raw["total_rows"],
+        "total_bytes": raw["total_bytes"],
+        "files": raw["files"],
+        "constraints": merged,
+    }
+    for k in ("file_segments", "row_filters"):
+        if raw.get(k):
+            manifest[k] = raw[k]
+    _carry_layout(manifest, raw)
+    _commit_manifest(root, parent, sid, manifest, guard)
+    return sid
+
+
+def drop_constraints(root: str, names: list[str] | str, guard=None) -> int:
+    """Remove named constraints in a metadata-only commit. Unknown
+    names raise (a drop that silently no-ops hides a typo that leaves
+    the rule ENFORCED)."""
+    if isinstance(names, str):
+        names = [names]
+    parent = current_snapshot_id(root)
+    if parent is None:
+        raise FileNotFoundError(f"no committed snapshot at {root}")
+    raw = _load_manifest_raw(root, parent)
+    existing = list(raw.get("constraints") or [])
+    have = {c["name"] for c in existing}
+    missing = [n for n in names if n not in have]
+    if missing:
+        raise ConstraintError(f"no such constraint(s): {missing} (table has {sorted(have)})")
+    kept = [c for c in existing if c["name"] not in set(names)]
+    sid = parent + 1
+    manifest = {
+        "snapshot_id": sid,
+        "parent_id": parent,
+        "operation": "set_constraints",
+        "schema_ddl": raw["schema_ddl"],
+        "schema_json": raw["schema_json"],
+        "total_rows": raw["total_rows"],
+        "total_bytes": raw["total_bytes"],
+        "files": raw["files"],
+    }
+    if kept:
+        manifest["constraints"] = kept
+    for k in ("file_segments", "row_filters"):
+        if raw.get(k):
+            manifest[k] = raw[k]
+    _carry_layout(manifest, raw)
+    # constraints are set explicitly above (or intentionally absent) —
+    # _carry_layout must not resurrect the dropped contract
+    if not kept:
+        manifest.pop("constraints", None)
+    _commit_manifest(root, parent, sid, manifest, guard)
+    return sid
+
+
+# ---------------------------------------------------------------------------
+# audit
+
+
+def _range_entry_verdict(
+    st: dict[str, Any] | None, rows: int, lo, hi
+) -> tuple[str, int]:
+    """('pass'|'all'|'scan', violated) for one manifest entry's stats."""
+    if not st or not _stats_comparable(st["min"], lo if lo is not None else hi):
+        return ("scan", 0)
+    inside = (lo is None or st["min"] >= lo) and (hi is None or st["max"] <= hi)
+    if inside:
+        return ("pass", 0)
+    outside = (lo is not None and st["max"] < lo) or (hi is not None and st["min"] > hi)
+    if outside:
+        # every NON-NULL row violates; needs the null count to be exact
+        if st.get("nulls") is not None:
+            return ("all", rows - st["nulls"])
+        return ("scan", 0)
+    return ("scan", 0)
+
+
+def _violation_expr(c: dict[str, Any]):
+    """The violation predicate as a pushdown-eligible Column."""
+    kind = c["kind"]
+    if kind == "not_null":
+        return F.col(c["column"]).isNull()
+    if kind == "range":
+        col = F.col(c["column"])
+        cond = F.lit(False)
+        if c.get("lo") is not None:
+            cond = cond | (col < F.lit(c["lo"]))
+        if c.get("hi") is not None:
+            cond = cond | (col > F.lit(c["hi"]))
+        return col.isNotNull() & cond
+    if kind == "check":
+        # violation iff the expression is definitely FALSE (SQL CHECK:
+        # NULL/unknown passes)
+        return ~F.coalesce(F.expr(c["expr"]), F.lit(True))
+    raise ConstraintError(f"no row predicate for kind {kind!r}")
+
+
+def _unique_violations(df: DataFrame, col: str) -> int:
+    dup = (
+        df.select(col)
+        .where(F.col(col).isNotNull())
+        .groupBy(col)
+        .count()
+        .where(F.col("count") > 1)
+        .agg(F.coalesce(F.sum("count"), F.lit(0)).alias("v"))
+        .collect()
+    )
+    return int(dup[0]["v"])
+
+
+def audit_constraints(
+    spark: SparkSession,
+    root: str,
+    snapshot_id: int | None = None,
+    constraints: list[dict[str, Any]] | None = None,
+) -> tuple[DataFrame, dict[str, Any]]:
+    """Audit a snapshot against its contract (or an explicit
+    ``constraints`` list). Returns ``(report, detail)``:
+
+    * ``report`` — one row per constraint: ``(constraint, kind, column,
+      violated_rows, decided)`` where ``decided`` is ``metadata`` (zero
+      data files read), ``scan``, or ``mixed`` (stats decided most
+      files, the undecided remainder was scanned with the violation
+      predicate pushed down).
+    * ``detail`` — ``files_scanned`` (total data files opened across
+      the audit), ``pending_row_filters``, per-constraint ``rows``, and
+      the HLL ``screen`` verdict for each unique constraint (triage
+      evidence; the exact check always runs — a sketch can never
+      certify uniqueness).
+
+    Exactness: violated_rows is EXACT for every kind — the metadata
+    path uses per-file null counts and bounds that are exact by
+    construction, never sketch estimates.
+    """
+    m = _load_manifest_raw(root, snapshot_id)
+    cons = _normalize(constraints) if constraints is not None else list(
+        m.get("constraints") or []
+    )
+    pending = bool(m.get("row_filters"))
+    sid = m["snapshot_id"]
+    schema = _committed_schema(m)
+    rows_out: list[dict[str, Any]] = []
+    detail: dict[str, Any] = {
+        "snapshot_id": sid,
+        "pending_row_filters": len(m.get("row_filters") or []),
+        "files_scanned": 0,
+        "screen": {},
+        "rows": rows_out,
+    }
+    if not cons:
+        return spark.createDataFrame([], _REPORT_SCHEMA), detail
+
+    entries = None  # expanded lazily: a pure-check contract never needs stats
+
+    def _entries():
+        nonlocal entries
+        if entries is None:
+            entries = _expand_manifest(root, m)["files"]
+        return entries
+
+    # constraints that fall through to a LOGICAL full scan share ONE
+    # aggregation pass (column-pruned to exactly the referenced columns)
+    full_scan: list[dict[str, Any]] = []
+    logical_files = None
+
+    def _logical_n_files() -> int:
+        nonlocal logical_files
+        if logical_files is None:
+            logical_files = len(_entries())
+        return logical_files
+
+    for c in cons:
+        kind, name = c["kind"], c["name"]
+        if kind == "unique":
+            if pending:
+                # sketches describe PHYSICAL rows; with row filters
+                # pending the screen would overcount — skip the triage,
+                # the exact check below reads the logical table
+                scr = {"col": c["column"], "verdict": "skipped",
+                       "reason": "pending row filters"}
+            else:
+                scr = uniqueness_screen(spark, root, col=c["column"], snapshot_id=sid)
+            detail["screen"][name] = scr
+            v = _unique_violations(
+                snapshot_read(spark, root, snapshot_id=sid), c["column"]
+            )
+            rows_out.append(
+                {
+                    "constraint": name,
+                    "kind": kind,
+                    "column": c["column"],
+                    "violated_rows": v,
+                    "decided": "scan",
+                }
+            )
+            detail["files_scanned"] += _logical_n_files()
+            continue
+        if kind == "check" or pending:
+            full_scan.append(c)
+            continue
+        # not_null / range: metadata first, scan only the undecided files
+        col = c["column"]
+        violated = 0
+        scan_paths: list[str] = []
+        for e in _entries():
+            st = (e.get("col_stats") or {}).get(col)
+            if kind == "not_null":
+                nulls = st.get("nulls") if st else None
+                if nulls is None:
+                    scan_paths.append(_abs_path(root, e["path"]))
+                else:
+                    violated += nulls
+            else:
+                verdict, v = _range_entry_verdict(st, e["rows"], c.get("lo"), c.get("hi"))
+                if verdict == "scan":
+                    scan_paths.append(_abs_path(root, e["path"]))
+                else:
+                    violated += v
+        if scan_paths:
+            scanned = (
+                spark.read.schema(schema)
+                .parquet(*scan_paths)
+                .where(_violation_expr(c))
+                .count()
+            )
+            violated += int(scanned)
+            detail["files_scanned"] += len(scan_paths)
+        rows_out.append(
+            {
+                "constraint": name,
+                "kind": kind,
+                "column": col,
+                "violated_rows": int(violated),
+                "decided": "metadata"
+                if not scan_paths
+                else ("mixed" if len(scan_paths) < len(_entries()) else "scan"),
+            }
+        )
+    if full_scan:
+        df = snapshot_read(spark, root, snapshot_id=sid)
+        aggs = [
+            F.sum(_violation_expr(c).cast("long")).alias(c["name"]) for c in full_scan
+        ]
+        agg_row = df.agg(*aggs).collect()[0]
+        for c in full_scan:
+            rows_out.append(
+                {
+                    "constraint": c["name"],
+                    "kind": c["kind"],
+                    "column": c.get("column", ""),
+                    "violated_rows": int(agg_row[c["name"]] or 0),
+                    "decided": "scan",
+                }
+            )
+        detail["files_scanned"] += _logical_n_files()
+    rows_out.sort(key=lambda r: r["constraint"])
+    report = spark.createDataFrame(
+        [
+            (r["constraint"], r["kind"], r["column"], r["violated_rows"], r["decided"])
+            for r in rows_out
+        ],
+        _REPORT_SCHEMA,
+    )
+    return report, detail
+
+
+# ---------------------------------------------------------------------------
+# commit-time enforcement (called by snapshots.snapshot_write / _upsert)
+
+
+def _enforce_staged(
+    spark: SparkSession,
+    root: str,
+    parent_raw: dict[str, Any],
+    new_files: list[dict[str, Any]],
+    data_dir: str,
+    mode: str,
+    kinds: tuple[str, ...] = _KINDS,
+) -> None:
+    """Validate STAGED files against the parent's enforced constraints
+    before the CAS — O(new data): footer stats first, one pushdown scan
+    of the staged files for the rest. Raises ``ConstraintViolationError``
+    AFTER removing the staged data dir, so a refused commit leaves the
+    table byte-identical.
+
+    ``unique`` on an append additionally proves the staged keys hit
+    nothing live: one column-pruned scan of the table's key column
+    semi-joined against the (broadcast) staged keys — the same honest
+    per-commit cost as upsert's matched-keys discovery. On an overwrite
+    the staged frame IS the table, so staged-internal uniqueness is the
+    whole check.
+    """
+    cons = [
+        c
+        for c in (parent_raw.get("constraints") or [])
+        if c.get("enforce", True) and c["kind"] in kinds
+    ]
+    if not cons:
+        return
+    staged_cols: set[str] | None = None
+    report: list[dict[str, Any]] = []
+    full_scan: list[dict[str, Any]] = []
+    staged = None
+
+    def _staged() -> DataFrame:
+        nonlocal staged
+        if staged is None:
+            staged = spark.read.parquet(data_dir)
+        return staged
+
+    for c in cons:
+        col = c.get("column")
+        if col is not None:
+            if staged_cols is None:
+                staged_cols = set(_staged().columns)
+            if col not in staged_cols:
+                shutil.rmtree(data_dir, ignore_errors=True)
+                raise ConstraintError(
+                    f"commit drops constrained column {col!r} "
+                    f"({c['name']}) — drop_constraints first"
+                )
+        if c["kind"] == "unique":
+            v = _unique_violations(_staged(), col)
+            if v:
+                report.append({"constraint": c["name"], "violated_rows": v})
+                continue
+            if mode == "append" and parent_raw.get("total_rows"):
+                live = snapshot_read(
+                    spark, root, snapshot_id=parent_raw["snapshot_id"]
+                ).select(col)
+                # no broadcast hint: staged key volume is unbounded — AQE
+                # picks the broadcast side itself when one fits
+                keys = _staged().select(col).where(F.col(col).isNotNull()).distinct()
+                hits = live.join(keys, on=col, how="inner").count()
+                if hits:
+                    report.append(
+                        {"constraint": c["name"], "violated_rows": int(hits)}
+                    )
+            continue
+        if c["kind"] in ("not_null", "range"):
+            violated = 0
+            undecided = False
+            for e in new_files:
+                st = (e.get("col_stats") or {}).get(col)
+                if c["kind"] == "not_null":
+                    nulls = st.get("nulls") if st else None
+                    if nulls is None:
+                        undecided = True
+                        break
+                    violated += nulls
+                else:
+                    verdict, v = _range_entry_verdict(
+                        st, e["rows"], c.get("lo"), c.get("hi")
+                    )
+                    if verdict == "scan":
+                        undecided = True
+                        break
+                    violated += v
+            if undecided:
+                full_scan.append(c)
+            elif violated:
+                report.append({"constraint": c["name"], "violated_rows": violated})
+            continue
+        full_scan.append(c)  # check exprs
+    if full_scan:
+        from pyspark.errors import AnalysisException
+
+        aggs = [
+            F.sum(_violation_expr(c).cast("long")).alias(c["name"]) for c in full_scan
+        ]
+        try:
+            agg_row = _staged().agg(*aggs).collect()[0]
+        except AnalysisException as e:
+            # a check expr references a column the staged frame dropped —
+            # same contract breach as dropping a declared column
+            shutil.rmtree(data_dir, ignore_errors=True)
+            raise ConstraintError(
+                f"commit drops column(s) referenced by check constraint(s) "
+                f"{[c['name'] for c in full_scan]} — drop_constraints first "
+                f"({e.getMessage().splitlines()[0] if hasattr(e, 'getMessage') else e})"
+            ) from None
+        for c in full_scan:
+            v = int(agg_row[c["name"]] or 0)
+            if v:
+                report.append({"constraint": c["name"], "violated_rows": v})
+    if report:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise ConstraintViolationError(
+            "staged data violates enforced constraint(s): "
+            + ", ".join(f"{r['constraint']}={r['violated_rows']}" for r in report)
+            + " — nothing was committed",
+            report,
+        )

@@ -1073,6 +1073,17 @@ def snapshot_write(
     data_dir = os.path.join(root, "data", f"snap-{sid}-{uuid.uuid4().hex[:8]}")
     df.write.mode("error").parquet(data_dir)
     new_files = _footer_stats(glob.glob(os.path.join(data_dir, "part-*.parquet")), root)
+    if parent is not None:
+        pm_enf = _load_manifest_raw(root, parent)
+        if pm_enf.get("constraints"):
+            # commit-time contract enforcement: O(staged) — footer stats
+            # first, one pushdown scan of the staged files for the rest;
+            # removes data_dir and raises ConstraintViolationError on a
+            # violation (constraints.py module doc). Runs BEFORE the
+            # sketch/bloom scans so a refused commit never pays them.
+            from ovalspark.sources.constraints import _enforce_staged
+
+            _enforce_staged(df.sparkSession, root, pm_enf, new_files, data_dir, mode)
     if sketch_cols:
         _attach_sketches(df.sparkSession, root, new_files, sketch_cols)
     if bloom_cols:
@@ -1117,8 +1128,13 @@ def _carry_layout(manifest: dict[str, Any], parent_m: dict[str, Any]) -> None:
     preserving), upserts append, materialization filters, segment merges
     touch only metadata — the declaration outlives all of them, exactly
     like Iceberg's table sort order. Only an explicit overwrite or a
-    layout-destroying bin-pack compact resets it."""
-    for k in ("sort_by", "zorder"):
+    layout-destroying bin-pack compact resets it.
+
+    The CONSTRAINT contract (``sources/constraints.py``) carries the
+    same way but stronger: it survives every commit kind including
+    overwrites (replacing the data does not void the rules it must
+    satisfy) — only ``drop_constraints`` removes it."""
+    for k in ("sort_by", "zorder", "constraints"):
         if parent_m.get(k) and k not in manifest:
             manifest[k] = parent_m[k]
 
@@ -1146,12 +1162,18 @@ def _commit_new_files(
     segments: list[dict] = []
     spilled_loc: str | None = None
     carried_filters: list[dict] | None = None
+    parent_raw: dict[str, Any] | None = None
+    if parent is not None and mode != "append":
+        # overwrite replaces the DATA, not the contract: the constraint
+        # declaration must carry (append mode loads the parent below)
+        parent_raw = _load_manifest_raw(root, parent)
     if mode == "append" and parent is not None:
         # O(added) metadata: parent's segments carry into this manifest BY
         # REFERENCE; its inline tail is concatenated until it would
         # outgrow the spill point, then moves into ONE immutable segment
         # file — an append never re-serializes the cumulative file list
         pm_raw = _load_manifest_raw(root, parent)
+        parent_raw = pm_raw
         segments = list(pm_raw.get("file_segments") or [])
         parent_inline = pm_raw["files"]
         # pending merge-on-read filters carry VERBATIM: their scopes name
@@ -1198,6 +1220,11 @@ def _commit_new_files(
         manifest["properties"] = dict(properties)
     if manifest_extra:
         manifest.update(manifest_extra)
+    if parent_raw is not None and parent_raw.get("constraints"):
+        # unlike the sort layout (which an overwrite RESETS), the
+        # constraint contract survives every commit kind — replacing
+        # the data does not void the rules it must satisfy
+        manifest.setdefault("constraints", parent_raw["constraints"])
     try:
         _commit_manifest(root, parent, sid, manifest, guard)
     except ConcurrentCommitError:
@@ -1857,6 +1884,17 @@ def snapshot_upsert(
     data_dir = os.path.join(root, "data", f"snap-{sid}-{uuid.uuid4().hex[:8]}")
     df.write.mode("error").parquet(data_dir)
     new_files = _footer_stats(glob.glob(os.path.join(data_dir, "part-*.parquet")), root)
+    if m_raw.get("constraints"):
+        # merge enforcement covers the STAGED rows (not_null/range/check);
+        # `unique` needs no cross-check here — the staged frame is already
+        # key-unique (above) and the merge retracts every matched live key,
+        # so a unique key column stays unique by construction
+        from ovalspark.sources.constraints import _enforce_staged
+
+        _enforce_staged(
+            spark, root, m_raw, new_files, data_dir, "append",
+            kinds=("not_null", "range", "check"),
+        )
     inherited = _inherited_sketch_cols(root, m_raw)
     if inherited:
         _attach_sketches(spark, root, new_files, inherited)
@@ -2629,6 +2667,8 @@ def sort_rewrite(
         manifest["sort_by"] = list(sort_by)
     else:
         manifest["zorder"] = list(zorder)
+    if m_raw.get("constraints"):
+        manifest["constraints"] = m_raw["constraints"]
     if m_raw.get("row_filters"):
         manifest["materialized_filters"] = len(m_raw["row_filters"])
     try:
@@ -2783,6 +2823,8 @@ def cluster_incremental(
         "files": inline,
         "sort_by": sort_by,
     }
+    if m_raw.get("constraints"):
+        manifest["constraints"] = m_raw["constraints"]
     if kept_segs:
         manifest["file_segments"] = kept_segs
     try:
@@ -2877,6 +2919,10 @@ def snapshot_compact(
         "total_bytes": total_bytes,
         "files": inline,
     }
+    if parent_raw.get("constraints"):
+        # compaction resets the LAYOUT declaration (bin-pack breaks
+        # clustering) but never the contract
+        manifest["constraints"] = parent_raw["constraints"]
     if kept_segs:
         manifest["file_segments"] = kept_segs
     try:
@@ -2960,6 +3006,75 @@ def merge_segments(root: str, guard=None, target_entries: int | None = None) -> 
             except OSError:
                 pass
         raise
+    return sid
+
+
+def rollback_table(root: str, to_snapshot_id: int, guard=None) -> int:
+    """Undo bad data commits by re-pointing the table at an older
+    snapshot's contents AS A NEW COMMIT — history stays dense and the
+    bad snapshots stay time-travel readable for forensics (Iceberg's
+    rollback-to-snapshot; oval's analog is re-running from the last
+    good checkpoint, internal/runner/runner.go resume path — here the
+    'checkpoint' is every snapshot ever committed).
+
+    Pure metadata, O(target manifest): the target's file inventory,
+    segment refs, pending row filters, layout markers and schema carry
+    VERBATIM into the new manifest (operation ``rollback``,
+    ``rolled_back_to`` recording the target). Nothing is copied or
+    rewritten; shared segments stay shared. The tail observes it as an
+    overwrite-class commit (the path-set diff vs the parent names
+    exactly the files the rollback retracts/restores).
+
+    The CONSTRAINT contract is the one exception: it carries from the
+    CURRENT snapshot, not the target — rollback undoes DATA, and a rule
+    attached after the target was committed must not be silently
+    un-declared by restoring old bytes (undo a contract change with
+    ``set_constraints``/``drop_constraints``, which is explicit and
+    validated). Rolling back onto a newer contract is allowed even if
+    the restored data would violate it: the audit reports the debt
+    (``audit_constraints``), exactly like ``validate=False`` adoption.
+
+    Raises if the target does not resolve (never committed, or its
+    manifest was expired by retention — an expired snapshot is gone by
+    contract). Rolling back to CURRENT is a no-op returning CURRENT.
+    """
+    parent = current_snapshot_id(root)
+    if parent is None:
+        raise FileNotFoundError(f"no committed snapshot at {root}")
+    if to_snapshot_id == parent:
+        return parent
+    if to_snapshot_id > parent:
+        raise ValueError(
+            f"cannot roll FORWARD: target {to_snapshot_id} is newer than "
+            f"CURRENT {parent}"
+        )
+    target = _load_manifest_raw(root, to_snapshot_id)  # raises if expired
+    cur = _load_manifest_raw(root, parent)
+    sid = parent + 1
+    manifest = {
+        "snapshot_id": sid,
+        "parent_id": parent,
+        "operation": "rollback",
+        "rolled_back_to": to_snapshot_id,
+        "schema_ddl": target["schema_ddl"],
+        "schema_json": target["schema_json"],
+        "total_rows": target["total_rows"],
+        "total_bytes": target["total_bytes"],
+        "files": target["files"],
+    }
+    for k in (
+        "file_segments",
+        "row_filters",
+        "sort_by",
+        "zorder",
+        "upsert_key",
+        "upsert_keys",
+    ):
+        if target.get(k):
+            manifest[k] = target[k]
+    if cur.get("constraints"):
+        manifest["constraints"] = cur["constraints"]
+    _commit_manifest(root, parent, sid, manifest, guard)
     return sid
 
 

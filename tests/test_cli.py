@@ -444,3 +444,58 @@ def test_cli_branch_list(spark, tmp_path, capsys):
     assert rc == 0
     assert report["tags"] == {"v1": 1}
     assert report["branches"]["wip"]["base_snapshot"] == 1
+
+
+def test_cli_constraints_and_rollback(spark, tmp_path, capsys):
+    """The contract + rollback surface: --set-constraint refuses dirty
+    data unless --allow-dirty, --audit-constraints reports the debt,
+    --rollback undoes the dirty commit, and the post-rollback audit is
+    clean with zero files scanned where metadata decides."""
+    from ovalspark.sources.snapshots import current_snapshot_id, snapshot_write
+
+    root = str(tmp_path / "cw")
+    clean = spark.range(100).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 50).alias("n_chars")
+    )
+    snapshot_write(clean, root)  # 1
+    rc = main([
+        "maintain", "--root", root,
+        "--set-constraint", '{"name":"nn","kind":"not_null","column":"n_chars"}',
+        "--set-constraint", '{"name":"rng","kind":"range","column":"n_chars","lo":0,"hi":1000}',
+    ])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and report["set_constraints"]["added"] == ["nn", "rng"]
+
+    # a violating append is refused at commit time (the CLI surfaces it)
+    bad = spark.range(5).select(
+        (F.col("id") + 1000).alias("doc_id"), F.lit(None).cast("long").alias("n_chars")
+    )
+    import pytest as _pytest
+
+    from ovalspark.sources.constraints import ConstraintViolationError
+
+    with _pytest.raises(ConstraintViolationError):
+        snapshot_write(bad, root, mode="append")
+    assert current_snapshot_id(root) == 2
+
+    # force the debt in (enforce=False path): drop, dirty append, re-attach
+    rc = main(["maintain", "--root", root, "--drop-constraint", "nn"])
+    capsys.readouterr()
+    snapshot_write(bad, root, mode="append")  # 4
+    rc = main([
+        "maintain", "--root", root, "--allow-dirty",
+        "--set-constraint", '{"name":"nn","kind":"not_null","column":"n_chars"}',
+        "--audit-constraints",
+    ])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    audit = {r["constraint"]: r for r in report["audit_constraints"]["rows"]}
+    assert audit["nn"]["violated_rows"] == 5
+
+    # rollback to the pre-debt snapshot; the audit comes back clean
+    rc = main(["maintain", "--root", root, "--rollback", "2", "--audit-constraints"])
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and report["rollback"]["rolled_back_to"] == 2
+    audit = {r["constraint"]: r for r in report["audit_constraints"]["rows"]}
+    assert all(r["violated_rows"] == 0 for r in audit.values())
+    assert report["audit_constraints"]["files_scanned"] == 0  # metadata-decided

@@ -1,0 +1,296 @@
+"""Table-attached constraint contracts: definition, the metadata-first
+audit, commit-time enforcement, and contract carry across every commit
+kind (sources/constraints.py)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ovalspark.sources.constraints import (
+    ConstraintError,
+    ConstraintViolationError,
+    audit_constraints,
+    drop_constraints,
+    set_constraints,
+    table_constraints,
+)
+from ovalspark.sources.snapshots import (
+    current_snapshot_id,
+    snapshot_compact,
+    snapshot_delete,
+    snapshot_read,
+    snapshot_upsert,
+    snapshot_write,
+)
+
+
+def _frame(spark, n=1000, nulls=0, over=0, dups=0, bad_lang=0):
+    """Deterministic doc-shaped frame with injectable violations:
+    ``nulls`` rows with NULL n_chars, ``over`` rows with n_chars above
+    10_000, ``dups`` extra rows duplicating the first keys, ``bad_lang``
+    rows with lang='xx' (check-expr violations)."""
+    df = spark.range(n).select(
+        F.format_string("doc%05d", F.col("id")).alias("doc_id"),
+        F.when(F.col("id") < nulls, F.lit(None))
+        .when(F.col("id") < nulls + over, F.col("id") + 100_000)
+        .otherwise(F.col("id") % 5000)
+        .cast("long")
+        .alias("n_chars"),
+        F.when(F.col("id") < bad_lang, F.lit("xx")).otherwise(F.lit("en")).alias("lang"),
+    )
+    if dups:
+        # duplicate CLEAN rows (highest ids) so dup counts don't compound
+        # with the null/over/lang injections on the low ids
+        df = df.unionByName(df.orderBy(F.desc("doc_id")).limit(dups))
+    return df
+
+
+CONTRACT = [
+    {"name": "pk", "kind": "unique", "column": "doc_id"},
+    {"name": "chars_present", "kind": "not_null", "column": "n_chars"},
+    {"name": "chars_bounded", "kind": "range", "column": "n_chars", "lo": 0, "hi": 10_000},
+    {"name": "lang_known", "kind": "check", "expr": "lang IN ('en','de','fr')"},
+]
+
+
+# ---------------------------------------------------------------- definitions
+
+
+def test_definition_errors(tmp_path, spark):
+    root = str(tmp_path / "t")
+    with pytest.raises(FileNotFoundError):
+        set_constraints(root, CONTRACT, spark=spark)
+    snapshot_write(_frame(spark, 100), root)
+    for bad, msg in [
+        ([{"name": "x", "kind": "nope"}], "kind"),
+        ([{"kind": "not_null", "column": "n_chars"}], "name"),
+        ([{"name": "x", "kind": "not_null"}], "column"),
+        ([{"name": "x", "kind": "range", "column": "n_chars"}], "lo"),
+        ([{"name": "x", "kind": "range", "column": "n_chars", "lo": 9, "hi": 1}], ">"),
+        ([{"name": "x", "kind": "check"}], "expr"),
+        (
+            [
+                {"name": "x", "kind": "not_null", "column": "n_chars"},
+                {"name": "x", "kind": "unique", "column": "doc_id"},
+            ],
+            "duplicate",
+        ),
+        ([{"name": "x", "kind": "not_null", "column": "ghost"}], "ghost"),
+        ([{"name": "x", "kind": "not_null", "column": "n_chars", "what": 1}], "unknown"),
+    ]:
+        with pytest.raises(ConstraintError, match=msg):
+            set_constraints(root, bad, spark=spark, validate=False)
+
+
+def test_set_add_drop_roundtrip(tmp_path, spark):
+    root = str(tmp_path / "t")
+    snapshot_write(_frame(spark, 200), root)
+    sid = set_constraints(root, CONTRACT, spark=spark)
+    assert sid == 2
+    assert [c["name"] for c in table_constraints(root)] == [
+        "pk",
+        "chars_present",
+        "chars_bounded",
+        "lang_known",
+    ]
+    # add-mode name clash refuses
+    with pytest.raises(ConstraintError, match="already exist"):
+        set_constraints(root, [CONTRACT[0]], mode="add", spark=spark)
+    # drop unknown refuses; drop known removes
+    with pytest.raises(ConstraintError, match="no such"):
+        drop_constraints(root, "ghost")
+    drop_constraints(root, ["lang_known", "pk"])
+    assert [c["name"] for c in table_constraints(root)] == [
+        "chars_present",
+        "chars_bounded",
+    ]
+    # a fully dropped contract stays dropped across the next commit
+    drop_constraints(root, ["chars_present", "chars_bounded"])
+    assert table_constraints(root) == []
+    snapshot_write(_frame(spark, 10), root, mode="append")
+    assert table_constraints(root) == []
+    # time travel reads the contract as of the old snapshot
+    assert [c["name"] for c in table_constraints(root, snapshot_id=2)] == [
+        "pk",
+        "chars_present",
+        "chars_bounded",
+        "lang_known",
+    ]
+
+
+# --------------------------------------------------------------------- audit
+
+
+def test_audit_exact_counts_and_decisions(tmp_path, spark):
+    root = str(tmp_path / "t")
+    snapshot_write(
+        _frame(spark, 1000, nulls=7, over=11, dups=3, bad_lang=5).repartition(4),
+        root,
+    )
+    set_constraints(root, CONTRACT, spark=spark, validate=False)
+    report, detail = audit_constraints(spark, root)
+    rows = {r["constraint"]: r for r in detail["rows"]}
+    # nulls=7 NULL n_chars; over=11 above hi (NULLs pass range);
+    # dups=3 duplicated doc_ids -> 6 rows carry a duplicated key;
+    # bad_lang=5 'xx' rows, but ids 0..6 have NULL n_chars (still lang
+    # violations: lang is injected independently) -> exactly 5
+    assert rows["chars_present"]["violated_rows"] == 7
+    assert rows["chars_bounded"]["violated_rows"] == 11
+    assert rows["pk"]["violated_rows"] == 6
+    assert rows["lang_known"]["violated_rows"] == 5
+    assert rows["lang_known"]["decided"] == "scan"  # check exprs always scan
+    # report frame mirrors the detail rows
+    got = {r["constraint"]: r["violated_rows"] for r in report.collect()}
+    assert got == {k: v["violated_rows"] for k, v in rows.items()}
+
+
+def test_audit_metadata_only_on_clean_table(tmp_path, spark):
+    root = str(tmp_path / "t")
+    # clustered on the range column -> tight per-file bounds; parquet
+    # always records null_count, so both stats constraints decide from
+    # the manifest with ZERO data files read
+    snapshot_write(_frame(spark, 2000), root, sort_by=["n_chars"])
+    set_constraints(
+        root,
+        [CONTRACT[1], CONTRACT[2]],
+        spark=spark,
+    )
+    _, detail = audit_constraints(spark, root)
+    assert detail["files_scanned"] == 0
+    for r in detail["rows"]:
+        assert r["decided"] == "metadata"
+        assert r["violated_rows"] == 0
+
+
+def test_audit_logical_under_pending_mor_filters(tmp_path, spark):
+    root = str(tmp_path / "t")
+    snapshot_write(_frame(spark, 500, over=10).repartition(4), root)
+    set_constraints(root, [CONTRACT[2]], spark=spark, validate=False)
+    # MoR-delete exactly the out-of-range rows: physically present,
+    # logically gone — the audit must count ZERO and say why
+    snapshot_delete(
+        spark, root, "n_chars > 10000", strategy="merge-on-read", fold_threshold=None
+    )
+    _, detail = audit_constraints(spark, root)
+    assert detail["pending_row_filters"] == 1
+    (row,) = detail["rows"]
+    assert row["violated_rows"] == 0
+    assert row["decided"] == "scan"
+
+
+def test_set_constraints_validates_existing_data(tmp_path, spark):
+    root = str(tmp_path / "t")
+    snapshot_write(_frame(spark, 300, nulls=2), root)
+    with pytest.raises(ConstraintViolationError, match="chars_present=2"):
+        set_constraints(root, [CONTRACT[1]], spark=spark)
+    assert table_constraints(root) == []  # nothing committed
+    sid = set_constraints(root, [CONTRACT[1]], spark=spark, validate=False)
+    assert current_snapshot_id(root) == sid
+    # validate=True requires spark
+    with pytest.raises(ValueError, match="spark"):
+        set_constraints(root, [CONTRACT[0]], mode="add")
+
+
+# --------------------------------------------------------------- enforcement
+
+
+def _data_dirs(root):
+    return set(glob.glob(os.path.join(root, "data", "snap-*")))
+
+
+def test_append_enforcement_refuses_and_cleans(tmp_path, spark):
+    root = str(tmp_path / "t")
+    snapshot_write(_frame(spark, 400), root)
+    set_constraints(root, CONTRACT, spark=spark)
+    before_dirs = _data_dirs(root)
+    before_rows = snapshot_read(spark, root).count()
+    clean_more = _frame(spark, 100).withColumn(
+        "doc_id", F.concat(F.lit("new-"), F.col("doc_id"))
+    )
+    for bad in [
+        clean_more.withColumn(
+            "n_chars", F.when(F.col("doc_id") == "new-doc00003", None).otherwise(F.col("n_chars"))
+        ),  # not_null
+        clean_more.withColumn(
+            "n_chars", F.when(F.col("doc_id") == "new-doc00003", 99_999).otherwise(F.col("n_chars"))
+        ),  # range
+        clean_more.withColumn(
+            "lang", F.when(F.col("doc_id") == "new-doc00003", "xx").otherwise(F.col("lang"))
+        ),  # check
+        clean_more.unionByName(clean_more.limit(1)),  # staged-internal dup
+        _frame(spark, 5),  # collides with live doc_ids
+    ]:
+        with pytest.raises(ConstraintViolationError):
+            snapshot_write(bad, root, mode="append")
+        assert current_snapshot_id(root) == 2  # table untouched
+        assert _data_dirs(root) == before_dirs  # staged files removed
+    assert snapshot_read(spark, root).count() == before_rows
+    # the clean append commits
+    snapshot_write(clean_more, root, mode="append")
+    assert snapshot_read(spark, root).count() == before_rows + 100
+
+
+def test_overwrite_enforcement_and_contract_survival(tmp_path, spark):
+    root = str(tmp_path / "t")
+    snapshot_write(_frame(spark, 100), root)
+    set_constraints(root, CONTRACT, spark=spark)
+    with pytest.raises(ConstraintViolationError, match="pk"):
+        snapshot_write(_frame(spark, 100, dups=2), root, mode="overwrite")
+    # a clean overwrite commits AND the contract survives it
+    snapshot_write(_frame(spark, 50), root, mode="overwrite")
+    assert [c["name"] for c in table_constraints(root)] == [c["name"] for c in CONTRACT]
+    # an overwrite dropping a constrained column refuses
+    with pytest.raises(ConstraintError, match="lang"):
+        snapshot_write(_frame(spark, 50).drop("lang"), root, mode="overwrite")
+
+
+def test_enforce_false_records_without_blocking(tmp_path, spark):
+    root = str(tmp_path / "t")
+    snapshot_write(_frame(spark, 100), root)
+    set_constraints(
+        root,
+        [{"name": "soft", "kind": "range", "column": "n_chars", "hi": 10_000, "enforce": False}],
+        spark=spark,
+    )
+    snapshot_write(_frame(spark, 10, over=3), root, mode="append")  # not blocked
+    _, detail = audit_constraints(spark, root)
+    assert detail["rows"][0]["violated_rows"] == 3  # but the audit sees it
+
+
+def test_upsert_enforcement(tmp_path, spark):
+    root = str(tmp_path / "t")
+    snapshot_write(_frame(spark, 200), root)
+    set_constraints(root, CONTRACT, spark=spark)
+    bad = _frame(spark, 5).withColumn("n_chars", F.lit(None).cast("long"))
+    with pytest.raises(ConstraintViolationError, match="chars_present"):
+        snapshot_upsert(spark, root, bad)
+    assert current_snapshot_id(root) == 2
+    # a clean upsert REPLACING live keys passes the unique contract
+    # (matched keys retract; uniqueness holds by construction)
+    sid = snapshot_upsert(spark, root, _frame(spark, 5), fold_threshold=None)
+    assert sid == 3
+    report, _ = audit_constraints(spark, root)
+    assert report.agg(F.sum("violated_rows")).collect()[0][0] == 0
+
+
+def test_contract_carries_across_commit_kinds(tmp_path, spark):
+    root = str(tmp_path / "t")
+    snapshot_write(_frame(spark, 300).repartition(4), root)
+    set_constraints(root, [CONTRACT[1]], spark=spark)
+    names = lambda: [c["name"] for c in table_constraints(root)]  # noqa: E731
+    snapshot_write(
+        _frame(spark, 20).withColumn("doc_id", F.concat(F.lit("n"), "doc_id")),
+        root,
+        mode="append",
+    )
+    assert names() == ["chars_present"]
+    snapshot_delete(spark, root, "n_chars = 1")
+    assert names() == ["chars_present"]
+    snapshot_compact(spark, root, 64)
+    assert names() == ["chars_present"]
+    snapshot_upsert(spark, root, _frame(spark, 5), fold_threshold=None)
+    assert names() == ["chars_present"]
