@@ -508,6 +508,48 @@ def audit_constraints(
     return report, detail
 
 
+def check_frame(df: DataFrame, constraints: list[dict[str, Any]]) -> DataFrame:
+    """Audit an arbitrary DataFrame against a constraint list; returns a
+    frame of VIOLATED constraints only — ``(constraint, kind, column,
+    violated_rows)``, empty when clean. This is the WAP validator shape:
+    pass it to ``branches.validate_then_publish`` so a branch audited
+    against the main table's contract publishes only when it satisfies
+    the same rules every direct writer is held to::
+
+        from ovalspark.sources import check_frame, table_constraints
+        cons = table_constraints(main_root)
+        validate_then_publish(spark, main_root, "wip",
+                              lambda staged: check_frame(staged, cons))
+
+    (With ``audit_merged=True`` the unique constraint checks the
+    post-publish view — staged-vs-published collisions included.)
+
+    A plain frame has no manifest stats, so every kind scans — one
+    aggregation pass for not_null/range/check plus one single-column
+    groupBy per unique constraint."""
+    cons = _normalize(constraints)
+    spark = df.sparkSession
+    rows: list[tuple] = []
+    agg_cons = [c for c in cons if c["kind"] != "unique"]
+    if agg_cons:
+        agg_row = df.agg(
+            *[F.sum(_violation_expr(c).cast("long")).alias(c["name"]) for c in agg_cons]
+        ).collect()[0]
+        for c in agg_cons:
+            v = int(agg_row[c["name"]] or 0)
+            if v:
+                rows.append((c["name"], c["kind"], c.get("column", ""), v))
+    for c in cons:
+        if c["kind"] != "unique":
+            continue
+        v = _unique_violations(df, c["column"])
+        if v:
+            rows.append((c["name"], c["kind"], c["column"], v))
+    return spark.createDataFrame(
+        rows, "constraint string, kind string, column string, violated_rows long"
+    )
+
+
 # ---------------------------------------------------------------------------
 # commit-time enforcement (called by snapshots.snapshot_write / _upsert)
 

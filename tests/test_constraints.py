@@ -294,3 +294,44 @@ def test_contract_carries_across_commit_kinds(tmp_path, spark):
     assert names() == ["chars_present"]
     snapshot_upsert(spark, root, _frame(spark, 5), fold_threshold=None)
     assert names() == ["chars_present"]
+
+
+def test_wap_branch_audits_against_contract(tmp_path, spark):
+    """The documented WAP discipline: branch staging is UNENFORCED (dirty
+    data stages on purpose), and validate_then_publish + check_frame
+    holds the publish to the same contract direct writers face."""
+    from ovalspark.sources.branches import create_branch, validate_then_publish
+
+    from ovalspark.sources.constraints import check_frame
+
+    root = str(tmp_path / "t")
+    snapshot_write(_frame(spark, 100), root)
+    set_constraints(root, CONTRACT, spark=spark)
+    cons = table_constraints(root)
+    validator = lambda staged: check_frame(staged, cons)  # noqa: E731
+
+    broot = create_branch(root, "wip")
+    prefixed = lambda df: df.withColumn(  # noqa: E731
+        "doc_id", F.concat(F.lit("w-"), F.col("doc_id"))
+    )
+    # dirty staging is allowed on the branch (no enforcement there)...
+    snapshot_write(prefixed(_frame(spark, 20, nulls=2)), broot)
+    sid, viol = validate_then_publish(spark, root, "wip", validator)
+    # ...but the audit gate refuses to publish it
+    assert sid is None
+    assert viol.collect()[0]["constraint"] == "chars_present"
+    # fix the branch; the same gate publishes
+    snapshot_write(prefixed(_frame(spark, 20)), broot, mode="overwrite")
+    sid, viol = validate_then_publish(spark, root, "wip", validator)
+    assert sid is not None and viol.isEmpty()
+    assert snapshot_read(spark, root).count() == 120
+
+    # cross-set uniqueness: a branch whose keys collide with PUBLISHED
+    # rows passes the staged-only audit but fails the merged one
+    broot2 = create_branch(root, "wip2")
+    snapshot_write(_frame(spark, 5), broot2)  # doc ids already on main
+    sid, viol = validate_then_publish(
+        spark, root, "wip2", validator, audit_merged=True
+    )
+    assert sid is None
+    assert viol.collect()[0]["constraint"] == "pk"
