@@ -554,69 +554,46 @@ def check_frame(df: DataFrame, constraints: list[dict[str, Any]]) -> DataFrame:
 # commit-time enforcement (called by snapshots.snapshot_write / _upsert)
 
 
-def _enforce_staged(
+def _delta_violations(
     spark: SparkSession,
     root: str,
-    parent_raw: dict[str, Any],
+    cons: list[dict[str, Any]],
     new_files: list[dict[str, Any]],
-    data_dir: str,
+    staged_fn,
     mode: str,
-    kinds: tuple[str, ...] = _KINDS,
-) -> None:
-    """Validate STAGED files against the parent's enforced constraints
-    before the CAS — O(new data): footer stats first, one pushdown scan
-    of the staged files for the rest. Raises ``ConstraintViolationError``
-    AFTER removing the staged data dir, so a refused commit leaves the
-    table byte-identical.
-
-    ``unique`` on an append additionally proves the staged keys hit
-    nothing live: one column-pruned scan of the table's key column
-    semi-joined against the (broadcast) staged keys — the same honest
-    per-commit cost as upsert's matched-keys discovery. On an overwrite
-    the staged frame IS the table, so staged-internal uniqueness is the
-    whole check.
-    """
-    cons = [
-        c
-        for c in (parent_raw.get("constraints") or [])
-        if c.get("enforce", True) and c["kind"] in kinds
-    ]
-    if not cons:
-        return
+    parent_sid: int | None,
+    parent_rows: int,
+) -> list[dict[str, Any]]:
+    """The O(new data) violation count shared by commit enforcement and
+    the per-commit tail audit: footer stats first, one pushdown scan of
+    the delta files for the rest. ``staged_fn`` lazily supplies the
+    delta as a DataFrame. Returns ``[{"constraint", "violated_rows"}]``
+    for violated constraints only; raises ``ConstraintError`` when the
+    delta's schema dropped a constrained/referenced column."""
     staged_cols: set[str] | None = None
     report: list[dict[str, Any]] = []
     full_scan: list[dict[str, Any]] = []
-    staged = None
-
-    def _staged() -> DataFrame:
-        nonlocal staged
-        if staged is None:
-            staged = spark.read.parquet(data_dir)
-        return staged
 
     for c in cons:
         col = c.get("column")
         if col is not None:
             if staged_cols is None:
-                staged_cols = set(_staged().columns)
+                staged_cols = set(staged_fn().columns)
             if col not in staged_cols:
-                shutil.rmtree(data_dir, ignore_errors=True)
                 raise ConstraintError(
                     f"commit drops constrained column {col!r} "
                     f"({c['name']}) — drop_constraints first"
                 )
         if c["kind"] == "unique":
-            v = _unique_violations(_staged(), col)
+            v = _unique_violations(staged_fn(), col)
             if v:
                 report.append({"constraint": c["name"], "violated_rows": v})
                 continue
-            if mode == "append" and parent_raw.get("total_rows"):
-                live = snapshot_read(
-                    spark, root, snapshot_id=parent_raw["snapshot_id"]
-                ).select(col)
+            if mode == "append" and parent_rows:
+                live = snapshot_read(spark, root, snapshot_id=parent_sid).select(col)
                 # no broadcast hint: staged key volume is unbounded — AQE
                 # picks the broadcast side itself when one fits
-                keys = _staged().select(col).where(F.col(col).isNotNull()).distinct()
+                keys = staged_fn().select(col).where(F.col(col).isNotNull()).distinct()
                 hits = live.join(keys, on=col, how="inner").count()
                 if hits:
                     report.append(
@@ -655,11 +632,10 @@ def _enforce_staged(
             F.sum(_violation_expr(c).cast("long")).alias(c["name"]) for c in full_scan
         ]
         try:
-            agg_row = _staged().agg(*aggs).collect()[0]
+            agg_row = staged_fn().agg(*aggs).collect()[0]
         except AnalysisException as e:
             # a check expr references a column the staged frame dropped —
             # same contract breach as dropping a declared column
-            shutil.rmtree(data_dir, ignore_errors=True)
             raise ConstraintError(
                 f"commit drops column(s) referenced by check constraint(s) "
                 f"{[c['name'] for c in full_scan]} — drop_constraints first "
@@ -669,6 +645,59 @@ def _enforce_staged(
             v = int(agg_row[c["name"]] or 0)
             if v:
                 report.append({"constraint": c["name"], "violated_rows": v})
+    return report
+
+
+def _enforce_staged(
+    spark: SparkSession,
+    root: str,
+    parent_raw: dict[str, Any],
+    new_files: list[dict[str, Any]],
+    data_dir: str,
+    mode: str,
+    kinds: tuple[str, ...] = _KINDS,
+) -> None:
+    """Validate STAGED files against the parent's enforced constraints
+    before the CAS — O(new data): footer stats first, one pushdown scan
+    of the staged files for the rest. Raises ``ConstraintViolationError``
+    AFTER removing the staged data dir, so a refused commit leaves the
+    table byte-identical.
+
+    ``unique`` on an append additionally proves the staged keys hit
+    nothing live: one column-pruned scan of the table's key column
+    semi-joined against the staged keys — the same honest per-commit
+    cost as upsert's matched-keys discovery. On an overwrite the staged
+    frame IS the table, so staged-internal uniqueness is the whole check.
+    """
+    cons = [
+        c
+        for c in (parent_raw.get("constraints") or [])
+        if c.get("enforce", True) and c["kind"] in kinds
+    ]
+    if not cons:
+        return
+    staged = None
+
+    def _staged() -> DataFrame:
+        nonlocal staged
+        if staged is None:
+            staged = spark.read.parquet(data_dir)
+        return staged
+
+    try:
+        report = _delta_violations(
+            spark,
+            root,
+            cons,
+            new_files,
+            _staged,
+            mode,
+            parent_raw["snapshot_id"],
+            int(parent_raw.get("total_rows") or 0),
+        )
+    except ConstraintError:
+        shutil.rmtree(data_dir, ignore_errors=True)
+        raise
     if report:
         shutil.rmtree(data_dir, ignore_errors=True)
         raise ConstraintViolationError(
@@ -677,3 +706,80 @@ def _enforce_staged(
             + " — nothing was committed",
             report,
         )
+
+
+def audit_commit_delta(
+    spark: SparkSession, root: str, snapshot_id: int
+) -> list[dict[str, Any]]:
+    """Audit the data ONE COMMIT introduced against the contract recorded
+    AS OF that commit — O(new data), the tail's discipline: direct
+    writers were already enforced at commit time, but a writer landing
+    files through the raw ``commit_staged_files`` path (branch staging,
+    bulk adoption, external engines) bypasses enforcement by design, and
+    this is how a tailer catches the debt per commit instead of paying a
+    full-table audit.
+
+    Returns ``[{"constraint", "violated_rows"}]`` for violated
+    constraints only (empty = clean commit). Scope by operation:
+
+    * ``append``/``upsert``: exactly the added files (footer stats
+      first); ``unique`` on an append also checks added-vs-parent
+      collisions (one key-column scan); an upsert's replaced keys are
+      retracted by its own row filter, so ``unique`` holds by
+      construction and only the staged-internal check runs.
+    * ``overwrite``/``rollback``: the snapshot IS the delta — the full
+      audit runs at that snapshot.
+    * metadata-only commits (``set_constraints``, ``replace``, tag/
+      retention ops): no rows introduced — reports clean without
+      reading anything (a ``set_constraints`` commit was validated by
+      its own ``validate=True``, or explicitly adopted dirty).
+    * deletes/compactions/rewrites: the rewritten files are the delta;
+      pre-existing debt that a rewrite MOVES into new files resurfaces
+      here (not_null/range/check + staged-internal unique — the
+      vs-parent unique check is skipped, every rewritten row would
+      falsely collide with its own pre-rewrite copy).
+    """
+    from ovalspark.sources.snapshots import manifest_diff
+
+    m = _load_manifest_raw(root, snapshot_id)
+    cons = [c for c in (m.get("constraints") or []) if c.get("enforce", True)]
+    if not cons:
+        return []
+    op = m.get("operation")
+    if op in ("overwrite", "rollback"):
+        _, detail = audit_constraints(spark, root, snapshot_id=snapshot_id)
+        return [
+            {"constraint": r["constraint"], "violated_rows": r["violated_rows"]}
+            for r in detail["rows"]
+            if r["violated_rows"]
+        ]
+    added = set(manifest_diff(root, m.get("parent_id"), snapshot_id))
+    if not added:
+        return []
+    entries = [
+        e
+        for e in _expand_manifest(root, m)["files"]
+        if _abs_path(root, e["path"]) in added
+    ]
+    schema = _committed_schema(m)
+    staged = None
+
+    def _staged() -> DataFrame:
+        nonlocal staged
+        if staged is None:
+            staged = spark.read.schema(schema).parquet(*sorted(added))
+        return staged
+
+    # the added-vs-parent unique cross-check is only sound for a true
+    # append: an upsert retracts its matched keys (holds by
+    # construction), and a delete/materialize/compact REWRITES rows the
+    # parent already had — every rewritten row would count as a
+    # collision. Those ops keep the staged-internal unique check only.
+    mode = "append" if op == "append" else "overwrite"
+    parent = m.get("parent_id")
+    parent_rows = 0
+    if mode == "append" and parent is not None:
+        parent_rows = int(_load_manifest_raw(root, parent).get("total_rows") or 0)
+    return _delta_violations(
+        spark, root, cons, entries, _staged, mode, parent, parent_rows
+    )

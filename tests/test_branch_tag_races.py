@@ -182,3 +182,57 @@ def test_two_process_tag_create_race(tmp_path, guard_name):
         assert sorted(results.values()) == ["lost", "ok"], results
         winner_sid = next(s for s, st in results.items() if st == "ok")
         assert list_tags(root) == {"winner": winner_sid}
+
+
+def _set_constraints_child(root, guard_name, cname, barrier, q):
+    from ovalspark.sources.constraints import ConstraintError, set_constraints
+    from ovalspark.sources.snapshots import ConcurrentCommitError
+
+    try:
+        barrier.wait(timeout=60)
+        con = {"name": cname, "kind": "not_null", "column": "doc_id"}
+        try:
+            sid = set_constraints(root, [con], mode="add", validate=False,
+                                  guard=guard_name)
+            q.put((cname, "ok", sid))
+            return
+        except (ConcurrentCommitError, ConstraintError):
+            pass
+        # loser retries against the winner's head and must land on top
+        sid = set_constraints(root, [con], mode="add", validate=False,
+                              guard=guard_name)
+        q.put((cname, "retried-ok", sid))
+    except BaseException as e:  # pragma: no cover - diagnostics only
+        q.put((cname, f"err:{type(e).__name__}:{e}", None))
+
+
+@pytest.mark.parametrize("guard_name", GUARDS)
+def test_two_process_set_constraints_race(tmp_path, guard_name):
+    """Two writers race mode='add' contract commits on one table: the
+    guard serializes them (one ok + one retried-ok) and the final
+    contract holds BOTH rules — a lost update here would silently
+    un-enforce a constraint every later writer believes is active."""
+    from ovalspark.sources.constraints import table_constraints
+    from ovalspark.sources.snapshots import _commit_manifest, current_snapshot_id
+
+    root = str(tmp_path / f"consrace_{guard_name}")
+    with _maybe_http_catalog(root, guard_name):
+        files1 = _write_data_dir(root, 1, 5, "seed")
+        _commit_manifest(root, None, 1, _manifest(1, None, files1), guard_name)
+        ctx = mp.get_context("spawn")
+        barrier, q = ctx.Barrier(2), ctx.Queue()
+        procs = [
+            ctx.Process(
+                target=_set_constraints_child,
+                args=(root, guard_name, n, barrier, q),
+            )
+            for n in ("ca", "cb")
+        ]
+        [p.start() for p in procs]
+        [p.join(timeout=120) for p in procs]
+        assert all(p.exitcode == 0 for p in procs), [p.exitcode for p in procs]
+        results = {n: (s, sid) for n, s, sid in (q.get(timeout=10), q.get(timeout=10))}
+        statuses = sorted(s for s, _ in results.values())
+        assert statuses == ["ok", "retried-ok"], results
+        assert current_snapshot_id(root) == 3
+        assert sorted(c["name"] for c in table_constraints(root)) == ["ca", "cb"]

@@ -335,3 +335,49 @@ def test_wap_branch_audits_against_contract(tmp_path, spark):
     )
     assert sid is None
     assert viol.collect()[0]["constraint"] == "pk"
+
+
+def test_audit_commit_delta(tmp_path, spark):
+    """Per-commit O(new data) debt detection — the tail's view: direct
+    writers are enforced, but the raw commit_staged_files path (branch
+    staging, external engines) bypasses enforcement by design, and the
+    delta audit names the commit that introduced the debt."""
+    from ovalspark.sources.constraints import audit_commit_delta
+    from ovalspark.sources.snapshots import commit_staged_files
+
+    root = str(tmp_path / "t")
+    snapshot_write(_frame(spark, 100).repartition(2), root)  # 1
+    set_constraints(root, CONTRACT, spark=spark)  # 2 (metadata-only)
+    assert audit_commit_delta(spark, root, 2) == []
+    prefixed = _frame(spark, 10).withColumn(
+        "doc_id", F.concat(F.lit("n"), F.col("doc_id"))
+    )
+    snapshot_write(prefixed, root, mode="append")  # 3: clean, enforced
+    assert audit_commit_delta(spark, root, 3) == []
+
+    # a CoW delete rewrites surviving (clean) rows — no false unique
+    # positives from rewritten-rows-vs-parent
+    snapshot_delete(spark, root, "n_chars = 1")
+    assert audit_commit_delta(spark, root, current_snapshot_id(root)) == []
+
+    # an upsert replacing live keys holds unique by construction
+    snapshot_upsert(spark, root, _frame(spark, 5), fold_threshold=None)
+    assert audit_commit_delta(spark, root, current_snapshot_id(root)) == []
+
+    # dirty data lands through the RAW path: 2 NULL n_chars + 5 keys
+    # colliding with live rows
+    staged_dir = str(tmp_path / "staged")
+    bad = _frame(spark, 5).unionByName(
+        _frame(spark, 2)
+        .withColumn("doc_id", F.concat(F.lit("x"), F.col("doc_id")))
+        .withColumn("n_chars", F.lit(None).cast("long"))
+    )
+    bad.coalesce(1).write.parquet(staged_dir)
+    import glob as g
+
+    sid = commit_staged_files(
+        root, g.glob(f"{staged_dir}/part-*.parquet"), bad.schema
+    )  # NOT enforced
+    rep = {r["constraint"]: r["violated_rows"] for r in audit_commit_delta(spark, root, sid)}
+    assert rep["chars_present"] == 2
+    assert rep["pk"] == 5  # added-vs-live collisions
