@@ -1,15 +1,16 @@
 """Table-attached constraint contracts for the snapshot store.
 
 The engine's validators (operators/) answer "is this data correct?" as
-an EXPLICIT job a caller runs after the fact — oval's shape, where the
-validate pass follows the write pass (reference: cmd/oval/main.go drives
-write-then-validate phases; internal/validator checks each object after
-the workload ran). A constraint CONTRACT inverts the ownership: the rule
-itself becomes table state, versioned with the manifest like the sort
-layout, so every writer is checked against it at commit time and every
-auditor reads the same rule the writers enforced. Iceberg/Delta analog:
-``ALTER TABLE ADD CONSTRAINT CHECK`` — re-derived here against this
-store's manifest + CAS machinery.
+an EXPLICIT job a caller runs after the fact — oval's shape, where each
+worker validates around its own operations (reference:
+internal/runner/worker.go:42-64 validates the pre-state before every
+PUT via pattern.Valid, internal/pattern/pattern.go:118). A constraint
+CONTRACT inverts the ownership: the rule itself becomes table state,
+versioned with the manifest like the sort layout, so every writer is
+checked against it at commit time and every auditor reads the same rule
+the writers enforced. Iceberg/Delta analog: ``ALTER TABLE ADD
+CONSTRAINT CHECK`` — re-derived here against this store's manifest +
+CAS machinery.
 
 Four kinds, declared as plain dicts:
 
@@ -565,14 +566,23 @@ def _delta_violations(
     parent_rows: int,
 ) -> list[dict[str, Any]]:
     """The O(new data) violation count shared by commit enforcement and
-    the per-commit tail audit: footer stats first, one pushdown scan of
-    the delta files for the rest. ``staged_fn`` lazily supplies the
-    delta as a DataFrame. Returns ``[{"constraint", "violated_rows"}]``
-    for violated constraints only; raises ``ConstraintError`` when the
+    the per-commit tail audit: footer stats first, then at most TWO
+    Spark jobs regardless of how many constraints the contract holds —
+    the per-job scheduling floor dominates small commits, so everything
+    the staged files can answer (check exprs, stats-undecided
+    not_null/range, staged-internal uniqueness, staged key bounds)
+    fuses into ONE aggregation, and the only other job is the
+    added-vs-parent unique probe, itself bounds-pruned to the staged
+    key range (a monotone-key append — fresh ids past the table's max,
+    the common ingest shape — prunes every parent file and skips the
+    job entirely). ``staged_fn`` lazily supplies the delta as a
+    DataFrame. Returns ``[{"constraint", "violated_rows"}]`` for
+    violated constraints only; raises ``ConstraintError`` when the
     delta's schema dropped a constrained/referenced column."""
     staged_cols: set[str] | None = None
     report: list[dict[str, Any]] = []
-    full_scan: list[dict[str, Any]] = []
+    full_scan: list[dict[str, Any]] = []  # need a staged scan (agg exprs)
+    uniques: list[dict[str, Any]] = []
 
     for c in cons:
         col = c.get("column")
@@ -585,20 +595,7 @@ def _delta_violations(
                     f"({c['name']}) — drop_constraints first"
                 )
         if c["kind"] == "unique":
-            v = _unique_violations(staged_fn(), col)
-            if v:
-                report.append({"constraint": c["name"], "violated_rows": v})
-                continue
-            if mode == "append" and parent_rows:
-                live = snapshot_read(spark, root, snapshot_id=parent_sid).select(col)
-                # no broadcast hint: staged key volume is unbounded — AQE
-                # picks the broadcast side itself when one fits
-                keys = staged_fn().select(col).where(F.col(col).isNotNull()).distinct()
-                hits = live.join(keys, on=col, how="inner").count()
-                if hits:
-                    report.append(
-                        {"constraint": c["name"], "violated_rows": int(hits)}
-                    )
+            uniques.append(c)
             continue
         if c["kind"] in ("not_null", "range"):
             violated = 0
@@ -625,26 +622,80 @@ def _delta_violations(
                 report.append({"constraint": c["name"], "violated_rows": violated})
             continue
         full_scan.append(c)  # check exprs
-    if full_scan:
-        from pyspark.errors import AnalysisException
+    if not full_scan and not uniques:
+        return report
 
-        aggs = [
-            F.sum(_violation_expr(c).cast("long")).alias(c["name"]) for c in full_scan
-        ]
-        try:
-            agg_row = staged_fn().agg(*aggs).collect()[0]
-        except AnalysisException as e:
-            # a check expr references a column the staged frame dropped —
-            # same contract breach as dropping a declared column
-            raise ConstraintError(
-                f"commit drops column(s) referenced by check constraint(s) "
-                f"{[c['name'] for c in full_scan]} — drop_constraints first "
-                f"({e.getMessage().splitlines()[0] if hasattr(e, 'getMessage') else e})"
-            ) from None
-        for c in full_scan:
-            v = int(agg_row[c["name"]] or 0)
-            if v:
-                report.append({"constraint": c["name"], "violated_rows": v})
+    # ONE staged pass: when a unique constraint exists, a two-level
+    # aggregate over its key computes the per-key multiplicities AND
+    # folds every scan constraint's violation sum + the key bounds in
+    # the same shuffle (longs sum associatively — per-group partial
+    # sums fold exactly); without one, a plain global aggregate.
+    from pyspark.errors import AnalysisException
+
+    lead = uniques[0] if uniques else None
+    sums = [F.sum(_violation_expr(c).cast("long")).alias(c["name"]) for c in full_scan]
+    try:
+        if lead is None:
+            agg_row = staged_fn().agg(*sums).collect()[0]
+        else:
+            k = F.col(lead["column"])
+            per = staged_fn().groupBy(lead["column"]).agg(
+                F.count(F.lit(1)).alias("_c"), *sums
+            )
+            agg_row = per.agg(
+                F.sum(
+                    F.when(k.isNotNull() & (F.col("_c") > 1), F.col("_c")).otherwise(0)
+                ).alias("_dups"),
+                F.min(k).alias("_lo"),
+                F.max(k).alias("_hi"),
+                *[F.sum(c["name"]).alias(c["name"]) for c in full_scan],
+            ).collect()[0]
+    except AnalysisException as e:
+        # a check expr references a column the staged frame dropped —
+        # same contract breach as dropping a declared column
+        raise ConstraintError(
+            f"commit drops column(s) referenced by check constraint(s) "
+            f"{[c['name'] for c in full_scan]} — drop_constraints first "
+            f"({e.getMessage().splitlines()[0] if hasattr(e, 'getMessage') else e})"
+        ) from None
+    for c in full_scan:
+        v = int(agg_row[c["name"]] or 0)
+        if v:
+            report.append({"constraint": c["name"], "violated_rows": v})
+    for i, c in enumerate(uniques):
+        col = c["column"]
+        if i == 0:
+            dups, lo, hi = int(agg_row["_dups"] or 0), agg_row["_lo"], agg_row["_hi"]
+        else:  # rare: a second unique column pays its own groupBy
+            dups = _unique_violations(staged_fn(), col)
+            b = staged_fn().agg(F.min(col).alias("l"), F.max(col).alias("h")).collect()[0]
+            lo, hi = b["l"], b["h"]
+        if dups:
+            report.append({"constraint": c["name"], "violated_rows": dups})
+            continue
+        if mode == "append" and parent_rows and lo is not None:
+            # a collision can only live in a parent file whose [min, max]
+            # overlaps the staged key range — prune from the manifest and
+            # SKIP the probe job when nothing survives
+            from ovalspark.sources.snapshots import prune_files
+
+            paths = prune_files(root, parent_sid, (col, lo, hi))
+            if not paths:
+                continue
+            m_par = _load_manifest_raw(root, parent_sid)
+            schema = _committed_schema(m_par)
+            if m_par.get("row_filters"):
+                live = snapshot_read(
+                    spark, root, snapshot_id=parent_sid, prune=(col, lo, hi)
+                ).select(col)
+            else:
+                live = spark.read.schema(schema).parquet(*paths).select(col)
+            # no broadcast hint: staged key volume is unbounded — AQE
+            # picks the broadcast side itself when one fits
+            keys = staged_fn().select(col).where(F.col(col).isNotNull()).distinct()
+            hits = live.join(keys, on=col, how="inner").count()
+            if hits:
+                report.append({"constraint": c["name"], "violated_rows": int(hits)})
     return report
 
 
