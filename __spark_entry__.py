@@ -2704,6 +2704,105 @@ def _q76_oracle() -> str:
 """
 
 
+_Q77_VERSION = "v1"
+
+
+def _q77_dir(sf_dir: str) -> str:
+    return _oracle_dir("q77", _Q77_VERSION, sf_dir)
+
+
+def _q77_ref_constraint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential constraints as a value-checked gate row (oval's
+    media_ref-vs-asset-catalog check as TABLE STATE,
+    `sources/constraints.py` kind='ref'): the embeddings table commits
+    with ~3% of vec_ids deterministically shifted past the documents
+    key space (dangling foreign keys), the contract declares vec_id
+    must exist in documents.doc_id, and the audit's dangling count is
+    hash-checked against DuckDB's NOT EXISTS over the same materialized
+    table. In-query pins: an append staging one dangling ref is REFUSED
+    at commit time (ConstraintViolationError, table untouched) while
+    the identical valid-ref append commits — enforcement and audit
+    share one _delta_violations core."""
+    from ovalspark.sources.constraints import (
+        ConstraintViolationError,
+        audit_constraints,
+        set_constraints,
+    )
+    from ovalspark.sources.snapshots import current_snapshot_id, snapshot_write
+
+    root = _q77_dir(sf_dir)
+    docs_path = f"{sf_dir}/documents.parquet"
+
+    def build(stage):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        h = F.pmod(F.xxhash64("vec_id", F.lit(11)), F.lit(33))
+        bad = emb.select(
+            F.when(h == 0, F.col("vec_id") + F.lit(1_000_000_000))
+            .otherwise(F.col("vec_id"))
+            .alias("vec_id"),
+            "embedding",
+            "label",
+        )
+        snapshot_write(bad.repartition(4), stage)
+        set_constraints(
+            stage,
+            [
+                {"name": "doc_ref", "kind": "ref", "column": "vec_id",
+                 "ref_table": docs_path, "ref_column": "doc_id"},
+            ],
+            spark=spark,
+            validate=False,  # adopting known-dirty data: audit reports the debt
+        )
+
+    _publish_once(root, build, is_valid=lambda: current_snapshot_id(root) == 2)
+
+    # enforcement pin on a THROWAWAY table with the same contract (the
+    # published root must stay at snapshot 2 for the materialize-once
+    # cache): the dangling append refuses, the valid one lands
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="q77pin") as td:
+        pin = f"{td}/t"
+        seed = spark.createDataFrame(
+            [(1, [0.0], 0)], "vec_id long, embedding array<float>, label int"
+        )
+        snapshot_write(seed, pin)
+        set_constraints(
+            pin,
+            [{"name": "doc_ref", "kind": "ref", "column": "vec_id",
+              "ref_table": docs_path, "ref_column": "doc_id"}],
+            spark=spark,
+        )
+        dangle = spark.createDataFrame(
+            [(2_000_000_000, [0.0], 0)],
+            "vec_id long, embedding array<float>, label int",
+        )
+        try:
+            snapshot_write(dangle, pin, mode="append")
+            raise AssertionError("dangling-ref append must be refused")
+        except ConstraintViolationError:
+            pass
+        assert current_snapshot_id(pin) == 2, "refused append must not commit"
+        ok = spark.createDataFrame(
+            [(0, [0.0], 0)], "vec_id long, embedding array<float>, label int"
+        )
+        assert snapshot_write(ok, pin, mode="append") == 3
+
+    report, detail = audit_constraints(spark, root, snapshot_id=2)
+    assert detail["rows"][0]["violated_rows"] > 0, "injection produced no dangles"
+    return report.select("constraint", "violated_rows")
+
+
+def _q77_oracle() -> str:
+    d = _q77_dir(GATE_SF_DIR)
+    return f"""
+    SELECT 'doc_ref' AS "constraint", CAST(count(*) AS BIGINT) AS violated_rows
+    FROM read_parquet('{d}/data/snap-1-*/part-*.parquet') b
+    WHERE b.vec_id IS NOT NULL
+      AND NOT EXISTS (SELECT 1 FROM documents x WHERE x.doc_id = b.vec_id)
+"""
+
+
 _Q53_VERSION = "v1"
 
 
@@ -2986,6 +3085,7 @@ def _shared(name: str) -> Callable[[SparkSession, str], DataFrame]:
 RETIRED_GATES: tuple[str, ...] = (
     "q04_order_count_histogram",
     "q10_dangling_part_refs",
+    "q14_event_sessions",
     "q29_hll_profile",
     "q06_events_daily",
     "q22_lang_id_confusion",
@@ -3005,6 +3105,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Full registry, newest gates first (see module comment above)."""
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         # round 9 gates
+        "q77_ref_constraint": _q77_ref_constraint,
         "q76_constraint_audit": _q76_constraint_audit,
         "q75_bloom_lookup": _q75_bloom_lookup,
         # round 7/8 snapshot-store / stream / table-format gates
@@ -3065,6 +3166,7 @@ def _all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _all_oracles() -> dict[str, str]:
     out = {
+        "q77_ref_constraint": _q77_oracle(),
         "q76_constraint_audit": _q76_oracle(),
         "q75_bloom_lookup": _Q75_ORACLE,
         "q74_manifest_ndv": _Q74_ORACLE,
@@ -3127,7 +3229,7 @@ def oracle_sql() -> dict[str, str]:
 
 
 def retired_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """The 14 retired gates, still runnable for pytest value checks."""
+    """The 15 retired gates, still runnable for pytest value checks."""
     return {k: v for k, v in _all_queries().items() if k in RETIRED_GATES}
 
 

@@ -22,6 +22,14 @@ Four kinds, declared as plain dicts:
   expression; violation: expr IS FALSE (NULL passes, like SQL CHECK).
 * ``{"name", "kind": "unique", "column"}`` — violation rows: rows whose
   non-NULL value occurs more than once.
+* ``{"name", "kind": "ref", "column", "ref_table", "ref_column"?}`` —
+  foreign-key existence (oval's media_ref-against-asset-catalog check
+  as a contract): violation rows: rows whose non-NULL value has no
+  match in ``ref_table`` (a snapshot-table root, read at ITS current
+  snapshot, or a plain parquet path); ``ref_column`` defaults to
+  ``column``. The check is as-of the ref table at audit/commit time —
+  cross-table transactional integrity is the catalog's story, not a
+  row predicate's.
 
 Each may carry ``"enforce": false`` to record the rule for audits
 without blocking commits (default: enforced).
@@ -56,6 +64,7 @@ physical counts.
 
 from __future__ import annotations
 
+import os
 import shutil
 from typing import Any
 
@@ -75,7 +84,7 @@ from ovalspark.sources.snapshots import (
     uniqueness_screen,
 )
 
-_KINDS = ("not_null", "range", "check", "unique")
+_KINDS = ("not_null", "range", "check", "unique", "ref")
 
 _REPORT_SCHEMA = (
     "constraint string, kind string, column string, "
@@ -117,11 +126,23 @@ def _normalize(constraints: list[dict[str, Any]]) -> list[dict[str, Any]]:
         if kind not in _KINDS:
             raise ConstraintError(f"{name}: kind must be one of {_KINDS}, got {kind!r}")
         norm: dict[str, Any] = {"name": name, "kind": kind}
-        if kind in ("not_null", "unique", "range"):
+        if kind in ("not_null", "unique", "range", "ref"):
             col = c.get("column")
             if not col or not isinstance(col, str):
                 raise ConstraintError(f"{name}: kind {kind!r} needs a 'column'")
             norm["column"] = col
+        if kind == "ref":
+            rt = c.get("ref_table")
+            if not rt or not isinstance(rt, str):
+                raise ConstraintError(
+                    f"{name}: kind 'ref' needs a 'ref_table' (snapshot root "
+                    f"or parquet path)"
+                )
+            norm["ref_table"] = rt
+            rc = c.get("ref_column", c["column"])
+            if not isinstance(rc, str) or not rc:
+                raise ConstraintError(f"{name}: 'ref_column' must be a column name")
+            norm["ref_column"] = rc
         if kind == "range":
             lo, hi = c.get("lo"), c.get("hi")
             if lo is None and hi is None:
@@ -208,6 +229,10 @@ def set_constraints(
             raise ConstraintError(
                 f"{c['name']}: column {c['column']!r} not in committed "
                 f"schema {sorted(cols)}"
+            )
+        if c["kind"] == "ref" and not os.path.exists(c["ref_table"]):
+            raise ConstraintError(
+                f"{c['name']}: ref_table {c['ref_table']!r} does not exist"
             )
     if mode == "add":
         existing = list(raw.get("constraints") or [])
@@ -340,6 +365,37 @@ def _violation_expr(c: dict[str, Any]):
     raise ConstraintError(f"no row predicate for kind {kind!r}")
 
 
+def _ref_frame(spark: SparkSession, c: dict[str, Any]) -> DataFrame:
+    """The referenced key column as a one-column frame named after the
+    referencing column (ready to anti-join). A ``ref_table`` with a
+    manifest directory reads as a snapshot table at ITS current
+    snapshot (pending MoR filters applied — a logically deleted asset
+    is a dangling ref); anything else reads as plain parquet."""
+    rt, rc = c["ref_table"], c["ref_column"]
+    if os.path.isdir(os.path.join(rt, "manifest")):
+        ref = snapshot_read(spark, rt)
+    else:
+        ref = spark.read.parquet(rt)
+    if rc not in ref.columns:
+        raise ConstraintError(
+            f"{c['name']}: ref_column {rc!r} not in {rt} ({ref.columns})"
+        )
+    return ref.select(F.col(rc).alias(c["column"]))
+
+
+def _ref_violations(spark: SparkSession, df: DataFrame, c: dict[str, Any]) -> int:
+    """Rows of ``df`` whose non-NULL value has no match in the ref
+    table — ONE column-pruned anti-join (both sides ship only the key
+    column; AQE broadcasts the smaller side)."""
+    col = c["column"]
+    return (
+        df.select(col)
+        .where(F.col(col).isNotNull())
+        .join(_ref_frame(spark, c), on=col, how="left_anti")
+        .count()
+    )
+
+
 def _unique_violations(df: DataFrame, col: str) -> int:
     dup = (
         df.select(col)
@@ -428,6 +484,21 @@ def audit_constraints(
             detail["screen"][name] = scr
             v = _unique_violations(
                 snapshot_read(spark, root, snapshot_id=sid), c["column"]
+            )
+            rows_out.append(
+                {
+                    "constraint": name,
+                    "kind": kind,
+                    "column": c["column"],
+                    "violated_rows": v,
+                    "decided": "scan",
+                }
+            )
+            detail["files_scanned"] += _logical_n_files()
+            continue
+        if kind == "ref":
+            v = _ref_violations(
+                spark, snapshot_read(spark, root, snapshot_id=sid), c
             )
             rows_out.append(
                 {
@@ -531,7 +602,7 @@ def check_frame(df: DataFrame, constraints: list[dict[str, Any]]) -> DataFrame:
     cons = _normalize(constraints)
     spark = df.sparkSession
     rows: list[tuple] = []
-    agg_cons = [c for c in cons if c["kind"] != "unique"]
+    agg_cons = [c for c in cons if c["kind"] not in ("unique", "ref")]
     if agg_cons:
         agg_row = df.agg(
             *[F.sum(_violation_expr(c).cast("long")).alias(c["name"]) for c in agg_cons]
@@ -541,9 +612,12 @@ def check_frame(df: DataFrame, constraints: list[dict[str, Any]]) -> DataFrame:
             if v:
                 rows.append((c["name"], c["kind"], c.get("column", ""), v))
     for c in cons:
-        if c["kind"] != "unique":
+        if c["kind"] == "unique":
+            v = _unique_violations(df, c["column"])
+        elif c["kind"] == "ref":
+            v = _ref_violations(spark, df, c)
+        else:
             continue
-        v = _unique_violations(df, c["column"])
         if v:
             rows.append((c["name"], c["kind"], c["column"], v))
     return spark.createDataFrame(
@@ -583,6 +657,7 @@ def _delta_violations(
     report: list[dict[str, Any]] = []
     full_scan: list[dict[str, Any]] = []  # need a staged scan (agg exprs)
     uniques: list[dict[str, Any]] = []
+    refs: list[dict[str, Any]] = []
 
     for c in cons:
         col = c.get("column")
@@ -596,6 +671,9 @@ def _delta_violations(
                 )
         if c["kind"] == "unique":
             uniques.append(c)
+            continue
+        if c["kind"] == "ref":
+            refs.append(c)
             continue
         if c["kind"] in ("not_null", "range"):
             violated = 0
@@ -622,6 +700,13 @@ def _delta_violations(
                 report.append({"constraint": c["name"], "violated_rows": violated})
             continue
         full_scan.append(c)  # check exprs
+    for c in refs:
+        # one column-pruned anti-join per ref constraint: staged keys
+        # vs the referenced table's key column (the per-commit price of
+        # foreign-key enforcement — same shape as upsert's key scan)
+        v = _ref_violations(spark, staged_fn(), c)
+        if v:
+            report.append({"constraint": c["name"], "violated_rows": v})
     if not full_scan and not uniques:
         return report
 

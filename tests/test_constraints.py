@@ -381,3 +381,89 @@ def test_audit_commit_delta(tmp_path, spark):
     rep = {r["constraint"]: r["violated_rows"] for r in audit_commit_delta(spark, root, sid)}
     assert rep["chars_present"] == 2
     assert rep["pk"] == 5  # added-vs-live collisions
+
+
+def test_ref_constraint_audit_and_enforcement(tmp_path, spark):
+    """Foreign-key existence as a contract (oval's media_ref-vs-asset-
+    catalog check): the audit counts dangling refs exactly, commits
+    introducing them are refused, and the ref side reads snapshot
+    tables logically (a MoR-deleted asset IS a dangling ref)."""
+    from ovalspark.sources.constraints import check_frame
+
+    assets = str(tmp_path / "assets")
+    snapshot_write(
+        spark.range(500).select(F.format_string("as%04d", F.col("id")).alias("asset_id")),
+        assets,
+    )
+    root = str(tmp_path / "docs")
+    docs = spark.range(300).select(
+        F.format_string("doc%04d", F.col("id")).alias("doc_id"),
+        F.when(F.col("id") % 10 == 0, F.lit(None))  # NULL refs pass
+        .otherwise(F.format_string("as%04d", F.col("id") % 500))
+        .alias("media_ref"),
+    )
+    snapshot_write(docs, root)
+    ref_con = {
+        "name": "media_ok", "kind": "ref", "column": "media_ref",
+        "ref_table": assets, "ref_column": "asset_id",
+    }
+    set_constraints(root, [ref_con], spark=spark)  # clean: validates green
+    _, detail = audit_constraints(spark, root)
+    assert detail["rows"][0]["violated_rows"] == 0
+
+    # an append with 3 dangling refs is refused; table untouched
+    bad = spark.range(5).select(
+        F.format_string("nd%04d", F.col("id")).alias("doc_id"),
+        F.when(F.col("id") < 3, F.format_string("zz%04d", F.col("id")))
+        .otherwise(F.lit("as0001"))
+        .alias("media_ref"),
+    )
+    with pytest.raises(ConstraintViolationError, match="media_ok=3"):
+        snapshot_write(bad, root, mode="append")
+    assert current_snapshot_id(root) == 2
+
+    # deleting assets makes previously-clean docs dangle — the audit
+    # reads the ref table LOGICALLY (merge-on-read delete included)
+    snapshot_delete(
+        spark, assets, "asset_id = 'as0042'", strategy="merge-on-read",
+        fold_threshold=None,
+    )
+    _, detail = audit_constraints(spark, root)
+    assert detail["rows"][0]["violated_rows"] == 1  # doc0042 dangles
+
+    # check_frame covers ref too (the WAP validator path)
+    viol = check_frame(bad, [ref_con])
+    assert viol.collect()[0]["violated_rows"] == 3
+
+    # definition errors
+    with pytest.raises(ConstraintError, match="ref_table"):
+        set_constraints(root, [{"name": "r2", "kind": "ref", "column": "media_ref"}],
+                        mode="add", spark=spark, validate=False)
+    with pytest.raises(ConstraintError, match="does not exist"):
+        set_constraints(
+            root,
+            [{"name": "r3", "kind": "ref", "column": "media_ref",
+              "ref_table": str(tmp_path / "ghost")}],
+            mode="add", spark=spark, validate=False,
+        )
+
+
+def test_ref_constraint_on_upsert_and_parquet_ref(tmp_path, spark):
+    """Upserts enforce ref constraints on their staged rows, and a plain
+    parquet directory works as the ref side."""
+    ref_dir = str(tmp_path / "langs")
+    spark.createDataFrame(
+        [("en",), ("de",), ("fr",)], "lang string"
+    ).write.parquet(ref_dir)
+    root = str(tmp_path / "t")
+    snapshot_write(_frame(spark, 100), root)
+    set_constraints(
+        root,
+        [{"name": "lang_ref", "kind": "ref", "column": "lang", "ref_table": ref_dir}],
+        spark=spark,
+    )
+    bad = _frame(spark, 3).withColumn("lang", F.lit("zz"))
+    with pytest.raises(ConstraintViolationError, match="lang_ref"):
+        snapshot_upsert(spark, root, bad)
+    sid = snapshot_upsert(spark, root, _frame(spark, 3), fold_threshold=None)
+    assert sid == 3
