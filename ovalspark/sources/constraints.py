@@ -30,6 +30,24 @@ Four kinds, declared as plain dicts:
   ``column``. The check is as-of the ref table at audit/commit time —
   cross-table transactional integrity is the catalog's story, not a
   row predicate's.
+* ``{"name", "kind": "drift", "column", "method": "ks"|"chi2",
+  "threshold"?, "min_rows"?}`` — a DISTRIBUTION contract: the column's
+  value distribution must stay close to the baseline captured from the
+  table when the rule was attached (``set_constraints`` snapshots it
+  into the constraint itself, so the manifest carries the whole
+  contract). ``ks`` (numeric): the baseline ECDF at ``_DRIFT_BINS``
+  equi-probable breakpoints; audited data's ECDF at the same points
+  must not deviate more than ``threshold`` (default: the
+  1.63/sqrt(n) α≈0.01 KS critical value). ``chi2`` (categorical):
+  baseline proportions of the top categories (+OTHER); Pearson chi² vs
+  them must stay under ``threshold`` (default: the α≈0.01 critical
+  value via the Wilson–Hilferty approximation). A drift breach is
+  TABLE-level: ``violated_rows`` reports 1 (the detail carries the
+  statistic), and samples below ``min_rows`` (default 200) are skipped
+  — a distribution test on five rows is noise, not evidence. This is
+  the contract form of the engine's KS/chi² drift validators
+  (operators/drift.py), with the baseline coming from DATA instead of
+  a closed-form model.
 
 Each may carry ``"enforce": false`` to record the rule for audits
 without blocking commits (default: enforced).
@@ -84,7 +102,11 @@ from ovalspark.sources.snapshots import (
     uniqueness_screen,
 )
 
-_KINDS = ("not_null", "range", "check", "unique", "ref")
+_KINDS = ("not_null", "range", "check", "unique", "ref", "drift")
+
+_DRIFT_BINS = 32  # equi-probable KS grid / chi² category cap
+_DRIFT_MIN_ROWS = 200  # below this, a distribution test is noise
+_DRIFT_Z99 = 2.326  # N(0,1) upper 1% point (chi² critical via Wilson–Hilferty)
 
 _REPORT_SCHEMA = (
     "constraint string, kind string, column string, "
@@ -126,7 +148,7 @@ def _normalize(constraints: list[dict[str, Any]]) -> list[dict[str, Any]]:
         if kind not in _KINDS:
             raise ConstraintError(f"{name}: kind must be one of {_KINDS}, got {kind!r}")
         norm: dict[str, Any] = {"name": name, "kind": kind}
-        if kind in ("not_null", "unique", "range", "ref"):
+        if kind in ("not_null", "unique", "range", "ref", "drift"):
             col = c.get("column")
             if not col or not isinstance(col, str):
                 raise ConstraintError(f"{name}: kind {kind!r} needs a 'column'")
@@ -165,9 +187,30 @@ def _normalize(constraints: list[dict[str, Any]]) -> list[dict[str, Any]]:
             if not expr or not isinstance(expr, str):
                 raise ConstraintError(f"{name}: kind 'check' needs an 'expr' string")
             norm["expr"] = expr
+        if kind == "drift":
+            method = c.get("method", "ks")
+            if method not in ("ks", "chi2"):
+                raise ConstraintError(f"{name}: drift method must be ks|chi2")
+            norm["method"] = method
+            if c.get("threshold") is not None:
+                t = c["threshold"]
+                if not isinstance(t, (int, float)) or isinstance(t, bool) or t <= 0:
+                    raise ConstraintError(f"{name}: threshold must be > 0")
+                norm["threshold"] = float(t)
+            norm["min_rows"] = int(c.get("min_rows", _DRIFT_MIN_ROWS))
+            if c.get("baseline") is not None:
+                b = c["baseline"]
+                if not isinstance(b, dict) or "n" not in b or (
+                    "bps" not in b and "cats" not in b
+                ):
+                    raise ConstraintError(
+                        f"{name}: baseline must be the dict set_constraints "
+                        f"captures ({{'n', 'bps'+'ecdf' | 'cats'+'probs'}})"
+                    )
+                norm["baseline"] = b
         if c.get("enforce") is False:
             norm["enforce"] = False
-        extra = set(c) - set(norm) - {"enforce"}
+        extra = {k for k in c if k not in norm and k != "enforce" and c[k] is not None}
         if extra:
             raise ConstraintError(f"{name}: unknown field(s) {sorted(extra)}")
         out.append(norm)
@@ -234,6 +277,16 @@ def set_constraints(
             raise ConstraintError(
                 f"{c['name']}: ref_table {c['ref_table']!r} does not exist"
             )
+    need_baseline = [c for c in new if c["kind"] == "drift" and "baseline" not in c]
+    if need_baseline:
+        if spark is None:
+            raise ValueError(
+                "drift constraints need spark= — set_constraints captures "
+                "the baseline distribution from the current table"
+            )
+        base_df = snapshot_read(spark, root, snapshot_id=parent)
+        for c in need_baseline:
+            c["baseline"] = _capture_drift_baseline(base_df, c)
     if mode == "add":
         existing = list(raw.get("constraints") or [])
         clash = {c["name"] for c in existing} & {c["name"] for c in new}
@@ -365,6 +418,132 @@ def _violation_expr(c: dict[str, Any]):
     raise ConstraintError(f"no row predicate for kind {kind!r}")
 
 
+def _capture_drift_baseline(df: DataFrame, c: dict[str, Any]) -> dict[str, Any]:
+    """Snapshot the column's current distribution into the constraint.
+
+    ks: ``_DRIFT_BINS-1`` approx-quantile breakpoints plus the EXACT
+    baseline ECDF at those points (robust to ties — a heavy-tailed or
+    heavily-duplicated column collapses the quantile grid, so the
+    expectation comes from the data, never from an assumed i/k). chi2:
+    the top ``_DRIFT_BINS-1`` categories' exact proportions (+OTHER).
+    Both are a bounded driver copy (≤ _DRIFT_BINS scalars) riding the
+    manifest JSON."""
+    col = c["column"]
+    nn = df.where(F.col(col).isNotNull())
+    if c["method"] == "ks":
+        field = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)[col]
+        if field in ("string", "boolean", "binary") or field.startswith(
+            ("array", "map", "struct")
+        ):
+            raise ConstraintError(
+                f"{c['name']}: drift method 'ks' needs a numeric/temporal "
+                f"column ({col} is {field}) — use method='chi2'"
+            )
+        probs = [i / _DRIFT_BINS for i in range(1, _DRIFT_BINS)]
+        bps = nn.approxQuantile(col, probs, 0.001)
+        bps = sorted(set(bps))
+        if not bps:
+            raise ConstraintError(f"{c['name']}: column {col!r} has no non-NULL rows")
+        row = nn.agg(
+            F.count(F.lit(1)).alias("_n"),
+            *[
+                F.sum((F.col(col) <= F.lit(b)).cast("long")).alias(f"_b{i}")
+                for i, b in enumerate(bps)
+            ],
+        ).collect()[0]
+        n = int(row["_n"])
+        return {
+            "n": n,
+            "bps": bps,
+            "ecdf": [round(int(row[f"_b{i}"]) / n, 9) for i in range(len(bps))],
+        }
+    # chi2: exact top-category proportions
+    top = (
+        nn.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.desc("_c"), F.col(col))
+        .limit(_DRIFT_BINS - 1)
+        .collect()
+    )
+    if not top:
+        raise ConstraintError(f"{c['name']}: column {col!r} has no non-NULL rows")
+    n = nn.count()
+    cats = [str(r[col]) for r in top]
+    probs = [int(r["_c"]) / n for r in top]
+    other = max(0.0, 1.0 - sum(probs))
+    return {"n": int(n), "cats": cats, "probs": [round(p, 9) for p in probs],
+            "other": round(other, 9)}
+
+
+def _drift_agg_exprs(c: dict[str, Any]) -> list:
+    """The KS grid sums for one drift constraint — plain global sums, so
+    they FUSE into the shared staged/audit aggregation pass."""
+    col, name = c["column"], c["name"]
+    out = [F.count(F.when(F.col(col).isNotNull(), 1)).alias(f"{name}__n")]
+    for i, b in enumerate(c["baseline"]["bps"]):
+        out.append(
+            F.sum(
+                (F.col(col).isNotNull() & (F.col(col) <= F.lit(b))).cast("long")
+            ).alias(f"{name}__b{i}")
+        )
+    return out
+
+
+def _drift_ks_verdict(c: dict[str, Any], agg_row) -> dict[str, Any]:
+    base = c["baseline"]
+    n = int(agg_row[f"{c['name']}__n"] or 0)
+    if n < c["min_rows"]:
+        return {"statistic": None, "n": n, "skipped": "below min_rows"}
+    stat = max(
+        abs(int(agg_row[f"{c['name']}__b{i}"]) / n - e)
+        for i, e in enumerate(base["ecdf"])
+    )
+    thr = c.get("threshold") or 1.63 / (n ** 0.5)
+    return {"statistic": round(stat, 6), "threshold": round(thr, 6), "n": n,
+            "drifted": stat > thr}
+
+
+def _drift_chi2_verdict(spark: SparkSession, df: DataFrame, c: dict[str, Any]) -> dict[str, Any]:
+    """One low-cardinality groupBy (map-side combined) + a ≤_DRIFT_BINS
+    driver fold: Pearson chi² of the observed category counts vs the
+    baseline proportions."""
+    base, col = c["baseline"], c["column"]
+    cats = base["cats"]
+    bucket = F.when(
+        F.col(col).cast("string").isin(*cats), F.col(col).cast("string")
+    ).otherwise(F.lit("__other__"))
+    rows = (
+        df.where(F.col(col).isNotNull())
+        .groupBy(bucket.alias("_cat"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .collect()
+    )
+    obs = {r["_cat"]: int(r["_c"]) for r in rows}
+    n = sum(obs.values())
+    if n < c["min_rows"]:
+        return {"statistic": None, "n": n, "skipped": "below min_rows"}
+    expected = {k: p * n for k, p in zip(cats, base["probs"])}
+    expected["__other__"] = base["other"] * n
+    chi2 = 0.0
+    for k, e in expected.items():
+        o = obs.get(k, 0)
+        if e > 0:
+            chi2 += (o - e) ** 2 / e
+        elif o:
+            chi2 = float("inf")  # a category the baseline says cannot occur
+            break
+    dof = max(1, sum(1 for e in expected.values() if e > 0) - 1)
+    if c.get("threshold") is not None:
+        thr = c["threshold"]
+    else:
+        # Wilson–Hilferty: chi²_crit(dof, α=0.01) ≈ dof(1 - 2/9dof + z√(2/9dof))³
+        x = 2.0 / (9.0 * dof)
+        thr = dof * (1.0 - x + _DRIFT_Z99 * (x ** 0.5)) ** 3
+    return {"statistic": round(chi2, 6) if chi2 != float("inf") else None,
+            "threshold": round(thr, 6), "n": n,
+            "drifted": chi2 > thr}
+
+
 def _ref_frame(spark: SparkSession, c: dict[str, Any]) -> DataFrame:
     """The referenced key column as a one-column frame named after the
     referencing column (ready to anti-join). A ``ref_table`` with a
@@ -460,8 +639,12 @@ def audit_constraints(
         return entries
 
     # constraints that fall through to a LOGICAL full scan share ONE
-    # aggregation pass (column-pruned to exactly the referenced columns)
+    # aggregation pass (column-pruned to exactly the referenced columns);
+    # KS drift grids ride the same pass as extra sums
     full_scan: list[dict[str, Any]] = []
+    drift_ks: list[dict[str, Any]] = []
+    drift_chi: list[dict[str, Any]] = []
+    detail["drift"] = {}
     logical_files = None
 
     def _logical_n_files() -> int:
@@ -511,6 +694,14 @@ def audit_constraints(
             )
             detail["files_scanned"] += _logical_n_files()
             continue
+        if kind == "drift":
+            if "baseline" not in c:
+                raise ConstraintError(
+                    f"{name}: drift has no baseline — attach it via "
+                    f"set_constraints (which captures one) before auditing"
+                )
+            (drift_ks if c["method"] == "ks" else drift_chi).append(c)
+            continue
         if kind == "check" or pending:
             full_scan.append(c)
             continue
@@ -552,11 +743,13 @@ def audit_constraints(
                 else ("mixed" if len(scan_paths) < len(_entries()) else "scan"),
             }
         )
-    if full_scan:
+    if full_scan or drift_ks:
         df = snapshot_read(spark, root, snapshot_id=sid)
         aggs = [
             F.sum(_violation_expr(c).cast("long")).alias(c["name"]) for c in full_scan
         ]
+        for c in drift_ks:
+            aggs.extend(_drift_agg_exprs(c))
         agg_row = df.agg(*aggs).collect()[0]
         for c in full_scan:
             rows_out.append(
@@ -568,6 +761,33 @@ def audit_constraints(
                     "decided": "scan",
                 }
             )
+        for c in drift_ks:
+            verdict = _drift_ks_verdict(c, agg_row)
+            detail["drift"][c["name"]] = verdict
+            rows_out.append(
+                {
+                    "constraint": c["name"],
+                    "kind": "drift",
+                    "column": c["column"],
+                    "violated_rows": 1 if verdict.get("drifted") else 0,
+                    "decided": "scan",
+                }
+            )
+        detail["files_scanned"] += _logical_n_files()
+    for c in drift_chi:
+        verdict = _drift_chi2_verdict(
+            spark, snapshot_read(spark, root, snapshot_id=sid), c
+        )
+        detail["drift"][c["name"]] = verdict
+        rows_out.append(
+            {
+                "constraint": c["name"],
+                "kind": "drift",
+                "column": c["column"],
+                "violated_rows": 1 if verdict.get("drifted") else 0,
+                "decided": "scan",
+            }
+        )
         detail["files_scanned"] += _logical_n_files()
     rows_out.sort(key=lambda r: r["constraint"])
     report = spark.createDataFrame(
@@ -602,20 +822,28 @@ def check_frame(df: DataFrame, constraints: list[dict[str, Any]]) -> DataFrame:
     cons = _normalize(constraints)
     spark = df.sparkSession
     rows: list[tuple] = []
-    agg_cons = [c for c in cons if c["kind"] not in ("unique", "ref")]
-    if agg_cons:
-        agg_row = df.agg(
-            *[F.sum(_violation_expr(c).cast("long")).alias(c["name"]) for c in agg_cons]
-        ).collect()[0]
+    agg_cons = [c for c in cons if c["kind"] not in ("unique", "ref", "drift")]
+    drift_ks = [c for c in cons if c["kind"] == "drift" and c["method"] == "ks"
+                and "baseline" in c]
+    if agg_cons or drift_ks:
+        aggs = [F.sum(_violation_expr(c).cast("long")).alias(c["name"]) for c in agg_cons]
+        for c in drift_ks:
+            aggs.extend(_drift_agg_exprs(c))
+        agg_row = df.agg(*aggs).collect()[0]
         for c in agg_cons:
             v = int(agg_row[c["name"]] or 0)
             if v:
                 rows.append((c["name"], c["kind"], c.get("column", ""), v))
+        for c in drift_ks:
+            if _drift_ks_verdict(c, agg_row).get("drifted"):
+                rows.append((c["name"], "drift", c["column"], 1))
     for c in cons:
         if c["kind"] == "unique":
             v = _unique_violations(df, c["column"])
         elif c["kind"] == "ref":
             v = _ref_violations(spark, df, c)
+        elif c["kind"] == "drift" and c["method"] == "chi2" and "baseline" in c:
+            v = 1 if _drift_chi2_verdict(spark, df, c).get("drifted") else 0
         else:
             continue
         if v:
@@ -658,6 +886,8 @@ def _delta_violations(
     full_scan: list[dict[str, Any]] = []  # need a staged scan (agg exprs)
     uniques: list[dict[str, Any]] = []
     refs: list[dict[str, Any]] = []
+    drift_ks: list[dict[str, Any]] = []
+    drift_chi: list[dict[str, Any]] = []
 
     for c in cons:
         col = c.get("column")
@@ -674,6 +904,11 @@ def _delta_violations(
             continue
         if c["kind"] == "ref":
             refs.append(c)
+            continue
+        if c["kind"] == "drift":
+            if "baseline" not in c:
+                continue  # never attached via set_constraints: nothing to hold to
+            (drift_ks if c["method"] == "ks" else drift_chi).append(c)
             continue
         if c["kind"] in ("not_null", "range"):
             violated = 0
@@ -707,25 +942,44 @@ def _delta_violations(
         v = _ref_violations(spark, staged_fn(), c)
         if v:
             report.append({"constraint": c["name"], "violated_rows": v})
-    if not full_scan and not uniques:
+    if not full_scan and not uniques and not drift_ks and not drift_chi:
+        return report
+
+    for c in drift_chi:
+        verdict = _drift_chi2_verdict(spark, staged_fn(), c)
+        if verdict.get("drifted"):
+            report.append(
+                {"constraint": c["name"], "violated_rows": 1, "drift": verdict}
+            )
+    if not full_scan and not uniques and not drift_ks:
         return report
 
     # ONE staged pass: when a unique constraint exists, a two-level
     # aggregate over its key computes the per-key multiplicities AND
-    # folds every scan constraint's violation sum + the key bounds in
-    # the same shuffle (longs sum associatively — per-group partial
-    # sums fold exactly); without one, a plain global aggregate.
+    # folds every scan constraint's violation sum + the key bounds +
+    # the KS drift grids in the same shuffle (longs sum associatively —
+    # per-group partial sums fold exactly); without one, a plain global
+    # aggregate.
     from pyspark.errors import AnalysisException
 
     lead = uniques[0] if uniques else None
     sums = [F.sum(_violation_expr(c).cast("long")).alias(c["name"]) for c in full_scan]
+    ks_exprs: list = []
+    ks_names: list[str] = []
+    for c in drift_ks:
+        exprs = _drift_agg_exprs(c)
+        ks_exprs.extend(exprs)
+        ks_names.append(f"{c['name']}__n")
+        ks_names.extend(
+            f"{c['name']}__b{i}" for i in range(len(c["baseline"]["bps"]))
+        )
     try:
         if lead is None:
-            agg_row = staged_fn().agg(*sums).collect()[0]
+            agg_row = staged_fn().agg(*sums, *ks_exprs).collect()[0]
         else:
             k = F.col(lead["column"])
             per = staged_fn().groupBy(lead["column"]).agg(
-                F.count(F.lit(1)).alias("_c"), *sums
+                F.count(F.lit(1)).alias("_c"), *sums, *ks_exprs
             )
             agg_row = per.agg(
                 F.sum(
@@ -734,6 +988,7 @@ def _delta_violations(
                 F.min(k).alias("_lo"),
                 F.max(k).alias("_hi"),
                 *[F.sum(c["name"]).alias(c["name"]) for c in full_scan],
+                *[F.sum(a).alias(a) for a in ks_names],
             ).collect()[0]
     except AnalysisException as e:
         # a check expr references a column the staged frame dropped —
@@ -747,6 +1002,12 @@ def _delta_violations(
         v = int(agg_row[c["name"]] or 0)
         if v:
             report.append({"constraint": c["name"], "violated_rows": v})
+    for c in drift_ks:
+        verdict = _drift_ks_verdict(c, agg_row)
+        if verdict.get("drifted"):
+            report.append(
+                {"constraint": c["name"], "violated_rows": 1, "drift": verdict}
+            )
     for i, c in enumerate(uniques):
         col = c["column"]
         if i == 0:

@@ -1893,7 +1893,7 @@ def snapshot_upsert(
 
         _enforce_staged(
             spark, root, m_raw, new_files, data_dir, "append",
-            kinds=("not_null", "range", "check", "ref"),
+            kinds=("not_null", "range", "check", "ref", "drift"),
         )
     inherited = _inherited_sketch_cols(root, m_raw)
     if inherited:

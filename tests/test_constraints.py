@@ -467,3 +467,77 @@ def test_ref_constraint_on_upsert_and_parquet_ref(tmp_path, spark):
         snapshot_upsert(spark, root, bad)
     sid = snapshot_upsert(spark, root, _frame(spark, 3), fold_threshold=None)
     assert sid == 3
+
+
+def test_drift_constraint_ks(tmp_path, spark):
+    """Distribution contracts (kind='drift', KS): the baseline is
+    captured from the table at set time, same-distribution appends
+    commit, a collapsed batch is refused, and tiny batches are skipped
+    (a KS test on 50 rows is noise, not evidence)."""
+    root = str(tmp_path / "t")
+    base = spark.range(5000).select(
+        F.format_string("doc%05d", F.col("id")).alias("doc_id"),
+        (F.col("id") % 5000).alias("n_chars"),
+    )
+    snapshot_write(base, root)
+    set_constraints(
+        root, [{"name": "dist", "kind": "drift", "column": "n_chars"}], spark=spark
+    )
+    (con,) = table_constraints(root)
+    assert con["baseline"]["n"] == 5000 and len(con["baseline"]["bps"]) >= 30
+    _, detail = audit_constraints(spark, root)
+    assert detail["rows"][0]["violated_rows"] == 0
+    assert detail["drift"]["dist"]["statistic"] is not None
+
+    def rows(lo, n, expr):
+        return spark.range(lo, lo + n).select(
+            F.format_string("x%06d", F.col("id")).alias("doc_id"), expr.alias("n_chars")
+        )
+
+    # same distribution (exact stride over the full support): commits
+    snapshot_write(rows(5000, 1000, (F.col("id") - 5000) * 5), root, mode="append")
+    # a collapsed batch (every value identical): refused
+    with pytest.raises(ConstraintViolationError, match="dist"):
+        snapshot_write(rows(9000, 1000, F.lit(1).cast("long")), root, mode="append")
+    # below min_rows: skipped, commits
+    snapshot_write(rows(20000, 50, F.lit(1).cast("long")), root, mode="append")
+    assert current_snapshot_id(root) == 4
+
+
+def test_drift_constraint_chi2(tmp_path, spark):
+    """Categorical drift (chi²): baseline proportions from the table; a
+    batch that inverts the mix — or introduces a category the baseline
+    says cannot occur — is refused."""
+    root = str(tmp_path / "t")
+    lang = (
+        F.when(F.col("id") % 20 < 16, "en")
+        .when(F.col("id") % 20 < 19, "de")
+        .otherwise("fr")
+    )
+    base = spark.range(4000).select(
+        F.format_string("doc%05d", F.col("id")).alias("doc_id"), lang.alias("lang")
+    )
+    snapshot_write(base, root)
+    set_constraints(
+        root,
+        [{"name": "mix", "kind": "drift", "column": "lang", "method": "chi2"}],
+        spark=spark,
+    )
+    (con,) = table_constraints(root)
+    assert sorted(con["baseline"]["cats"]) == ["de", "en", "fr"]
+    _, detail = audit_constraints(spark, root)
+    assert detail["rows"][0]["violated_rows"] == 0
+
+    def rows(lo, n, lang_expr):
+        return spark.range(lo, lo + n).select(
+            F.format_string("x%06d", F.col("id")).alias("doc_id"),
+            lang_expr.alias("lang"),
+        )
+
+    snapshot_write(rows(4000, 1000, lang), root, mode="append")  # same mix: ok
+    with pytest.raises(ConstraintViolationError, match="mix"):
+        snapshot_write(rows(9000, 1000, F.lit("fr")), root, mode="append")
+    with pytest.raises(ConstraintViolationError, match="mix"):
+        # a category with baseline probability ZERO: chi2 = inf
+        snapshot_write(rows(9000, 1000, F.lit("zz")), root, mode="append")
+    assert current_snapshot_id(root) == 3
