@@ -621,7 +621,7 @@ def main(argv: list[str] | None = None) -> int:
         if args.doctor:
             from ovalspark.sources.doctor import diagnose
 
-            plan = diagnose(args.root)
+            plan = diagnose(args.root, spark=spark)
             log.info("maintain.doctor", findings=len(plan))
             report["doctor"] = plan
         if args.heal:

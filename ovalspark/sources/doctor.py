@@ -50,14 +50,43 @@ def diagnose(
     compact_target_mb: int = 128,
     segment_target_entries: int | None = None,
     snapshot_id: int | None = None,
+    spark: SparkSession | None = None,
 ) -> list[dict[str, Any]]:
     """The table's ordered treatment plan, from metadata alone. Each
     finding: ``{"op", "reason", ...metrics}``, in safe execution order
-    (materialize → cluster → compact → merge_segments)."""
+    (materialize → cluster → compact → merge_segments).
+
+    ``spark`` (optional): when the table carries a constraint contract,
+    also run ``audit_constraints`` and surface any debt as a
+    REPORT-ONLY finding (``op='audit_constraints'``, ``actionable:
+    False``) — constraint debt is data the doctor must never "fix" by
+    itself (the fixes are human decisions: rollback, targeted deletes,
+    or explicit contract changes). Without ``spark`` the audit is
+    skipped; the metadata findings are unchanged either way."""
     if current_snapshot_id(root) is None:
         raise FileNotFoundError(f"no committed snapshot at {root}")
     m_raw = _load_manifest_raw(root, snapshot_id)
     findings: list[dict[str, Any]] = []
+
+    audit: list[dict[str, Any]] = []
+    if spark is not None and m_raw.get("constraints"):
+        from ovalspark.sources.constraints import audit_constraints
+
+        _, detail = audit_constraints(spark, root, snapshot_id=m_raw["snapshot_id"])
+        bad = [r for r in detail["rows"] if r["violated_rows"]]
+        if bad:
+            audit.append(
+                {
+                    "op": "audit_constraints",
+                    "actionable": False,
+                    "reason": f"{len(bad)} constraint(s) violated by live data — "
+                    "contract debt is reported, never auto-fixed (the fixes are "
+                    "decisions: rollback, targeted delete, or a contract change)",
+                    "violations": {
+                        r["constraint"]: r["violated_rows"] for r in bad
+                    },
+                }
+            )
 
     filters = m_raw.get("row_filters") or []
     if filters:
@@ -72,7 +101,7 @@ def diagnose(
         )
         # everything below inspects the PHYSICAL layout, which
         # materialization is about to rewrite — re-diagnose after
-        return findings
+        return findings + audit
 
     sort_by = m_raw.get("sort_by")
     if sort_by:
@@ -122,7 +151,7 @@ def diagnose(
                 "fragmented_segments": len(fragmented),
             }
         )
-    return findings
+    return findings + audit
 
 
 def heal(
@@ -141,11 +170,15 @@ def heal(
     the op's own no-op guard is always the last word)."""
     executed: list[dict[str, Any]] = []
     for _ in range(max_rounds):
-        findings = diagnose(
-            root,
-            compact_target_mb=compact_target_mb,
-            segment_target_entries=segment_target_entries,
-        )
+        findings = [
+            f
+            for f in diagnose(
+                root,
+                compact_target_mb=compact_target_mb,
+                segment_target_entries=segment_target_entries,
+            )
+            if f.get("actionable", True)
+        ]
         if not findings:
             break
         for f in findings:

@@ -105,3 +105,40 @@ def test_doctor_flags_fragmented_segments(spark, tmp_path, monkeypatch):
     heal(spark, root, segment_target_entries=64)
     assert diagnose(root, segment_target_entries=64) == []
     assert snapshot_read(spark, root).count() == 120
+
+
+def test_doctor_surfaces_constraint_debt(tmp_path, spark):
+    """With spark, diagnose reports contract debt as a NON-actionable
+    finding; heal never touches it (fixing data is a decision, not
+    hygiene); without spark the audit is skipped entirely."""
+    from pyspark.sql import functions as F
+
+    from ovalspark.sources.constraints import set_constraints
+    from ovalspark.sources.doctor import diagnose, heal
+    from ovalspark.sources.snapshots import current_snapshot_id, snapshot_write
+
+    root = str(tmp_path / "t")
+    snapshot_write(
+        spark.range(300)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") < 4, None).otherwise(F.col("id")).alias("n_chars"),
+        )
+        .coalesce(1),  # one file: no small-file debt to distract the plan
+        root,
+    )
+    set_constraints(
+        root,
+        [{"name": "nn", "kind": "not_null", "column": "n_chars"}],
+        spark=spark,
+        validate=False,  # adopt known-dirty
+    )
+    plan = diagnose(root, spark=spark)
+    (finding,) = [f for f in plan if f["op"] == "audit_constraints"]
+    assert finding["actionable"] is False
+    assert finding["violations"] == {"nn": 4}
+    assert all(f["op"] != "audit_constraints" for f in diagnose(root))
+    before = current_snapshot_id(root)
+    executed = heal(spark, root)
+    assert all(f["op"] != "audit_constraints" for f in executed)
+    assert current_snapshot_id(root) == before  # debt untouched
