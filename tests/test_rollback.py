@@ -83,3 +83,20 @@ def test_rollback_then_append_continues(table, spark):
     snapshot_write(_docs(spark, "c", 5), table, mode="append")  # 5
     got = {r["doc_id"][:1] for r in snapshot_read(spark, table).collect()}
     assert got == {"a", "b", "c"}
+
+
+def test_vacuum_never_reclaims_rollback_referenced_files(table, spark):
+    """Retention safety: after a rollback, the restored (old) data files
+    are referenced by the LIVE rollback manifest — expire + vacuum of the
+    undone snapshots must leave them untouched and the table readable."""
+    from ovalspark.sources.snapshots import expire_snapshots, vacuum
+
+    rollback_table(table, 1)  # 4 references snapshot 1's files
+    expire_snapshots(table, keep_last=1)  # drops manifests 1..3
+    removed = vacuum(table, min_age_s=0)
+    # snapshot 2/3's EXTRA files (b*/bad*) are reclaimable; 1's are not
+    assert snapshot_read(spark, table).count() == 50
+    got = {r["doc_id"][:1] for r in snapshot_read(spark, table).collect()}
+    assert got == {"a"}
+    # the undone snapshots' own additions were actually reclaimed
+    assert removed, "vacuum should reclaim the expired b/bad commits' files"
