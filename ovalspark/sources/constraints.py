@@ -432,12 +432,17 @@ def _capture_drift_baseline(df: DataFrame, c: dict[str, Any]) -> dict[str, Any]:
     nn = df.where(F.col(col).isNotNull())
     if c["method"] == "ks":
         field = dict((f.name, f.dataType.simpleString()) for f in df.schema.fields)[col]
-        if field in ("string", "boolean", "binary") or field.startswith(
-            ("array", "map", "struct")
-        ):
+        # strictly NUMERIC: approxQuantile rejects temporal types, so a
+        # date/timestamp column must drift through a derived epoch
+        # column (check-expr it) or chi2 — the same honesty the z-order
+        # type gate learned in round 8 (claiming temporal support while
+        # float()-ing datetimes crashed at runtime)
+        if field not in ("tinyint", "smallint", "int", "bigint", "float", "double") \
+                and not field.startswith("decimal"):
             raise ConstraintError(
-                f"{c['name']}: drift method 'ks' needs a numeric/temporal "
-                f"column ({col} is {field}) — use method='chi2'"
+                f"{c['name']}: drift method 'ks' needs a NUMERIC column "
+                f"({col} is {field}) — use method='chi2', or declare ks on "
+                f"a derived epoch/length column"
             )
         probs = [i / _DRIFT_BINS for i in range(1, _DRIFT_BINS)]
         bps = nn.approxQuantile(col, probs, 0.001)

@@ -541,3 +541,25 @@ def test_drift_constraint_chi2(tmp_path, spark):
         # a category with baseline probability ZERO: chi2 = inf
         snapshot_write(rows(9000, 1000, F.lit("zz")), root, mode="append")
     assert current_snapshot_id(root) == 3
+
+
+def test_drift_ks_rejects_non_numeric(tmp_path, spark):
+    """KS needs approxQuantile, which is numeric-only — a string or
+    timestamp column must be declared honestly (chi2 or a derived
+    numeric), not crash at capture time."""
+    root = str(tmp_path / "t")
+    snapshot_write(
+        spark.range(10).select(
+            F.col("id").alias("doc_id"),
+            F.lit("en").alias("lang"),
+            F.current_timestamp().alias("ts"),
+        ),
+        root,
+    )
+    for col in ("lang", "ts"):
+        with pytest.raises(ConstraintError, match="NUMERIC"):
+            set_constraints(
+                root,
+                [{"name": "d", "kind": "drift", "column": col}],
+                spark=spark,
+            )
