@@ -140,6 +140,14 @@ def build_parser() -> argparse.ArgumentParser:
         "— the sink partition and reported id are each span's last "
         "snapshot",
     )
+    t.add_argument(
+        "--audit-constraints",
+        action="store_true",
+        help="additionally run the table's constraint contract against "
+        "each tailed commit's DELTA (O(new data), audit_commit_delta): "
+        "catches debt landing through the raw/unenforced commit path; "
+        "per-commit debt rides the JSON report as constraint_debt",
+    )
 
     m = sub.add_parser(
         "maintain",
@@ -472,8 +480,19 @@ def main(argv: list[str] | None = None) -> int:
             batch_commits=args.batch,
         ):
             n_snapshots += 1
+            row = {"snapshot_id": sid, "violations": n}
+            if args.audit_constraints:
+                from ovalspark.sources.constraints import audit_commit_delta
+
+                sids = sid if isinstance(sid, list) else [sid]
+                debt = {
+                    s: d for s in sids if (d := audit_commit_delta(spark, docs_root, s))
+                }
+                if debt:
+                    log.info("tail.constraint_debt", commits=list(debt))
+                    row["constraint_debt"] = debt
             log.info("tail.snapshot", snapshot_id=sid, violations=n)
-            print(json.dumps({"snapshot_id": sid, "violations": n}))
+            print(json.dumps(row))
         print(json.dumps({"tailed": n_snapshots, "state": state}))
         return 0
 

@@ -499,3 +499,52 @@ def test_cli_constraints_and_rollback(spark, tmp_path, capsys):
     audit = {r["constraint"]: r for r in report["audit_constraints"]["rows"]}
     assert all(r["violated_rows"] == 0 for r in audit.values())
     assert report["audit_constraints"]["files_scanned"] == 0  # metadata-decided
+
+
+def test_cli_tail_audits_constraint_debt(spark, tmp_path, capsys):
+    """tail --audit-constraints: debt landing through the raw
+    commit_staged_files path (which bypasses commit enforcement by
+    design) is named per-commit in the tail's JSON report; clean
+    commits carry no constraint_debt key."""
+    import glob as g
+
+    from ovalspark.sources.constraints import set_constraints
+    from ovalspark.sources.snapshots import commit_staged_files, snapshot_read
+
+    root, out = str(tmp_path / "cw"), str(tmp_path / "cout")
+    assert main(
+        ["generate", "--root", root, "--writers", "2", "--docs-per-writer", "60",
+         "--spans", "1-4", "--table-format", "snapshot"]
+    ) == 0
+    capsys.readouterr()
+    docs_root = f"{root}/documents"
+    set_constraints(
+        docs_root,
+        [{"name": "nn", "kind": "not_null", "column": "doc_id"}],
+        spark=spark,
+    )  # snapshot 2 (metadata-only)
+    # dirty rows land through the RAW path: 2 NULL doc_ids
+    staged_dir = str(tmp_path / "staged")
+    docs = snapshot_read(spark, docs_root)
+    bad = docs.limit(2).select(
+        *[
+            F.lit(None).cast(f.dataType).alias(f.name)
+            if f.name == "doc_id"
+            else F.col(f.name)
+            for f in docs.schema.fields
+        ]
+    )
+    bad.coalesce(1).write.parquet(staged_dir)
+    commit_staged_files(
+        docs_root, g.glob(f"{staged_dir}/part-*.parquet"), bad.schema
+    )  # snapshot 3, NOT enforced
+
+    assert main(
+        ["tail", "--root", root, "--out", out, "--timeout", "1",
+         "--audit-constraints"]
+    ) == 0
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    rows = {d["snapshot_id"]: d for d in lines if "snapshot_id" in d}
+    assert "constraint_debt" not in rows[1] and "constraint_debt" not in rows[2]
+    assert rows[3]["constraint_debt"] == {"3": [{"constraint": "nn", "violated_rows": 2}]} or \
+           rows[3]["constraint_debt"] == {3: [{"constraint": "nn", "violated_rows": 2}]}
