@@ -21,7 +21,10 @@ Four kinds, declared as plain dicts:
 * ``{"name", "kind": "check", "expr"}`` — any Spark-SQL boolean
   expression; violation: expr IS FALSE (NULL passes, like SQL CHECK).
 * ``{"name", "kind": "unique", "column"}`` — violation rows: rows whose
-  non-NULL value occurs more than once.
+  non-NULL value occurs more than once. Composite keys: ``"columns":
+  [a, b, ...]`` instead of ``column`` — rows where every key part is
+  non-NULL and the tuple occurs more than once (SQL UNIQUE semantics:
+  a NULL in any part opts the row out; forbid that with not_null).
 * ``{"name", "kind": "ref", "column", "ref_table", "ref_column"?}`` —
   foreign-key existence (oval's media_ref-against-asset-catalog check
   as a contract): violation rows: rows whose non-NULL value has no
@@ -148,7 +151,22 @@ def _normalize(constraints: list[dict[str, Any]]) -> list[dict[str, Any]]:
         if kind not in _KINDS:
             raise ConstraintError(f"{name}: kind must be one of {_KINDS}, got {kind!r}")
         norm: dict[str, Any] = {"name": name, "kind": kind}
-        if kind in ("not_null", "unique", "range", "ref", "drift"):
+        if kind == "unique" and c.get("columns") is not None:
+            cols_ = c["columns"]
+            if (
+                not isinstance(cols_, list)
+                or len(cols_) < 2
+                or not all(isinstance(x, str) and x for x in cols_)
+                or len(set(cols_)) != len(cols_)
+            ):
+                raise ConstraintError(
+                    f"{name}: 'columns' must be >=2 distinct column names "
+                    f"(use 'column' for a single key)"
+                )
+            if c.get("column") is not None:
+                raise ConstraintError(f"{name}: pass 'column' or 'columns', not both")
+            norm["columns"] = list(cols_)
+        elif kind in ("not_null", "unique", "range", "ref", "drift"):
             col = c.get("column")
             if not col or not isinstance(col, str):
                 raise ConstraintError(f"{name}: kind {kind!r} needs a 'column'")
@@ -268,11 +286,12 @@ def set_constraints(
     raw = _load_manifest_raw(root, parent)
     cols = _columns_of(raw)
     for c in new:
-        if "column" in c and c["column"] not in cols:
-            raise ConstraintError(
-                f"{c['name']}: column {c['column']!r} not in committed "
-                f"schema {sorted(cols)}"
-            )
+        for col in c.get("columns", []) + ([c["column"]] if "column" in c else []):
+            if col not in cols:
+                raise ConstraintError(
+                    f"{c['name']}: column {col!r} not in committed "
+                    f"schema {sorted(cols)}"
+                )
         if c["kind"] == "ref" and not os.path.exists(c["ref_table"]):
             raise ConstraintError(
                 f"{c['name']}: ref_table {c['ref_table']!r} does not exist"
@@ -580,11 +599,25 @@ def _ref_violations(spark: SparkSession, df: DataFrame, c: dict[str, Any]) -> in
     )
 
 
-def _unique_violations(df: DataFrame, col: str) -> int:
+def _key_cols(c: dict[str, Any]) -> list[str]:
+    """A unique constraint's key column list (single or composite)."""
+    return list(c["columns"]) if "columns" in c else [c["column"]]
+
+
+def _all_notnull(cols: list[str]):
+    cond = F.lit(True)
+    for x in cols:
+        cond = cond & F.col(x).isNotNull()
+    return cond
+
+
+def _unique_violations(df: DataFrame, cols: str | list[str]) -> int:
+    if isinstance(cols, str):
+        cols = [cols]
     dup = (
-        df.select(col)
-        .where(F.col(col).isNotNull())
-        .groupBy(col)
+        df.select(*cols)
+        .where(_all_notnull(cols))
+        .groupBy(*cols)
         .count()
         .where(F.col("count") > 1)
         .agg(F.coalesce(F.sum("count"), F.lit(0)).alias("v"))
@@ -661,23 +694,28 @@ def audit_constraints(
     for c in cons:
         kind, name = c["kind"], c["name"]
         if kind == "unique":
+            kcols = _key_cols(c)
             if pending:
                 # sketches describe PHYSICAL rows; with row filters
                 # pending the screen would overcount — skip the triage,
                 # the exact check below reads the logical table
-                scr = {"col": c["column"], "verdict": "skipped",
+                scr = {"col": ",".join(kcols), "verdict": "skipped",
                        "reason": "pending row filters"}
+            elif len(kcols) > 1:
+                # per-column sketches cannot screen a composite key
+                scr = {"col": ",".join(kcols), "verdict": "skipped",
+                       "reason": "composite key (no tuple sketch)"}
             else:
-                scr = uniqueness_screen(spark, root, col=c["column"], snapshot_id=sid)
+                scr = uniqueness_screen(spark, root, col=kcols[0], snapshot_id=sid)
             detail["screen"][name] = scr
             v = _unique_violations(
-                snapshot_read(spark, root, snapshot_id=sid), c["column"]
+                snapshot_read(spark, root, snapshot_id=sid), kcols
             )
             rows_out.append(
                 {
                     "constraint": name,
                     "kind": kind,
-                    "column": c["column"],
+                    "column": ",".join(kcols),
                     "violated_rows": v,
                     "decided": "scan",
                 }
@@ -844,7 +882,7 @@ def check_frame(df: DataFrame, constraints: list[dict[str, Any]]) -> DataFrame:
                 rows.append((c["name"], "drift", c["column"], 1))
     for c in cons:
         if c["kind"] == "unique":
-            v = _unique_violations(df, c["column"])
+            v = _unique_violations(df, _key_cols(c))
         elif c["kind"] == "ref":
             v = _ref_violations(spark, df, c)
         elif c["kind"] == "drift" and c["method"] == "chi2" and "baseline" in c:
@@ -852,7 +890,10 @@ def check_frame(df: DataFrame, constraints: list[dict[str, Any]]) -> DataFrame:
         else:
             continue
         if v:
-            rows.append((c["name"], c["kind"], c["column"], v))
+            rows.append(
+                (c["name"], c["kind"], ",".join(_key_cols(c)) if c["kind"] == "unique"
+                 else c["column"], v)
+            )
     return spark.createDataFrame(
         rows, "constraint string, kind string, column string, violated_rows long"
     )
@@ -895,8 +936,7 @@ def _delta_violations(
     drift_chi: list[dict[str, Any]] = []
 
     for c in cons:
-        col = c.get("column")
-        if col is not None:
+        for col in c.get("columns", []) + ([c["column"]] if "column" in c else []):
             if staged_cols is None:
                 staged_cols = set(staged_fn().columns)
             if col not in staged_cols:
@@ -978,20 +1018,28 @@ def _delta_violations(
         ks_names.extend(
             f"{c['name']}__b{i}" for i in range(len(c["baseline"]["bps"]))
         )
+    lead_cols = _key_cols(lead) if lead is not None else []
     try:
         if lead is None:
             agg_row = staged_fn().agg(*sums, *ks_exprs).collect()[0]
         else:
-            k = F.col(lead["column"])
-            per = staged_fn().groupBy(lead["column"]).agg(
+            per = staged_fn().groupBy(*lead_cols).agg(
                 F.count(F.lit(1)).alias("_c"), *sums, *ks_exprs
             )
             agg_row = per.agg(
                 F.sum(
-                    F.when(k.isNotNull() & (F.col("_c") > 1), F.col("_c")).otherwise(0)
+                    F.when(
+                        _all_notnull(lead_cols) & (F.col("_c") > 1), F.col("_c")
+                    ).otherwise(0)
                 ).alias("_dups"),
-                F.min(k).alias("_lo"),
-                F.max(k).alias("_hi"),
+                *[
+                    e
+                    for i, x in enumerate(lead_cols)
+                    for e in (
+                        F.min(x).alias(f"_lo{i}"),
+                        F.max(x).alias(f"_hi{i}"),
+                    )
+                ],
                 *[F.sum(c["name"]).alias(c["name"]) for c in full_scan],
                 *[F.sum(a).alias(a) for a in ks_names],
             ).collect()[0]
@@ -1014,37 +1062,45 @@ def _delta_violations(
                 {"constraint": c["name"], "violated_rows": 1, "drift": verdict}
             )
     for i, c in enumerate(uniques):
-        col = c["column"]
+        kcols = _key_cols(c)
         if i == 0:
-            dups, lo, hi = int(agg_row["_dups"] or 0), agg_row["_lo"], agg_row["_hi"]
-        else:  # rare: a second unique column pays its own groupBy
-            dups = _unique_violations(staged_fn(), col)
-            b = staged_fn().agg(F.min(col).alias("l"), F.max(col).alias("h")).collect()[0]
-            lo, hi = b["l"], b["h"]
+            dups = int(agg_row["_dups"] or 0)
+            bounds = [(agg_row[f"_lo{j}"], agg_row[f"_hi{j}"]) for j in range(len(kcols))]
+        else:  # rare: a second unique key pays its own groupBy
+            dups = _unique_violations(staged_fn(), kcols)
+            b = staged_fn().agg(
+                *[
+                    e
+                    for j, x in enumerate(kcols)
+                    for e in (F.min(x).alias(f"l{j}"), F.max(x).alias(f"h{j}"))
+                ]
+            ).collect()[0]
+            bounds = [(b[f"l{j}"], b[f"h{j}"]) for j in range(len(kcols))]
         if dups:
             report.append({"constraint": c["name"], "violated_rows": dups})
             continue
-        if mode == "append" and parent_rows and lo is not None:
+        if mode == "append" and parent_rows and all(lo is not None for lo, _ in bounds):
             # a collision can only live in a parent file whose [min, max]
-            # overlaps the staged key range — prune from the manifest and
-            # SKIP the probe job when nothing survives
+            # overlaps the staged range on EVERY key column — prune from
+            # the manifest and SKIP the probe job when nothing survives
             from ovalspark.sources.snapshots import prune_files
 
-            paths = prune_files(root, parent_sid, (col, lo, hi))
+            conds = [(x, lo, hi) for x, (lo, hi) in zip(kcols, bounds)]
+            paths = prune_files(root, parent_sid, conds)
             if not paths:
                 continue
             m_par = _load_manifest_raw(root, parent_sid)
             schema = _committed_schema(m_par)
             if m_par.get("row_filters"):
                 live = snapshot_read(
-                    spark, root, snapshot_id=parent_sid, prune=(col, lo, hi)
-                ).select(col)
+                    spark, root, snapshot_id=parent_sid, prune=conds
+                ).select(*kcols)
             else:
-                live = spark.read.schema(schema).parquet(*paths).select(col)
+                live = spark.read.schema(schema).parquet(*paths).select(*kcols)
             # no broadcast hint: staged key volume is unbounded — AQE
             # picks the broadcast side itself when one fits
-            keys = staged_fn().select(col).where(F.col(col).isNotNull()).distinct()
-            hits = live.join(keys, on=col, how="inner").count()
+            keys = staged_fn().select(*kcols).where(_all_notnull(kcols)).distinct()
+            hits = live.join(keys, on=kcols, how="inner").count()
             if hits:
                 report.append({"constraint": c["name"], "violated_rows": int(hits)})
     return report

@@ -563,3 +563,47 @@ def test_drift_ks_rejects_non_numeric(tmp_path, spark):
                 [{"name": "d", "kind": "drift", "column": col}],
                 spark=spark,
             )
+
+
+def test_composite_unique_constraint(tmp_path, spark):
+    """unique over a composite key: (writer_id, seq) tuples must be
+    unique while each column alone repeats freely; NULL in any key part
+    opts the row out (SQL UNIQUE); staged-vs-live collisions on the
+    tuple are refused."""
+    root = str(tmp_path / "t")
+    base = spark.range(200).select(
+        (F.col("id") % 10).alias("writer_id"),
+        (F.col("id") / F.lit(10)).cast("long").alias("seq"),
+        F.col("id").alias("payload"),
+    )
+    snapshot_write(base, root)
+    con = {"name": "ck", "kind": "unique", "columns": ["writer_id", "seq"]}
+    set_constraints(root, [con], spark=spark)  # validates: tuples unique
+    # audit on a dirtied overwrite counts tuple-dup ROWS exactly
+    dup2 = base.unionByName(base.limit(3))
+    with pytest.raises(ConstraintViolationError, match="ck"):
+        snapshot_write(dup2, root, mode="overwrite")
+    # NULL key parts opt out
+    with_nulls = base.unionByName(
+        spark.createDataFrame([(None, 5, 999), (None, 5, 998)],
+                              "writer_id long, seq long, payload long")
+    )
+    snapshot_write(with_nulls, root, mode="overwrite")  # commits: NULLs pass
+    # staged-vs-live TUPLE collision refused; same columns with fresh
+    # seq values commit (writer_id alone collides — that's allowed)
+    fresh = spark.range(5).select(
+        (F.col("id") % 10).alias("writer_id"),
+        (F.col("id") + 1000).alias("seq"),
+        F.col("id").alias("payload"),
+    )
+    snapshot_write(fresh, root, mode="append")
+    colliding = spark.createDataFrame([(3, 7, 1)], "writer_id long, seq long, payload long")
+    with pytest.raises(ConstraintViolationError, match="ck"):
+        snapshot_write(colliding, root, mode="append")
+    # definition errors
+    with pytest.raises(ConstraintError, match="distinct"):
+        set_constraints(root, [{"name": "b", "kind": "unique",
+                                "columns": ["seq", "seq"]}], mode="add", spark=spark)
+    with pytest.raises(ConstraintError, match="not both"):
+        set_constraints(root, [{"name": "b", "kind": "unique", "column": "seq",
+                                "columns": ["writer_id", "seq"]}], mode="add", spark=spark)
