@@ -481,18 +481,23 @@ def _capture_drift_baseline(df: DataFrame, c: dict[str, Any]) -> dict[str, Any]:
             "bps": bps,
             "ecdf": [round(int(row[f"_b{i}"]) / n, 9) for i in range(len(bps))],
         }
-    # chi2: exact top-category proportions
+    # chi2: exact top-category proportions. Categories are captured with
+    # the SAME Spark expression the audit buckets with
+    # (F.col(col).cast('string')) — a Python-side str() of collected
+    # values renders booleans 'True'/'False' (vs Spark's 'true'/'false')
+    # and scientific-notation floats differently, which would land every
+    # audited row in __other__ and fire the constraint spuriously.
     top = (
-        nn.groupBy(col)
+        nn.groupBy(F.col(col).cast("string").alias("_cat"))
         .agg(F.count(F.lit(1)).alias("_c"))
-        .orderBy(F.desc("_c"), F.col(col))
+        .orderBy(F.desc("_c"), F.col("_cat"))
         .limit(_DRIFT_BINS - 1)
         .collect()
     )
     if not top:
         raise ConstraintError(f"{c['name']}: column {col!r} has no non-NULL rows")
     n = nn.count()
-    cats = [str(r[col]) for r in top]
+    cats = [r["_cat"] for r in top]
     probs = [int(r["_c"]) / n for r in top]
     other = max(0.0, 1.0 - sum(probs))
     return {"n": int(n), "cats": cats, "probs": [round(p, 9) for p in probs],
@@ -956,6 +961,9 @@ def _delta_violations(
             (drift_ks if c["method"] == "ks" else drift_chi).append(c)
             continue
         if c["kind"] in ("not_null", "range"):
+            # bind explicitly (not the leaked loop variable from the
+            # schema-validation loop above) — mirrors audit_constraints
+            col = c["column"]
             violated = 0
             undecided = False
             for e in new_files:

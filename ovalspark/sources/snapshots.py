@@ -1885,16 +1885,62 @@ def snapshot_upsert(
     df.write.mode("error").parquet(data_dir)
     new_files = _footer_stats(glob.glob(os.path.join(data_dir, "part-*.parquet")), root)
     if m_raw.get("constraints"):
-        # merge enforcement covers the STAGED rows (not_null/range/check);
-        # `unique` needs no cross-check here — the staged frame is already
-        # key-unique (above) and the merge retracts every matched live key,
-        # so a unique key column stays unique by construction
-        from ovalspark.sources.constraints import _enforce_staged
+        # merge enforcement covers the STAGED rows (not_null/range/check).
+        # A `unique` constraint whose key columns CONTAIN the upsert key
+        # needs no cross-check: the staged frame is key-unique (above) —
+        # so any tuple containing the key is staged-unique — and the
+        # merge retracts every matched live key, so a colliding parent
+        # row would share the upsert key and is retracted. A unique
+        # constraint on OTHER columns (e.g. unique email, upsert keyed
+        # on doc_id) gets the full check below: staged-internal dups +
+        # staged keys vs the SURVIVING parent rows (matched keys are
+        # retracted by this commit, so they are excluded).
+        from ovalspark.sources.constraints import (
+            ConstraintViolationError,
+            _all_notnull,
+            _enforce_staged,
+            _key_cols,
+            _unique_violations,
+        )
 
         _enforce_staged(
             spark, root, m_raw, new_files, data_dir, "append",
             kinds=("not_null", "range", "check", "ref", "drift"),
         )
+        other_uniques = [
+            c
+            for c in m_raw["constraints"]
+            if c.get("enforce", True)
+            and c["kind"] == "unique"
+            and key not in _key_cols(c)
+        ]
+        for c in other_uniques:
+            kcols = _key_cols(c)
+            missing = [k for k in kcols if k not in df.columns]
+            if missing:
+                shutil.rmtree(data_dir, ignore_errors=True)
+                raise ConstraintViolationError(
+                    f"upsert drops constrained column(s) {missing!r} "
+                    f"({c['name']}) — drop_constraints first",
+                    [{"constraint": c["name"], "violated_rows": 0}],
+                )
+            dups = _unique_violations(df, kcols)
+            hits = 0
+            if not dups:
+                surviving = (
+                    snapshot_read(spark, root, snapshot_id=parent)
+                    .join(df.select(key), key, "left_anti")
+                    .select(*kcols)
+                )
+                staged_keys = df.select(*kcols).where(_all_notnull(kcols)).distinct()
+                hits = surviving.join(staged_keys, on=kcols, how="inner").count()
+            if dups or hits:
+                shutil.rmtree(data_dir, ignore_errors=True)
+                raise ConstraintViolationError(
+                    f"staged data violates enforced constraint(s): "
+                    f"{c['name']}={dups or hits} — nothing was committed",
+                    [{"constraint": c["name"], "violated_rows": int(dups or hits)}],
+                )
     inherited = _inherited_sketch_cols(root, m_raw)
     if inherited:
         _attach_sketches(spark, root, new_files, inherited)

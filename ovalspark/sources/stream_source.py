@@ -424,7 +424,12 @@ class _SnapshotStreamReader(DataSourceStreamReader):
                             for p in side
                         )
                 files = diff_added(m)
-            elif m["operation"] == "overwrite":
+            elif m["operation"] in ("overwrite", "rollback"):
+                # rollback is an overwrite-class commit (rollback_table
+                # restores an earlier generation as new table state): in
+                # CDC mode retract the undone parent generation, then
+                # emit the restored generation — otherwise consumers
+                # silently diverge from the table across a rollback
                 if self.cdc and m.get("parent_id") is not None:
                     # truncate-and-load: retract the parent generation...
                     if prev is not None and prev[0] == m["parent_id"]:

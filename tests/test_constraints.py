@@ -607,3 +607,39 @@ def test_composite_unique_constraint(tmp_path, spark):
     with pytest.raises(ConstraintError, match="not both"):
         set_constraints(root, [{"name": "b", "kind": "unique", "column": "seq",
                                 "columns": ["writer_id", "seq"]}], mode="add", spark=spark)
+
+
+def test_drift_chi2_boolean_column_renders_like_audit(tmp_path, spark):
+    """chi² baselines must capture categories with the SAME rendering
+    the audit buckets with (Spark cast-to-string). A boolean column's
+    Python str() is 'True'/'False' while Spark renders 'true'/'false' —
+    the old capture sent every audited row to __other__ and refused
+    every commit."""
+    root = str(tmp_path / "t")
+    flag = (F.col("id") % 10 < 8)
+    base = spark.range(2000).select(
+        F.format_string("doc%05d", F.col("id")).alias("doc_id"), flag.alias("ok")
+    )
+    snapshot_write(base, root)
+    set_constraints(
+        root,
+        [{"name": "okmix", "kind": "drift", "column": "ok", "method": "chi2"}],
+        spark=spark,
+    )
+    (con,) = table_constraints(root)
+    assert sorted(con["baseline"]["cats"]) == ["false", "true"]
+    # clean audit and a same-mix append both pass
+    _, detail = audit_constraints(spark, root)
+    assert detail["rows"][0]["violated_rows"] == 0
+    same = spark.range(2000, 3000).select(
+        F.format_string("x%05d", F.col("id")).alias("doc_id"), flag.alias("ok")
+    )
+    snapshot_write(same, root, mode="append")
+    # an inverted mix still fires
+    inverted = spark.range(9000, 10000).select(
+        F.format_string("y%05d", F.col("id")).alias("doc_id"),
+        (F.col("id") % 10 >= 8).alias("ok"),
+    )
+    with pytest.raises(ConstraintViolationError, match="okmix"):
+        snapshot_write(inverted, root, mode="append")
+    assert current_snapshot_id(root) == 3

@@ -100,3 +100,49 @@ def test_vacuum_never_reclaims_rollback_referenced_files(table, spark):
     assert got == {"a"}
     # the undone snapshots' own additions were actually reclaimed
     assert removed, "vacuum should reclaim the expired b/bad commits' files"
+
+
+def test_rollback_cdc_feed_retracts_undone_and_restores(spark, tmp_path):
+    """A rollback commit is overwrite-class in the CDC feed: consumers
+    see the undone generation retracted and the restored generation
+    re-inserted, so replaying the feed converges on the table state
+    (previously the commit emitted NOTHING and mirrors diverged)."""
+    from ovalspark.sources.stream_source import register_snapshot_source
+
+    root = str(tmp_path / "t")
+    snapshot_write(_docs(spark, "a", 5), root)  # 1
+    snapshot_write(_docs(spark, "bad", 3), root, mode="append")  # 2
+    rollback_table(root, 1)  # 3: restore snapshot 1
+    register_snapshot_source(spark)
+    out, ckpt = str(tmp_path / "m"), str(tmp_path / "c")
+    q = (
+        spark.readStream.format("ovalspark_snapshots")
+        .option("path", root)
+        .option("cdc", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    feed = spark.read.parquet(out)
+    # replay in commit order: last op per doc_id wins
+    import pyspark.sql.window as W
+
+    # within one commit retractions apply before inserts, so the insert
+    # wins the tie ('insert' > 'delete' lexically)
+    w = W.Window.partitionBy("doc_id").orderBy(F.desc("_commit_id"), F.desc("_op"))
+    last = (
+        feed.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1 AND _op = 'insert'")
+        .select("doc_id")
+    )
+    assert {r["doc_id"] for r in last.collect()} == {
+        r["doc_id"] for r in snapshot_read(spark, root).collect()
+    }
+    # the rollback commit itself carried both phases
+    rb = feed.filter("_commit_id = 3")
+    assert rb.filter("_op = 'delete'").count() == 8  # undone generation (a0..a4 + bad0..2)
+    assert rb.filter("_op = 'insert'").count() == 5  # restored generation

@@ -240,3 +240,53 @@ def test_upsert_bootstrap_enforces_key_uniqueness(spark, tmp_path):
     ok = spark.createDataFrame([("a", 1), ("b", 3)], "doc_id string, v long")
     sid = snapshot_upsert(spark, root, ok)
     assert sid == 1
+
+
+def test_upsert_enforces_unique_on_non_key_column(spark, tmp_path):
+    """A unique constraint whose key is NOT the upsert key must be
+    enforced at upsert commit time: staged-internal dups and collisions
+    with SURVIVING parent rows are refused; a collision with a row this
+    upsert retracts (matched key) commits — the retraction removes it."""
+    from ovalspark.sources.constraints import ConstraintViolationError, set_constraints
+
+    root = str(tmp_path / "t")
+    base = spark.range(10).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.concat(F.lit("u"), F.col("id")).alias("email"),
+    )
+    snapshot_write(base, root)
+    set_constraints(root, [{"name": "uq_email", "kind": "unique", "column": "email"}], spark=spark)
+
+    # staged email collides with a SURVIVING parent row (d3/u3 stays live)
+    bad = spark.createDataFrame([("d100", "u3")], "doc_id string, email string")
+    with pytest.raises(ConstraintViolationError, match="uq_email"):
+        snapshot_upsert(spark, root, bad, key="doc_id")
+    assert current_snapshot_id(root) == 2  # nothing committed
+
+    # staged-internal duplicate on the non-key column refused too
+    bad2 = spark.createDataFrame(
+        [("d100", "w1"), ("d101", "w1")], "doc_id string, email string"
+    )
+    with pytest.raises(ConstraintViolationError, match="uq_email"):
+        snapshot_upsert(spark, root, bad2, key="doc_id")
+
+    # REPLACING d3 with the same email is legal: the matched key's old
+    # row is retracted by this very commit
+    ok = spark.createDataFrame([("d3", "u3")], "doc_id string, email string")
+    snapshot_upsert(spark, root, ok, key="doc_id")
+    assert current_snapshot_id(root) == 3
+
+    # a unique constraint CONTAINING the upsert key needs no cross-check
+    # and never blocks (doc_id is staged-unique by the merge contract)
+    set_constraints(
+        root,
+        [{"name": "uq_pair", "kind": "unique", "columns": ["doc_id", "email"]}],
+        mode="add",
+        spark=spark,
+    )
+    snapshot_upsert(
+        spark, root,
+        spark.createDataFrame([("d4", "u4")], "doc_id string, email string"),
+        key="doc_id",
+    )
+    assert current_snapshot_id(root) == 5
