@@ -28,6 +28,11 @@ _TABLES = ("region", "nation", "customer", "supplier", "part", "orders", "lineit
 
 
 def _load(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    # measured and rejected (r10): repartitioning the big low-row-group
+    # tables into the views — the spread's map side is bounded by the
+    # file's row groups anyway, so the extra exchange cost more than the
+    # parallelism it bought on every aggregation query (+3.6 s over the
+    # 8-query shared-SQL set at sf1; OPTIMIZATION_r10.md)
     for n in names:
         spark.read.parquet(f"{sf_dir}/{n}.parquet").createOrReplaceTempView(n)
 
@@ -39,6 +44,21 @@ def _spread(df: DataFrame) -> DataFrame:
     just to read a partition count); at real scale the scan has natural
     parallelism and callers drop this wrapper entirely."""
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def _ordered(df: DataFrame, *cols: str) -> DataFrame:
+    """Deterministic total order WITHOUT a range-partitioned global sort.
+
+    ``orderBy`` plans Exchange(rangepartitioning), whose map side first
+    SAMPLES its child to place range bounds — and the child of these
+    queries' final sort is unstaged narrow compute (the whole minhash /
+    fingerprint / validation pipeline), so the pipeline executes twice
+    per action (measured: q42 verify 5.6 s → 8.2 s with the trailing
+    sort). Gate outputs are small (≤ tens of thousands of rows), so one
+    single-partition sort after a round-robin exchange produces the
+    IDENTICAL row sequence (all call sites sort on a unique key set) in
+    one upstream pass. Not for large outputs — those want orderBy."""
+    return df.repartition(1).sortWithinPartitions(*cols)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -415,7 +435,7 @@ def _q23_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ovalspark.operators.text import fingerprint
 
     docs = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+    return _ordered(docs.select("doc_id", fingerprint(F.col("text")).alias("fp")), "doc_id")
 
 
 _Q23_ORACLE = """
@@ -447,7 +467,7 @@ def _q25_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("sh") > 0)
     )
     hb = sh.select("doc_id", minhash_base(F.col("sh")).alias("_hb"))
-    return hb.select("doc_id", *minhash_from_base(F.col("_hb"), 4)).orderBy("doc_id")
+    return _ordered(hb.select("doc_id", *minhash_from_base(F.col("_hb"), 4)), "doc_id")
 
 
 def _q25_oracle() -> str:
@@ -479,7 +499,7 @@ def _q26_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ovalspark.operators.text import rolling_hash
 
     docs = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    return docs.select("doc_id", rolling_hash(F.col("text")).alias("rh")).orderBy("doc_id")
+    return _ordered(docs.select("doc_id", rolling_hash(F.col("text")).alias("rh")), "doc_id")
 
 
 _Q26_ORACLE = """
@@ -677,7 +697,11 @@ def _q40_span_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ovalspark.datagen import GenSpec, catalog_from_flat, generate_documents, inject_faults
     from ovalspark.operators import check_existence, validate_spans
 
-    flat = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # _spread: the flat file is near-monolithic (1-2 row groups), and the
+    # checkpointed docs inherit its partitioning — unspread, the whole
+    # validator would run 1-2 tasks. All derived values are pure functions
+    # of doc_id, so physical partitioning cannot change any row.
+    flat = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     spec = GenSpec(max_spans=8)
     cat = catalog_from_flat(flat, spec)
     docs = generate_documents(cat, spec)
@@ -692,7 +716,7 @@ def _q40_span_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
     _publish_once(final, lambda stage: _write_oracle_inputs(cat, bad, spec, stage))
 
     v = validate_spans(bad, cat, spec.n_assets, broadcast_catalog=True).unionByName(check_existence(bad, cat))
-    return v.select(
+    v = v.select(
         "partition_id",
         "doc_id",
         "span_idx",
@@ -702,7 +726,8 @@ def _q40_span_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "violation_class",
         "writer_id",
         F.date_format("written_at", "yyyy-MM-dd HH:mm:ss").alias("written_at"),
-    ).orderBy("partition_id", "doc_id", "span_idx", "field")
+    )
+    return _ordered(v, "partition_id", "doc_id", "span_idx", "field")
 
 
 def _q40_oracle(d: str | None = None) -> str:
@@ -797,6 +822,10 @@ def _q41_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ovalspark.operators.dedup import simhash_near_duplicates
 
     docs = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    # orderBy (NOT _ordered): this sort's child is the dropDuplicates
+    # exchange, so range sampling re-reads shuffle files rather than
+    # recomputing the pipeline, and the pair volume at larger sfs wants a
+    # parallel sort (repartition(1) measured 2.3 s vs 0.8 s at sf1)
     return simhash_near_duplicates(docs, "doc_id", "text", max_hamming=8).orderBy("id_a", "id_b")
 
 
@@ -843,7 +872,7 @@ def _q42_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ovalspark.operators.dedup import minhash_duplicates
 
     docs = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
-    return minhash_duplicates(docs, "doc_id", "text", jaccard_threshold=0.5).orderBy("id_a", "id_b")
+    return _ordered(minhash_duplicates(docs, "doc_id", "text", jaccard_threshold=0.5), "id_a", "id_b")
 
 
 def _q47_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -207,11 +207,26 @@ def minhash_duplicates(
     pairs = pairs.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a").join(
         sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b"
     )
-    jac = (
-        F.size(F.array_intersect("sh_a", "sh_b"))
-        / F.size(F.array_union("sh_a", "sh_b"))
-    ).alias("jaccard")
-    return pairs.select("id_a", "id_b", jac).filter(F.col("jaccard") >= jaccard_threshold)
+    # verify cost shaping (guide §1.2 "per-task work"):
+    # - |A∪B| = |A|+|B|−|A∩B| exactly (both arrays are array_distinct
+    #   output), so one hash-set pass (intersect) replaces two — the
+    #   DOUBLE value i/(a+b−i) is the same division of the same integers
+    #   as i/|union|, so oracle hashes are unchanged.
+    # - size prefilter: i ≤ min(a,b) ⇒ jaccard ≤ min/max, so jaccard ≥ t
+    #   requires min ≥ t·max (real arithmetic). The cheap size conjunct
+    #   is evaluated first and drops pairs before any per-element
+    #   intersection work; the +1 slack (sizes are ints) makes it immune
+    #   to double rounding at any threshold — it can only ADMIT an extra
+    #   pair for the exact filter to reject, never drop a passing one.
+    sa, sb = F.size("sh_a"), F.size("sh_b")
+    i = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = (i / (sa + sb - i)).alias("jaccard")
+    size_ok = (F.least(sa, sb) + F.lit(1)) > F.lit(jaccard_threshold) * F.greatest(sa, sb)
+    return (
+        pairs.filter(size_ok)
+        .select("id_a", "id_b", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
 
 
 def ngram_jaccard_pairs(

@@ -63,6 +63,23 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Join strategy (optimization guide §3.1/§9): allow shuffled hash
+        # join where it fits (skips both sort passes of a sort-merge
+        # join), and let AQE rewrite a planned sort-merge join to
+        # shuffled-hash when every post-shuffle partition is below the
+        # local-map threshold. Both are size-guarded by Spark itself, so
+        # they hold at scale (an SHJ build partition that can't fit was
+        # never eligible). Measured at sf1: the 5-way-join q03 2.08 →
+        # 1.25 s, everything else flat. Raising
+        # spark.sql.autoBroadcastJoinThreshold was measured and REJECTED:
+        # planning-time file-size estimates then broadcast 1.5M-row
+        # relations, whose single-threaded build quadrupled q02/q03.
+        # Override per deployment via OVALSPARK_SHJ_LOCAL_MAP_THRESHOLD.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("OVALSPARK_SHJ_LOCAL_MAP_THRESHOLD", "128m"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Python data source pushdown (the snapshot format routes these
         # into two-level manifest pruning — sources/stream_source.py)
