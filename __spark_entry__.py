@@ -461,10 +461,14 @@ def _q25_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ovalspark.operators.dedup import minhash_base, minhash_from_base, word_shingles_from_words
 
     docs = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    # filter on the INPUT word count, not size(sh): a filter on the
+    # computed shingle column pushes below the projection and evaluates
+    # the whole interpreted shingle expression twice (measured 2.25 →
+    # 0.64 s at sf1). Bigrams are nonempty exactly when len(words) ≥ 2.
     sh = (
         docs.select("doc_id", F.split(F.col("text"), " ").alias("_w"))
+        .filter(F.size("_w") >= 2)
         .select("doc_id", word_shingles_from_words(F.col("_w")).alias("sh"))
-        .filter(F.size("sh") > 0)
     )
     hb = sh.select("doc_id", minhash_base(F.col("sh")).alias("_hb"))
     return _ordered(hb.select("doc_id", *minhash_from_base(F.col("_hb"), 4)), "doc_id")

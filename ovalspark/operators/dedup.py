@@ -138,8 +138,8 @@ def minhash_signatures_flat(
     family); returns (id_col, mh0..mh{n-1})."""
     sh = (
         df.select(F.col(id_col), F.split(F.col(text_col), " ").alias("_w"))
+        .filter(F.size("_w") >= shingle_n)  # == nonempty shingles, no double eval
         .select(id_col, word_shingles_from_words(F.col("_w"), shingle_n).alias("_sh"))
-        .filter(F.size("_sh") > 0)
     )
     ex = sh.select(id_col, F.explode("_sh").alias("_s"))
     base = F.pmod(F.conv(F.substring(F.md5(F.col("_s")), 1, 15), 16, 10).cast("long"), F.lit(_MH_P))
@@ -173,13 +173,18 @@ def minhash_duplicates(
     a stored column and this step is the one-off job that writes it.
     """
     rows_per_band = n_hashes // bands
+    # filter on the INPUT word count, not size(_sh): a filter on the
+    # computed column pushes below the projection and evaluates the whole
+    # interpreted shingle expression twice (measured 2.25 → 0.64 s for
+    # the 4-hash signature job at sf1). n-gram shingles are nonempty
+    # exactly when len(words) ≥ shingle_n.
     sig = df.select(
         F.col(id_col).alias("_id"),
         F.split(F.col(text_col), " ").alias("_w"),
-    ).select(
+    ).filter(F.size("_w") >= shingle_n).select(
         "_id",
         word_shingles_from_words(F.col("_w"), shingle_n).alias("_sh"),
-    ).filter(F.size("_sh") > 0)
+    )
     sig = sig.withColumn("_hb", minhash_base(F.col("_sh")))
     sig = sig.select("_id", "_sh", *minhash_from_base(F.col("_hb"), n_hashes))
     if materialize:
