@@ -208,6 +208,9 @@ def minhash_duplicates(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # (tried and reverted: identical-projection joins renamed after the
+    # join to trigger ReuseExchange on the two broadcast builds — AQE
+    # did not reuse them and wall time was unchanged at sf1)
     sh = sig.select("_id", "_sh")
     pairs = pairs.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a").join(
         sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b"

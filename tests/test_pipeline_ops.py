@@ -666,3 +666,30 @@ def test_ivf_refinement_improves_balance_and_recall(spark, tmp_path):
     max2, sq2, rec2 = run(256, 8, 2, True)
     assert max2 < max0 and sq2 < sq0
     assert rec2 >= rec0  # measured 1.00 vs 0.98
+
+
+def test_regex_token_count_run_form_matches_extract_all(spark):
+    """The default-pattern fast path (split-run counts + translate) must
+    equal the literal regexp_extract_all count on every string class the
+    alternation distinguishes: runs, unicode/control punct, empties,
+    NULLs, digit-letter boundaries."""
+    from ovalspark.operators.text import BPE_PRETOKEN_RE, regex_token_count
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("a",), ("abc def",), ("abc1def",), ("123",), ("a1b2c3",),
+        ("",), (None,), ("...",), ("a.b,c;d",), ("tab\there",),
+        ("new\nline",), ("unicode é ü 漢字",), ("  spaces  ",),
+        ("x" * 500 + "!" * 50,), ("9a9a9a",), ("!leading",), ("trailing!",),
+    ]
+    df = spark.createDataFrame(rows, "text string")
+    fast = regex_token_count(F.col("text"))
+    slow = F.size(F.regexp_extract_all(F.col("text"), F.lit(BPE_PRETOKEN_RE), F.lit(0))).cast("long")
+    got = df.select(fast.alias("fast"), slow.alias("slow")).collect()
+    for r in got:
+        assert r["fast"] == r["slow"], (r["fast"], r["slow"])
+    # a non-default pattern still takes the literal path
+    other = df.where("text IS NOT NULL").select(
+        regex_token_count(F.col("text"), "[a-z]+").alias("n")
+    ).collect()
+    assert all(r["n"] is not None for r in other)
