@@ -522,12 +522,15 @@ _Q26_ORACLE = """
 
 def _q27_knn_int_dot(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # query vector from the raw scan (one row); the PROBE side is spread —
+    # the file is one row group, so the interpreted per-row dot product
+    # otherwise runs on a single task (0.57 → 0.34 s at sf1)
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
     vi = F.transform(F.col("embedding"), lambda x: F.floor(x.cast("double") * 1000000).cast("long"))
     qi = F.transform(F.col("qv"), lambda x: F.floor(x.cast("double") * 1000000).cast("long"))
     dot = F.aggregate(F.zip_with(vi, qi, lambda a, b: a * b), F.lit(0).cast("long"), lambda acc, v: acc + v)
     return (
-        emb.crossJoin(F.broadcast(q))
+        _spread(emb).crossJoin(F.broadcast(q))
         .select("vec_id", dot.alias("dot_q"))
         .orderBy(F.desc("dot_q"), "vec_id")
         .limit(10)

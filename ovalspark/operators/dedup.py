@@ -252,13 +252,16 @@ def ngram_jaccard_pairs(
     )
     a = sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    # |A∪B| = |A|+|B|−|A∩B| for distinct arrays: one hash-set pass
+    # instead of two, same integers, same double (see minhash_duplicates)
+    i = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
         candidate_pairs.join(a, "id_a")
         .join(b, "id_b")
         .select(
             "id_a",
             "id_b",
-            (F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))).alias("jaccard"),
+            (i / (F.size("sh_a") + F.size("sh_b") - i)).alias("jaccard"),
         )
     )
 
