@@ -1927,8 +1927,22 @@ def snapshot_upsert(
             dups = _unique_violations(df, kcols)
             hits = 0
             if not dups:
+                # bounds-prune the parent read to the staged key range —
+                # same shape as the append path's vs-parent probe: a
+                # parent file whose recorded bounds miss the staged range
+                # on any key column cannot hold a collision (pruning is a
+                # superset guarantee; the join is the exact predicate)
+                b = df.agg(
+                    *[
+                        e
+                        for j, x in enumerate(kcols)
+                        for e in (F.min(x).alias(f"_l{j}"), F.max(x).alias(f"_h{j}"))
+                    ]
+                ).collect()[0]
+                conds = [(x, b[f"_l{j}"], b[f"_h{j}"]) for j, x in enumerate(kcols)]
+                prune = conds if all(lo is not None for _, lo, _hi in conds) else None
                 surviving = (
-                    snapshot_read(spark, root, snapshot_id=parent)
+                    snapshot_read(spark, root, snapshot_id=parent, prune=prune)
                     .join(df.select(key), key, "left_anti")
                     .select(*kcols)
                 )
