@@ -197,14 +197,31 @@ def minhash_duplicates(
     ]
     # long-form bands + ONE self-join (not one join per band — that would
     # recompute the shingle/minhash pipeline 2×bands times). The band join
-    # and pair dedup shuffle ONLY (band, id) — the heavy shingle arrays
-    # are joined back afterwards, so no wide rows cross the big shuffles.
-    banded = sig.select("_id", F.explode(F.array(*band_cols)).alias("_band"))
-    left = banded.select("_band", F.col("_id").alias("id_a"))
-    right = banded.select("_band", F.col("_id").alias("id_b"))
+    # and pair dedup shuffle ONLY (band, id, |shingles|) — the heavy
+    # shingle arrays are joined back afterwards, so no wide rows cross
+    # the big shuffles. Carrying the set SIZE (one int) through the band
+    # phase lets the size prefilter run on the RAW band collisions:
+    # i ≤ min(a,b) ⇒ jaccard ≤ min/max, so jaccard ≥ t requires
+    # min ≥ t·max (real arithmetic; the +1 slack over integer sizes makes
+    # the bound immune to double rounding at any threshold — it can only
+    # ADMIT an extra pair for the exact filter to reject, never drop a
+    # passing one). Pairs that cannot pass are gone BEFORE the dedup
+    # shuffle and the two array-attach joins (19% of candidates at sf1 —
+    # wall-flat there, where the fixed stage floor dominates, but the
+    # right shape at scale: near-threshold corpora with skewed doc
+    # lengths prune far more, and everything pruned skips a shuffle AND
+    # two join probes; output proven identical).
+    banded = sig.select(
+        "_id", F.size("_sh").alias("_sz"), F.explode(F.array(*band_cols)).alias("_band")
+    )
+    left = banded.select("_band", F.col("_id").alias("id_a"), F.col("_sz").alias("sz_a"))
+    right = banded.select("_band", F.col("_id").alias("id_b"), F.col("_sz").alias("sz_b"))
+    size_ok = (F.least("sz_a", "sz_b") + F.lit(1)) > F.lit(jaccard_threshold) * F.greatest(
+        "sz_a", "sz_b"
+    )
     pairs = (
         left.join(right, "_band")
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter((F.col("id_a") < F.col("id_b")) & size_ok)
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -215,26 +232,14 @@ def minhash_duplicates(
     pairs = pairs.join(sh.select(F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a")), "id_a").join(
         sh.select(F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b")), "id_b"
     )
-    # verify cost shaping (guide §1.2 "per-task work"):
-    # - |A∪B| = |A|+|B|−|A∩B| exactly (both arrays are array_distinct
-    #   output), so one hash-set pass (intersect) replaces two — the
-    #   DOUBLE value i/(a+b−i) is the same division of the same integers
-    #   as i/|union|, so oracle hashes are unchanged.
-    # - size prefilter: i ≤ min(a,b) ⇒ jaccard ≤ min/max, so jaccard ≥ t
-    #   requires min ≥ t·max (real arithmetic). The cheap size conjunct
-    #   is evaluated first and drops pairs before any per-element
-    #   intersection work; the +1 slack (sizes are ints) makes it immune
-    #   to double rounding at any threshold — it can only ADMIT an extra
-    #   pair for the exact filter to reject, never drop a passing one.
+    # |A∪B| = |A|+|B|−|A∩B| exactly (both arrays are array_distinct
+    # output), so one hash-set pass (intersect) replaces two — the
+    # DOUBLE value i/(a+b−i) is the same division of the same integers
+    # as i/|union|, so oracle hashes are unchanged.
     sa, sb = F.size("sh_a"), F.size("sh_b")
     i = F.size(F.array_intersect("sh_a", "sh_b"))
     jac = (i / (sa + sb - i)).alias("jaccard")
-    size_ok = (F.least(sa, sb) + F.lit(1)) > F.lit(jaccard_threshold) * F.greatest(sa, sb)
-    return (
-        pairs.filter(size_ok)
-        .select("id_a", "id_b", jac)
-        .filter(F.col("jaccard") >= jaccard_threshold)
-    )
+    return pairs.select("id_a", "id_b", jac).filter(F.col("jaccard") >= jaccard_threshold)
 
 
 def ngram_jaccard_pairs(
